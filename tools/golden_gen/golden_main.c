@@ -1,0 +1,309 @@
+/*
+ * Golden-fixture generator for hpmpc_tpu tests.
+ *
+ * Sets up the mass-spring MPC benchmark exactly as the reference test driver
+ * does (see /root/reference/test_problems/test_d_ip_hard.c:140-560 for the
+ * conventions: x0 elimination, d[] packing, RSQrq layout) and calls the
+ * reference solvers directly:
+ *   - d_back_ric_rec_sv_tv_res   (unconstrained Riccati factorize+solve)
+ *   - d_ip2_res_mpc_hard_tv      (two-phase Mehrotra IPM)
+ * then dumps problem data + solution + per-iteration stats as JSON.
+ *
+ * This is a test oracle only; nothing here ships with the framework.
+ *
+ * Usage: golden_main nx nu N ng_mid ngN k_max mu_tol mode > out.json
+ *   mode 0 = IPM solve, mode 1 = unconstrained Riccati only
+ */
+
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+
+#include "aux_d.h"
+#include "blas_d.h"
+#include "lqcp_solvers.h"
+#include "mpc_solvers.h"
+#include "block_size.h"
+#include "../../tools/golden_gen/tools_decl.h"
+
+/* ---- mass-spring system (same math as the reference tests) ---- */
+static void mass_spring(double Ts, int nx, int nu, double *A, double *B)
+	{
+	int pp = nx/2;
+	int ii, info = 0;
+	double *Ac = calloc(nx*nx, sizeof(double));   /* column-major */
+	for(ii=0; ii<pp; ii++) Ac[pp+ii + ii*nx] = -2.0;      /* T diag    */
+	for(ii=0; ii<pp-1; ii++) Ac[pp+ii+1 + ii*nx] = 1.0;   /* T subdiag */
+	for(ii=1; ii<pp; ii++) Ac[pp+ii-1 + ii*nx] = 1.0;     /* T supdiag */
+	for(ii=0; ii<pp; ii++) Ac[ii + (pp+ii)*nx] = 1.0;     /* I block   */
+	double *Bc = calloc(nx*nu, sizeof(double));
+	for(ii=0; ii<nu; ii++) Bc[pp+ii + ii*nx] = 1.0;
+
+	/* A = expm(Ts*Ac) */
+	memcpy(A, Ac, nx*nx*sizeof(double));
+	for(ii=0; ii<nx*nx; ii++) A[ii] *= Ts;
+	expm(nx, A);
+
+	/* B = Ac \ (A - I) * Bc */
+	double *T = calloc(nx*nx, sizeof(double));
+	memcpy(T, A, nx*nx*sizeof(double));
+	for(ii=0; ii<nx; ii++) T[ii + ii*nx] -= 1.0;
+	dgemm_nn_3l(nx, nu, nx, T, nx, Bc, nx, B, nx);
+	int *ipiv = malloc(nx*sizeof(int));
+	dgesv_3l(nx, nu, Ac, nx, ipiv, B, nx, &info);
+	free(ipiv); free(T); free(Ac); free(Bc);
+	}
+
+static void print_vec(const char *name, double *v, int n, int comma)
+	{
+	printf("\"%s\": [", name);
+	for(int i=0; i<n; i++) printf("%.17e%s", v[i], i<n-1?",":"");
+	printf("]%s\n", comma?",":"");
+	}
+
+int main(int argc, char **argv)
+	{
+	if(argc<9) { fprintf(stderr, "usage: %s nx nu N ng_mid ngN k_max mu_tol mode\n", argv[0]); return 1; }
+	int nx = atoi(argv[1]);
+	int nu = atoi(argv[2]);
+	int N  = atoi(argv[3]);
+	int ng  = atoi(argv[4]);
+	int ngN = atoi(argv[5]);
+	int k_max = atoi(argv[6]);
+	double mu_tol = atof(argv[7]);
+	int mode = atoi(argv[8]);
+
+	int nb = nu + nx/2;
+	double alpha_min = 1e-8;
+	double mu0 = 2.0;
+	double Ts = 0.5;
+
+	const int bs = D_MR, ncl = D_NCL;
+	int ii, jj;
+
+	int nbu = nu<nb ? nu : nb;
+	int nbx = nb-nu>0 ? nb-nu : 0;
+
+	int nx_v[N+1], nu_v[N+1], nb_v[N+1], ng_v[N+1];
+	nx_v[0] = 0; for(ii=1; ii<=N; ii++) nx_v[ii] = nx;
+	for(ii=0; ii<N; ii++) nu_v[ii] = nu; nu_v[N] = 0;
+	nb_v[0] = nbu; for(ii=1; ii<N; ii++) nb_v[ii] = nb; nb_v[N] = nbx;
+	for(ii=0; ii<N; ii++) ng_v[ii] = ii==0 ? 0 : ng; ng_v[N] = ngN;
+	if(mode==1) { for(ii=0; ii<=N; ii++) { nb_v[ii]=0; ng_v[ii]=0; } }
+
+	int pnb_v[N+1], png_v[N+1], pnx_v[N+1], pnz_v[N+1], pnux_v[N+1], cnx_v[N+1], cnux_v[N+1], cng_v[N+1];
+	for(ii=0; ii<=N; ii++)
+		{
+		int nuii = ii<N ? nu_v[ii] : 0;
+		pnb_v[ii] = (nb_v[ii]+bs-1)/bs*bs;
+		png_v[ii] = (ng_v[ii]+bs-1)/bs*bs;
+		pnx_v[ii] = (nx_v[ii]+bs-1)/bs*bs;
+		pnz_v[ii] = (nuii+nx_v[ii]+1+bs-1)/bs*bs;
+		pnux_v[ii] = (nuii+nx_v[ii]+bs-1)/bs*bs;
+		cnx_v[ii] = (nx_v[ii]+ncl-1)/ncl*ncl;
+		cnux_v[ii] = (nuii+nx_v[ii]+ncl-1)/ncl*ncl;
+		cng_v[ii] = (ng_v[ii]+ncl-1)/ncl*ncl;
+		}
+
+	/* system */
+	double *A = calloc(nx*nx, sizeof(double));
+	double *B = calloc(nx*nu, sizeof(double));
+	double *b; d_zeros_align(&b, nx, 1);
+	double *x0; d_zeros_align(&x0, nx, 1);
+	mass_spring(Ts, nx, nu, A, B);
+	for(jj=0; jj<nx; jj++) b[jj] = 0.1;
+	x0[0] = 2.5; x0[1] = 2.5;
+
+	/* b0 = b + A*x0 (x0 elimination) */
+	double *pA; d_zeros_align(&pA, pnx_v[1], cnx_v[1]);
+	d_cvt_mat2pmat(nx, nx, A, nx, 0, pA, cnx_v[1]);
+	double *b0; d_zeros_align(&b0, pnx_v[1], 1);
+	for(ii=0; ii<nx; ii++) b0[ii] = b[ii];
+	dgemv_n_lib(nx, nx, pA, cnx_v[1], x0, 1, b0, b0);
+
+	/* pBAbt */
+	double *hpBAbt[N];
+	for(ii=0; ii<N; ii++)
+		{
+		d_zeros_align(&hpBAbt[ii], pnz_v[ii], cnx_v[ii+1]);
+		d_cvt_tran_mat2pmat(nx, nu_v[ii], B, nx, 0, hpBAbt[ii], cnx_v[ii+1]);
+		if(nx_v[ii]>0)
+			d_cvt_tran_mat2pmat(nx, nx_v[ii], A, nx, nu_v[ii], hpBAbt[ii]+nu_v[ii]/bs*bs*cnx_v[ii+1]+nu_v[ii]%bs, cnx_v[ii+1]);
+		double *bused = ii==0 ? b0 : b;
+		d_cvt_tran_mat2pmat(nx, 1, bused, nx, nu_v[ii]+nx_v[ii], hpBAbt[ii]+(nu_v[ii]+nx_v[ii])/bs*bs*cnx_v[ii+1]+(nu_v[ii]+nx_v[ii])%bs, cnx_v[ii+1]);
+		}
+
+	/* cost: Q=I, R=2I, S=0, q=0.1, r=0.2 */
+	double *Q = calloc(nx*nx, sizeof(double)); for(ii=0; ii<nx; ii++) Q[ii*(nx+1)] = 1.0;
+	double *R = calloc(nu*nu, sizeof(double)); for(ii=0; ii<nu; ii++) R[ii*(nu+1)] = 2.0;
+	double *S = calloc(nu*nx, sizeof(double));
+	double *q = calloc(nx, sizeof(double)); for(ii=0; ii<nx; ii++) q[ii] = 0.1;
+	double *r = calloc(nu, sizeof(double)); for(ii=0; ii<nu; ii++) r[ii] = 0.2;
+
+	double *hpQ[N+1];
+	for(ii=0; ii<=N; ii++)
+		{
+		int nu0 = nu_v[ii], nx0 = nx_v[ii];
+		d_zeros_align(&hpQ[ii], pnz_v[ii], cnux_v[ii]);
+		if(nu0>0)
+			{
+			d_cvt_mat2pmat(nu0, nu0, R, nu, 0, hpQ[ii], cnux_v[ii]);
+			d_cvt_tran_mat2pmat(nu0, 1, r, nu, nu0+nx0, hpQ[ii]+(nu0+nx0)/bs*bs*cnux_v[ii]+(nu0+nx0)%bs, cnux_v[ii]);
+			}
+		if(nx0>0)
+			{
+			d_cvt_tran_mat2pmat(nu0, nx0, S, nu, nu0, hpQ[ii]+nu0/bs*bs*cnux_v[ii]+nu0%bs, cnux_v[ii]);
+			d_cvt_mat2pmat(nx0, nx0, Q, nx, nu0, hpQ[ii]+nu0/bs*bs*cnux_v[ii]+nu0%bs+nu0*bs, cnux_v[ii]);
+			d_cvt_tran_mat2pmat(nx0, 1, q, nx, nu0+nx0, hpQ[ii]+(nu0+nx0)/bs*bs*cnux_v[ii]+(nu0+nx0)%bs+nu0*bs, cnux_v[ii]);
+			}
+		}
+
+	/* box + general constraints */
+	int *hidxb[N+1];
+	double *hd[N+1];
+	for(ii=0; ii<=N; ii++)
+		{
+		int_zeros(&hidxb[ii], nb_v[ii]>0?nb_v[ii]:1, 1);
+		d_zeros_align(&hd[ii], 2*pnb_v[ii]+2*png_v[ii]>0?2*pnb_v[ii]+2*png_v[ii]:1, 1);
+		if(ii<N)
+			{
+			for(jj=0; jj<nbu && jj<nb_v[ii]; jj++)
+				{ hd[ii][jj] = -0.5; hd[ii][pnb_v[ii]+jj] = 0.5; hidxb[ii][jj] = jj; }
+			for(; jj<nb_v[ii]; jj++)
+				{ hd[ii][jj] = -4.0; hd[ii][pnb_v[ii]+jj] = 4.0; hidxb[ii][jj] = jj; }
+			}
+		else
+			{
+			for(jj=0; jj<nb_v[N]; jj++)
+				{ hd[ii][jj] = -4.0; hd[ii][pnb_v[ii]+jj] = 4.0; hidxb[ii][jj] = jj; }
+			}
+		for(jj=0; jj<ng_v[ii]; jj++)
+			{
+			double lg = ii==N ? 0.0 : -100.0;
+			double ug = ii==N ? 0.0 :  100.0;
+			hd[ii][2*pnb_v[ii]+jj] = lg;
+			hd[ii][2*pnb_v[ii]+png_v[ii]+jj] = ug;
+			}
+		}
+
+	/* DCt: middle stages select states x[0..ng); last stage selects x[0..ngN) */
+	double *hpDCt[N+1];
+	for(ii=0; ii<=N; ii++)
+		{
+		d_zeros_align(&hpDCt[ii], pnux_v[ii], cng_v[ii]>0?cng_v[ii]:1);
+		if(ng_v[ii]>0)
+			{
+			int nu0 = nu_v[ii], nx0 = nx_v[ii];
+			double *DC = calloc(ng_v[ii]*(nu0+nx0), sizeof(double));
+			for(jj=0; jj<ng_v[ii]; jj++) DC[jj + (nu0+jj)*ng_v[ii]] = 1.0;
+			d_cvt_tran_mat2pmat(ng_v[ii], nu0+nx0, DC, ng_v[ii], 0, hpDCt[ii], cng_v[ii]);
+			free(DC);
+			}
+		}
+
+	/* solution memory */
+	double *hux[N+1], *hpi[N+1], *hlam[N+1], *ht[N+1];
+	for(ii=0; ii<=N; ii++)
+		{
+		d_zeros_align(&hux[ii], pnz_v[ii], 1);
+		d_zeros_align(&hpi[ii], pnx_v[ii<N?ii+1:N], 1);
+		d_zeros_align(&hlam[ii], 2*pnb_v[ii]+2*png_v[ii]>0?2*pnb_v[ii]+2*png_v[ii]:1, 1);
+		d_zeros_align(&ht[ii], 2*pnb_v[ii]+2*png_v[ii]>0?2*pnb_v[ii]+2*png_v[ii]:1, 1);
+		}
+
+	double *stat = calloc(5*k_max, sizeof(double));
+	int kk = 0;
+
+	int ws_size = d_ip2_res_mpc_hard_tv_work_space_size_bytes(N, nx_v, nu_v, nb_v, ng_v);
+	double *work; v_zeros_align((void**)&work, ws_size);
+
+	if(mode==1)
+		{
+		/* unconstrained Riccati: q/b as plain vectors */
+		double *hb[N], *hq[N+1], *hPb[N];
+		for(ii=0; ii<N; ii++)
+			{
+			d_zeros_align(&hb[ii], pnx_v[ii+1], 1);
+			for(jj=0; jj<nx; jj++) hb[ii][jj] = ii==0 ? b0[jj] : b[jj];
+			d_zeros_align(&hPb[ii], pnx_v[ii+1], 1);
+			}
+		for(ii=0; ii<=N; ii++)
+			{
+			d_zeros_align(&hq[ii], pnz_v[ii], 1);
+			for(jj=0; jj<nu_v[ii]; jj++) hq[ii][jj] = r[jj];
+			for(jj=0; jj<nx_v[ii]; jj++) hq[ii][nu_v[ii]+jj] = q[jj];
+			}
+		int rsize = d_back_ric_rec_sv_tv_work_space_size_bytes(N, nx_v, nu_v, nb_v, ng_v);
+		int msize = d_back_ric_rec_sv_tv_memory_space_size_bytes(N, nx_v, nu_v, nb_v, ng_v);
+		double *rwork; v_zeros_align((void**)&rwork, rsize);
+		double *rmem; v_zeros_align((void**)&rmem, msize);
+		double **dummy = NULL;
+		d_back_ric_rec_sv_tv_res(N, nx_v, nu_v, nb_v, hidxb, ng_v, 0, hpBAbt, hb, 0, hpQ, hq, dummy, dummy, dummy, dummy, hux, 1, hpi, 1, hPb, rmem, rwork);
+		}
+	else
+		{
+		d_ip2_res_mpc_hard_tv(&kk, k_max, mu0, mu_tol, alpha_min, 0, stat, N, nx_v, nu_v, nb_v, hidxb, ng_v, hpBAbt, hpQ, hpDCt, hd, hux, 1, hpi, hlam, ht, work);
+		}
+
+	/* ---- dump JSON ---- */
+	printf("{\n");
+	printf("\"config\": {\"nx\": %d, \"nu\": %d, \"N\": %d, \"nb\": %d, \"ng\": %d, \"ngN\": %d, \"k_max\": %d, \"mu_tol\": %.3e, \"mu0\": %.1f, \"Ts\": %.2f, \"alpha_min\": %.1e, \"mode\": %d},\n",
+		nx, nu, N, nb, ng, ngN, k_max, mu_tol, mu0, Ts, alpha_min, mode);
+	print_vec("A_colmajor", A, nx*nx, 1);
+	print_vec("B_colmajor", B, nx*nu, 1);
+	print_vec("b", b, nx, 1);
+	print_vec("b0", b0, nx, 1);
+	print_vec("x0", x0, nx, 1);
+	printf("\"kk\": %d,\n", kk);
+	print_vec("stat", stat, 5*k_max, 1);
+	printf("\"ux\": [\n");
+	for(ii=0; ii<=N; ii++)
+		{
+		printf("[");
+		int n = nu_v[ii]+nx_v[ii];
+		for(jj=0; jj<n; jj++) printf("%.17e%s", hux[ii][jj], jj<n-1?",":"");
+		printf("]%s\n", ii<N?",":"");
+		}
+	printf("],\n");
+	printf("\"pi\": [\n");
+	for(ii=0; ii<N; ii++)
+		{
+		printf("[");
+		for(jj=0; jj<nx_v[ii+1]; jj++) printf("%.17e%s", hpi[ii][jj], jj<nx_v[ii+1]-1?",":"");
+		printf("]%s\n", ii<N-1?",":"");
+		}
+	printf("],\n");
+	/* lam/t in logical order: lb(nb), ub(nb), lg(ng), ug(ng) */
+	double tmpv[4*(nb+ng+ngN)+4];
+	int ntmp;
+	printf("\"lam\": [\n");
+	for(ii=0; ii<=N; ii++)
+		{
+		ntmp = 0;
+		for(jj=0; jj<nb_v[ii]; jj++) tmpv[ntmp++] = hlam[ii][jj];
+		for(jj=0; jj<nb_v[ii]; jj++) tmpv[ntmp++] = hlam[ii][pnb_v[ii]+jj];
+		for(jj=0; jj<ng_v[ii]; jj++) tmpv[ntmp++] = hlam[ii][2*pnb_v[ii]+jj];
+		for(jj=0; jj<ng_v[ii]; jj++) tmpv[ntmp++] = hlam[ii][2*pnb_v[ii]+png_v[ii]+jj];
+		printf("[");
+		for(jj=0; jj<ntmp; jj++) printf("%.17e%s", tmpv[jj], jj<ntmp-1?",":"");
+		printf("]%s\n", ii<N?",":"");
+		}
+	printf("],\n");
+	printf("\"t\": [\n");
+	for(ii=0; ii<=N; ii++)
+		{
+		ntmp = 0;
+		for(jj=0; jj<nb_v[ii]; jj++) tmpv[ntmp++] = ht[ii][jj];
+		for(jj=0; jj<nb_v[ii]; jj++) tmpv[ntmp++] = ht[ii][pnb_v[ii]+jj];
+		for(jj=0; jj<ng_v[ii]; jj++) tmpv[ntmp++] = ht[ii][2*pnb_v[ii]+jj];
+		for(jj=0; jj<ng_v[ii]; jj++) tmpv[ntmp++] = ht[ii][2*pnb_v[ii]+png_v[ii]+jj];
+		printf("[");
+		for(jj=0; jj<ntmp; jj++) printf("%.17e%s", tmpv[jj], jj<ntmp-1?",":"");
+		printf("]%s\n", ii<N?",":"");
+		}
+	printf("]\n");
+	printf("}\n");
+
+	return 0;
+	}
