@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.tri import solve_tril, solve_triu
+from ..ops.tri import cholesky, solve_tril, solve_triu
 
 
 class RiccatiFactor(NamedTuple):
@@ -74,7 +74,7 @@ def factor_solve(H_eff, g_eff, F, b, NU, with_pi=True):
     NX = NZ - NU
 
     # final stage
-    L_N = jnp.linalg.cholesky(H_eff[N])
+    L_N = cholesky(H_eff[N])
     eu_N = solve_tril(L_N[:NU, :NU], g_eff[N][:NU])
     px_N = g_eff[N][NU:] - L_N[NU:, :NU] @ eu_N
 
@@ -85,7 +85,7 @@ def factor_solve(H_eff, g_eff, F, b, NU, with_pi=True):
         Pb_n = Lxx_next @ (Lxx_next.T @ b_n)
         m = g_n + F_n @ (Pb_n + px_next)
         M = H_n + W @ W.T  # fused syrk+potrf in the reference
-        L_n = jnp.linalg.cholesky(M)
+        L_n = cholesky(M)
         eu_n = solve_tril(L_n[:NU, :NU], m[:NU])
         px_n = m[NU:] - L_n[NU:, :NU] @ eu_n
         return (L_n[NU:, NU:], px_n), (L_n, eu_n, px_n, Pb_n)
@@ -107,12 +107,12 @@ def factor_solve(H_eff, g_eff, F, b, NU, with_pi=True):
 def factor(H_eff, F, NU):
     """Factorize only (reference trf, ``d_back_ric_rec.c:403``)."""
     N = F.shape[0]
-    L_N = jnp.linalg.cholesky(H_eff[N])
+    L_N = cholesky(H_eff[N])
 
     def bwd(Lxx_next, inp):
         H_n, F_n = inp
         W = F_n @ Lxx_next
-        L_n = jnp.linalg.cholesky(H_n + W @ W.T)
+        L_n = cholesky(H_n + W @ W.T)
         return L_n[NU:, NU:], L_n
 
     _, L_s = lax.scan(bwd, L_N[NU:, NU:], (H_eff[:N], F), reverse=True)

@@ -50,7 +50,8 @@ def tril_inverse(L):
     B = L[..., k:, k:]
     Ai = tril_inverse(A)
     Bi = tril_inverse(B)
-    Ci = -jnp.matmul(Bi, jnp.matmul(C, Ai))
+    hi = jax.lax.Precision.HIGHEST
+    Ci = -jnp.matmul(Bi, jnp.matmul(C, Ai, precision=hi), precision=hi)
     top = jnp.concatenate([Ai, jnp.zeros_like(L[..., :k, k:])], axis=-1)
     bot = jnp.concatenate([Ci, Bi], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
@@ -59,4 +60,58 @@ def tril_inverse(L):
 def chol_masked(M, pad_diag):
     """Cholesky of a padded stage tile: adds identity on padded coordinates
     (pad_diag = 1 there) so the factor exists and padding stays decoupled."""
-    return jnp.linalg.cholesky(M + jnp.diag(pad_diag))
+    return cholesky(M + jnp.diag(pad_diag))
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def cholesky(M):
+    """Blocked lower-Cholesky with full-precision matmuls.
+
+    XLA:TPU's ``jnp.linalg.cholesky`` lowering runs its internal dots in
+    default (bf16-multiply) precision and does not honor the
+    ``default_matmul_precision`` context — at f32 the factor carries ~5e-3
+    relative error, which destroys IPM convergence.  This recursion pins
+    every dot to ``Precision.HIGHEST`` so f32 stays f32 on the MXU.
+
+      M = [[A, B'], [B, C]]:  L11 = chol(A); L21 = B L11^-T;
+                              L22 = chol(C - L21 L21')
+
+    Supports leading batch dims; O(log n) recursion levels of batched
+    matmuls (MXU-friendly).  This is the XLA-path twin of the Pallas fused
+    syrk+potrf kernel (reference ``kernel/avx/kernel_dpotrf_avx_lib4.c:402``).
+    """
+    n = M.shape[-1]
+    # Clamp pivot arguments away from zero: in f32 a barrier-weighted stage
+    # Hessian can lose PD-ness to roundoff; a clamped (huge-but-finite)
+    # factor makes the IPM take a bad step and retreat via the alpha line
+    # search / alpha_min exit instead of poisoning everything with NaN.
+    tiny = jnp.asarray(1e-30 if M.dtype == jnp.float64 else 1e-20, M.dtype)
+    if n == 1:
+        return jnp.sqrt(jnp.maximum(M, tiny))
+    if n <= 2:
+        # direct 2x2: [[sqrt(a), 0], [b/sqrt(a), sqrt(c - b^2/a)]]
+        a = M[..., 0:1, 0:1]
+        b = M[..., 1:2, 0:1]
+        c = M[..., 1:2, 1:2]
+        la = jnp.sqrt(jnp.maximum(a, tiny))
+        lb = b / la
+        lc = jnp.sqrt(jnp.maximum(c - lb * lb, tiny))
+        z = jnp.zeros_like(lb)
+        top = jnp.concatenate([la, z], axis=-1)
+        bot = jnp.concatenate([lb, lc], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+    k = n // 2
+    A = M[..., :k, :k]
+    B = M[..., k:, :k]
+    C = M[..., k:, k:]
+    L11 = cholesky(A)
+    L11_inv = tril_inverse(L11)
+    L21 = jnp.matmul(B, jnp.swapaxes(L11_inv, -1, -2), precision=_HI)
+    S = C - jnp.matmul(L21, jnp.swapaxes(L21, -1, -2), precision=_HI)
+    L22 = cholesky(S)
+    z = jnp.zeros(M.shape[:-2] + (k, n - k), M.dtype)
+    top = jnp.concatenate([L11, z], axis=-1)
+    bot = jnp.concatenate([L21, L22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

@@ -1,0 +1,77 @@
+"""Batched and mesh-sharded QP solving.
+
+The reference solves one QP per call and callers batch externally
+(1000-rep loops, ``test_problems/test_d_ip_hard.c:845``).  Here the batch is a
+first-class axis: ``vmap`` over instances on one chip, ``jit`` +
+``NamedSharding`` over a device mesh across chips/hosts (SURVEY.md §2.10).
+
+Cross-device communication is nil by construction — each instance's IPM is
+independent; only benchmark metric reductions cross the mesh.  Convergence is
+per-instance (masked while-loop gating inside :mod:`..models.ipm`), so a batch
+retires together without wasted flops beyond the slowest instance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import ipm
+from ..ocp import OCPDims, OCPQP
+
+
+def broadcast_qp(qp: OCPQP, batch: int) -> OCPQP:
+    """Tile a single QP into a batch (leading axis) — cheap way to build
+    benchmark batches; real users vmap over per-instance data."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), qp
+    )
+
+
+def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
+    """vmap the full IPM over a leading instance axis of every QP leaf."""
+    return jax.vmap(lambda q: ipm.solve(dims, q, cfg))(qp)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_qp(qp: OCPQP, mesh: Mesh, axis: str = "batch") -> OCPQP:
+    """Place a batched QP with its leading axis sharded over the mesh."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), qp)
+
+
+def solve_sharded(
+    dims: OCPDims,
+    qp: OCPQP,
+    cfg: ipm.IPMConfig,
+    mesh: Mesh,
+    axis: str = "batch",
+):
+    """jit-compiled batch solve with the instance axis sharded over ``mesh``.
+
+    XLA partitions the whole two-phase IPM per-device; no collectives are
+    needed (embarrassingly parallel over instances), so scaling across
+    ICI/DCN is linear up to compilation constants.
+    """
+    sh = NamedSharding(mesh, P(axis))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(jax.tree_util.tree_map(lambda _: sh, qp),),
+        out_shardings=sh,
+    )
+    def _solve(q):
+        return solve_batched(dims, q, cfg)
+
+    return _solve(qp)

@@ -8,7 +8,13 @@ __graft_entry__.py on real hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the harness environment pins JAX_PLATFORMS=axon (the real TPU
+# tunnel) and its sitecustomize registers the axon PJRT plugin at interpreter
+# startup, so the env var alone is too late — the config update below is what
+# actually forces the platform.  Parity tests need f64 and the virtual
+# 8-device mesh, both CPU-only.  TPU execution is exercised by bench.py /
+# __graft_entry__.py on the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +23,7 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,208 @@
+"""Hard-constraint IPM tests: iteration-for-iteration golden parity against
+the reference C solver (d_ip2_res_mpc_hard_tv) on the mass-spring fixtures,
+including the per-iteration stat trace {sigma, alpha_aff, mu_aff, alpha, mu}."""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import golden_ab, load_golden
+from hpmpc_tpu.models import ipm
+from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _solve_jit(dims, qp, cfg):
+    return ipm.solve(dims, qp, cfg)
+
+
+def _run_golden(name):
+    g = load_golden(name)
+    cfg_g = g["config"]
+    A, B = golden_ab(g)
+    dims, qp = mass_spring_qp(
+        cfg_g["nx"], cfg_g["nu"], cfg_g["N"],
+        ng=cfg_g["ng"], ngN=cfg_g["ngN"], A=A, B=B,
+    )
+    cfg = ipm.IPMConfig(
+        k_max=cfg_g["k_max"], mu0=cfg_g["mu0"],
+        mu_tol=cfg_g["mu_tol"], alpha_min=cfg_g["alpha_min"],
+    )
+    sol = _solve_jit(dims, qp, cfg)
+    return g, dims, qp, sol
+
+
+FIXTURES = [
+    "ipm_ms_nx8_nu3_N10",
+    "ipm_ms_nx16_nu1_N30",
+    "ipm_ms_nx8_nu3_N30_ngN8",
+    "ipm_ms_nx8_nu3_N30_ng2_ngN8",
+]
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_ipm_iteration_count_and_stat_trace(name):
+    g, dims, qp, sol = _run_golden(name)
+    assert int(sol.kk) == g["kk"], f"iterations: got {int(sol.kk)} want {g['kk']}"
+    stat_ref = np.array(g["stat"]).reshape(-1, 5)[: g["kk"]]
+    stat_got = np.asarray(sol.stat)[: g["kk"]]
+    # sigma, alpha_aff, mu_aff, alpha, mu per iteration
+    np.testing.assert_allclose(stat_got, stat_ref, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_ipm_solution_parity(name):
+    g, dims, qp, sol = _run_golden(name)
+    NU = dims.NU
+    for n in range(dims.N + 1):
+        ref = np.array(g["ux"][n])
+        nun, nxn = dims.nu[n], dims.nx[n]
+        got = np.concatenate(
+            [np.asarray(sol.z[n])[:nun], np.asarray(sol.z[n])[NU : NU + nxn]]
+        )
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-8, err_msg=f"ux stage {n}")
+    for n in range(dims.N):
+        ref = np.array(g["pi"][n])
+        got = np.asarray(sol.pi[n])[: dims.nx[n + 1]]
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-7, err_msg=f"pi {n}")
+    # lam/t in golden logical order: lb(nb), ub(nb), lg(ng), ug(ng)
+    for n in range(dims.N + 1):
+        nbn, ngn = dims.nb[n], dims.ng[n]
+        lam_ref = np.array(g["lam"][n]) if (nbn + ngn) else np.zeros(0)
+        t_ref = np.array(g["t"][n]) if (nbn + ngn) else np.zeros(0)
+        lam_got = np.concatenate(
+            [
+                np.asarray(sol.lam_b[n, 0, :nbn]),
+                np.asarray(sol.lam_b[n, 1, :nbn]),
+                np.asarray(sol.lam_g[n, 0, :ngn]),
+                np.asarray(sol.lam_g[n, 1, :ngn]),
+            ]
+        )
+        t_got = np.concatenate(
+            [
+                np.asarray(sol.t_b[n, 0, :nbn]),
+                np.asarray(sol.t_b[n, 1, :nbn]),
+                np.asarray(sol.t_g[n, 0, :ngn]),
+                np.asarray(sol.t_g[n, 1, :ngn]),
+            ]
+        )
+        np.testing.assert_allclose(lam_got, lam_ref, rtol=1e-6, atol=1e-8, err_msg=f"lam {n}")
+        np.testing.assert_allclose(t_got, t_ref, rtol=1e-6, atol=1e-8, err_msg=f"t {n}")
+
+
+def test_ipm_converged_status_and_residuals():
+    g, dims, qp, sol = _run_golden("ipm_ms_nx8_nu3_N30_ngN8")
+    assert int(sol.status) == 0
+    r = np.asarray(sol.inf_norm_res)
+    assert r[3] <= g["config"]["mu_tol"]
+    assert r[0] < 1e-5 and r[1] < 1e-8 and r[2] < 1e-8
+
+
+def test_ipm_vmap_batch_matches_single():
+    """Batched solve (vmap over instances with different b) freezes converged
+    instances and matches per-instance solves bitwise-ish."""
+    import jax.numpy as jnp
+
+    g = load_golden("ipm_ms_nx8_nu3_N10")
+    A, B = golden_ab(g)
+    dims, qp = mass_spring_qp(8, 3, 10, A=A, B=B)
+    cfg = ipm.IPMConfig(k_max=30, mu_tol=1e-8)
+
+    # batch of 4 instances with scaled b (different convergence speeds)
+    scales = jnp.array([1.0, 0.5, 0.25, 1.2], dtype=qp.b.dtype)
+    qps = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (4,) + x.shape), qp
+    )
+    import dataclasses as dc
+    qps = dc.replace(qps, b=qp.b[None] * scales[:, None, None])
+
+    batched = jax.jit(
+        jax.vmap(lambda q: ipm.solve(dims, q, cfg)), static_argnums=()
+    )(qps)
+
+    for i, s in enumerate(np.asarray(scales)):
+        qp_i = dc.replace(qp, b=qp.b * float(s))
+        sol_i = _solve_jit(dims, qp_i, cfg)
+        # batched vs single execution differ only by FP reduction order,
+        # which may flip a near-tolerance convergence check by one iteration
+        assert abs(int(batched.kk[i]) - int(sol_i.kk)) <= 1
+        assert int(batched.status[i]) == int(sol_i.status) == 0
+        np.testing.assert_allclose(
+            np.asarray(batched.z[i]), np.asarray(sol_i.z), atol=1e-7
+        )
+
+
+@pytest.mark.parametrize(
+    "name", ["ipm_newrhs_ms_nx8_nu3_N30_ngN8", "ipm_newrhs_ms_nx16_nu1_N30"]
+)
+def test_kkt_solve_new_rhs_matches_reference(name):
+    """RTI-style warm re-solve with retained factorization: golden parity vs
+    d_kkt_solve_new_rhs_res_mpc_hard_tv (mode-2 fixture: full IPM solve on
+    the original b0, then one new-rhs resolve with b0 from x0*1.1)."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    g = load_golden(name)
+    cfg_g = g["config"]
+    A, B = golden_ab(g)
+    dims, qp = mass_spring_qp(
+        cfg_g["nx"], cfg_g["nu"], cfg_g["N"],
+        ng=cfg_g["ng"], ngN=cfg_g["ngN"], A=A, B=B,
+    )
+    cfg = ipm.IPMConfig(
+        k_max=cfg_g["k_max"], mu0=cfg_g["mu0"],
+        mu_tol=cfg_g["mu_tol"], alpha_min=cfg_g["alpha_min"],
+    )
+
+    solve_c = jax.jit(
+        lambda q: ipm.solve(dims, q, cfg, return_carry=True),
+    )
+    sol0, carry = solve_c(qp)
+    assert int(sol0.kk) == g["kk"]
+
+    b_new = qp.b.at[0, : cfg_g["nx"]].set(jnp.asarray(g["b0_new"], qp.b.dtype))
+    qp_new = dc.replace(qp, b=b_new)
+    sol = jax.jit(lambda q, c: ipm.kkt_solve_new_rhs(dims, q, c))(qp_new, carry)
+
+    # tolerance note: the resolve backsolves with the final IPM iteration's
+    # barrier-weighted factor (condition ~ 1/mu ~ 1e9), which amplifies
+    # f64 factorization-ordering noise to ~1e-6 in single solution entries
+    NU = dims.NU
+    for n in range(dims.N + 1):
+        ref = np.array(g["ux"][n])
+        nun, nxn = dims.nu[n], dims.nx[n]
+        got = np.concatenate(
+            [np.asarray(sol.z[n])[:nun], np.asarray(sol.z[n])[NU : NU + nxn]]
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5, err_msg=f"ux {n}")
+    for n in range(dims.N):
+        got = np.asarray(sol.pi[n])[: dims.nx[n + 1]]
+        np.testing.assert_allclose(got, np.array(g["pi"][n]), rtol=1e-5, atol=1e-5)
+    for n in range(dims.N + 1):
+        nbn, ngn = dims.nb[n], dims.ng[n]
+        if nbn + ngn == 0:
+            continue
+        lam_got = np.concatenate(
+            [
+                np.asarray(sol.lam_b[n, 0, :nbn]),
+                np.asarray(sol.lam_b[n, 1, :nbn]),
+                np.asarray(sol.lam_g[n, 0, :ngn]),
+                np.asarray(sol.lam_g[n, 1, :ngn]),
+            ]
+        )
+        t_got = np.concatenate(
+            [
+                np.asarray(sol.t_b[n, 0, :nbn]),
+                np.asarray(sol.t_b[n, 1, :nbn]),
+                np.asarray(sol.t_g[n, 0, :ngn]),
+                np.asarray(sol.t_g[n, 1, :ngn]),
+            ]
+        )
+        np.testing.assert_allclose(
+            lam_got, np.array(g["lam"][n]), rtol=1e-5, atol=1e-7, err_msg=f"lam {n}"
+        )
+        np.testing.assert_allclose(
+            t_got, np.array(g["t"][n]), rtol=1e-5, atol=1e-7, err_msg=f"t {n}"
+        )

@@ -246,6 +246,33 @@ int main(int argc, char **argv)
 		d_ip2_res_mpc_hard_tv(&kk, k_max, mu0, mu_tol, alpha_min, 0, stat, N, nx_v, nu_v, nb_v, hidxb, ng_v, hpBAbt, hpQ, hpDCt, hd, hux, 1, hpi, hlam, ht, work);
 		}
 
+	/* mode 2: after the full IPM solve, change b0 (new initial state) and
+	   re-solve with the retained factorization via
+	   d_kkt_solve_new_rhs_res_mpc_hard_tv (RTI-style warm re-solve).
+	   The standard dump below then holds the POST-resolve solution. */
+	double *x0_new = calloc(nx, sizeof(double));
+	double *b0_new; d_zeros_align(&b0_new, pnx_v[1], 1);
+	if(mode==2)
+		{
+		double *hb_vec[N]; double *hq_vec[N+1];
+		for(ii=0; ii<N; ii++)
+			{
+			d_zeros_align(&hb_vec[ii], pnx_v[ii+1], 1);
+			for(jj=0; jj<nx; jj++) hb_vec[ii][jj] = ii==0 ? b0[jj] : b[jj];
+			}
+		for(ii=0; ii<=N; ii++)
+			{
+			d_zeros_align(&hq_vec[ii], pnz_v[ii], 1);
+			for(jj=0; jj<nu_v[ii]; jj++) hq_vec[ii][jj] = r[jj];
+			for(jj=0; jj<nx_v[ii]; jj++) hq_vec[ii][nu_v[ii]+jj] = q[jj];
+			}
+		for(jj=0; jj<nx; jj++) x0_new[jj] = 1.1*x0[jj];
+		for(jj=0; jj<nx; jj++) b0_new[jj] = b[jj];
+		dgemv_n_lib(nx, nx, pA, cnx_v[1], x0_new, 1, b0_new, b0_new);
+		for(jj=0; jj<nx; jj++) hb_vec[0][jj] = b0_new[jj];
+		d_kkt_solve_new_rhs_res_mpc_hard_tv(N, nx_v, nu_v, nb_v, hidxb, ng_v, hpBAbt, hb_vec, hpQ, hq_vec, hpDCt, hd, hux, 1, hpi, hlam, ht, work);
+		}
+
 	/* ---- dump JSON ---- */
 	printf("{\n");
 	printf("\"config\": {\"nx\": %d, \"nu\": %d, \"N\": %d, \"nb\": %d, \"ng\": %d, \"ngN\": %d, \"k_max\": %d, \"mu_tol\": %.3e, \"mu0\": %.1f, \"Ts\": %.2f, \"alpha_min\": %.1e, \"mode\": %d},\n",
@@ -255,6 +282,8 @@ int main(int argc, char **argv)
 	print_vec("b", b, nx, 1);
 	print_vec("b0", b0, nx, 1);
 	print_vec("x0", x0, nx, 1);
+	print_vec("x0_new", x0_new, nx, 1);
+	print_vec("b0_new", b0_new, nx, 1);
 	printf("\"kk\": %d,\n", kk);
 	print_vec("stat", stat, 5*k_max, 1);
 	printf("\"ux\": [\n");
