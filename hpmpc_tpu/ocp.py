@@ -57,15 +57,23 @@ class OCPDims:
     nu: tuple  # length N+1, nu[N] == 0
     nb: tuple  # length N+1
     ng: tuple  # length N+1
+    # static copy of the box-constraint index lists (logical [u;x] indices,
+    # like the reference's idxb).  Needed by transforms whose *structure*
+    # depends on which coordinates are bounded (partial condensing splits
+    # input-boxes from state-boxes, d_part_cond.c:599-606).  None if unknown.
+    idxb: tuple | None = None
 
     @staticmethod
-    def create(N, nx, nu, nb=0, ng=0) -> "OCPDims":
+    def create(N, nx, nu, nb=0, ng=0, idxb=None) -> "OCPDims":
+        if idxb is not None:
+            idxb = tuple(tuple(int(i) for i in row) for row in idxb)
         return OCPDims(
             N=int(N),
             nx=_round_tuple(nx, N + 1),
             nu=_round_tuple(nu, N + 1),
             nb=_round_tuple(nb, N + 1),
             ng=_round_tuple(ng, N + 1),
+            idxb=idxb,
         )
 
     # padded maxima -------------------------------------------------------

@@ -72,7 +72,6 @@ def mass_spring_qp(
     nu_v = (nu,) * N + (0,)
     nb_v = (nbu,) + (nb,) * (N - 1) + (nbx,)
     ng_v = (0,) + (ng,) * (N - 1) + (ngN,)
-    dims = OCPDims(N=N, nx=nx_v, nu=nu_v, nb=nb_v, ng=ng_v)
 
     A_l = [np.zeros((nx, 0))] + [A] * (N - 1)
     B_l = [B] * N
@@ -96,6 +95,8 @@ def mass_spring_qp(
         idxb.append(np.array(idx, dtype=np.int32))
         lb.append(np.array(lo))
         ub.append(np.array(hi))
+
+    dims = OCPDims.create(N, nx_v, nu_v, nb_v, ng_v, idxb=idxb)
 
     C_l, D_l, lg_l, ug_l = [], [], [], []
     for n in range(N + 1):

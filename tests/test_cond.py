@@ -1,0 +1,91 @@
+"""Partial-condensing tests: condensed-then-expanded solutions must match the
+direct full-horizon IPM (the reference's own cross-check strategy,
+test_problems/test_d_part_cond.c), for several N2 including full condensing
+(N2=1 -> dense QP) and N2=N (identity transform)."""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from hpmpc_tpu.models import cond, ipm
+from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _solve_direct(dims, qp, cfg):
+    return ipm.solve(dims, qp, cfg)
+
+
+def _check(nx, nu, N, N2, ng=0, ngN=0, atol=1e-6, mu_tol=1e-10):
+    dims, qp = mass_spring_qp(nx, nu, N, ng=ng, ngN=ngN)
+    cfg = ipm.IPMConfig(k_max=30, mu_tol=mu_tol)
+
+    sol_d = _solve_direct(dims, qp, cfg)
+    assert int(sol_d.status) == 0
+
+    pl = cond.plan(dims, N2)
+    run = jax.jit(
+        lambda q: cond.solve_partial_cond(dims, q, cfg, N2),
+        static_argnums=(),
+    )
+    sol_e, sol2 = run(qp)
+    assert int(sol2.status) == 0, f"condensed IPM failed, N2={N2}"
+
+    np.testing.assert_allclose(
+        np.asarray(sol_e.z), np.asarray(sol_d.z), atol=atol,
+        err_msg=f"z mismatch N2={N2}",
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_e.pi), np.asarray(sol_d.pi), atol=10 * atol,
+        err_msg=f"pi mismatch N2={N2}",
+    )
+    # multipliers can split non-uniquely across degenerate constraint sets;
+    # the principled check is KKT residuals of the expanded solution on the
+    # ORIGINAL problem (this also validates the lam/t/pi expansion)
+    import jax.numpy as jnp
+
+    oh = ipm._box_onehot(qp)
+    mu_scal = jnp.asarray(1.0 / dims.n_constr, qp.dtype)
+    res = ipm.compute_residuals(
+        qp, oh, mu_scal, sol_e.z, sol_e.pi,
+        sol_e.lam_b, sol_e.t_b, sol_e.lam_g, sol_e.t_g,
+    )
+    assert float(jnp.max(jnp.abs(res.rq))) < 100 * atol
+    assert float(jnp.max(jnp.abs(res.rb))) < 10 * atol
+    assert float(jnp.max(jnp.abs(res.rd_b))) < 10 * atol
+    assert float(jnp.max(jnp.abs(res.rd_g))) < 10 * atol
+
+
+@pytest.mark.parametrize("N2", [1, 2, 3, 5, 10])
+def test_part_cond_matches_direct_box(N2):
+    _check(8, 3, 10, N2)
+
+
+@pytest.mark.parametrize("N2", [2, 5])
+def test_part_cond_matches_direct_general(N2):
+    # Golden IPM config (known feasible/convergent).  Active state bounds
+    # condense into DENSE general rows whose barrier weights (lam/t ~ 1/mu)
+    # make the condensed KKT condition ~1e10 near convergence: past
+    # mu ~ 1e-7 the f64 Newton directions lose stationarity accuracy (the
+    # reference's ITER_REF refinement hook exists for exactly this,
+    # d_ip2_res_hard.c:48).  Compare at the tolerance both paths solve
+    # cleanly.
+    _check(8, 3, 30, N2, ng=2, ngN=8, mu_tol=1e-7, atol=2e-5)
+
+
+def test_cond_plan_sizes():
+    """Group partitioning matches d_part_cond_compute_problem_size semantics."""
+    dims, qp = mass_spring_qp(8, 3, 10)
+    pl = cond.plan(dims, 3)
+    assert pl.group_T == (4, 3, 3)
+    assert pl.group_start == (0, 4, 7)
+    d2 = pl.dims2
+    # group 0: stages 0..3, nu = 4*3 = 12; nb: stage0 3 input boxes +
+    # stages 1..3 each 3 input boxes = 12 box; states 4 per interior stage -> 12 gen
+    assert d2.nu[0] == 12
+    assert d2.nx[0] == 0
+    assert d2.nb[0] == 12
+    assert d2.ng[0] == 12
+    assert d2.nx[1] == 8
