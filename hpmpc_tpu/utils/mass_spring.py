@@ -122,3 +122,82 @@ def mass_spring_qp(
         dtype=dtype,
     )
     return dims, qp
+
+
+def mass_spring_soft_qp(
+    nx: int,
+    nu: int,
+    N: int,
+    Z: float = 0.0,
+    z_lin: float = 100.0,
+    Ts: float = 0.5,
+    dtype=np.float64,
+    A: np.ndarray | None = None,
+    B: np.ndarray | None = None,
+):
+    """Soft-constrained mass-spring fixture (reference
+    ``test_problems/test_d_ip_soft.c:165-258``): hard input boxes u in
+    [-0.5, 0.5], soft state constraints x in [-1, 1] with slack penalties
+    (quadratic ``Z``, linear ``z_lin``); Q=0, q=0.1, R=2I, r=0.2, b=0,
+    x0=(3.5, 3.5, 0, ...).  Returns (dims, qp, SoftSpec).
+    """
+    import jax.numpy as jnp
+
+    from ..models.ipm_soft import SoftSpec
+
+    if A is None or B is None:
+        A, B = mass_spring_ab(nx, nu, Ts)
+    b = np.zeros(nx)
+    x0 = np.zeros(nx)
+    x0[0] = 3.5
+    x0[1] = 3.5
+    b0 = A @ x0
+
+    nx_v = (0,) + (nx,) * N
+    nu_v = (nu,) * N + (0,)
+    nb_v = (nu,) * N + (0,)
+    ng_v = (0,) * (N + 1)
+    ns_v = (0,) + (nx,) * N
+
+    idxb = [np.arange(nb_v[n], dtype=np.int32) for n in range(N + 1)]
+    dims = OCPDims.create(N, nx_v, nu_v, nb_v, ng_v, idxb=idxb)
+
+    A_l = [np.zeros((nx, 0))] + [A] * (N - 1)
+    B_l = [B] * N
+    b_l = [b0] + [b] * (N - 1)
+    Q_l = [np.zeros((0, 0))] + [np.zeros((nx, nx))] * N
+    R_l = [2.0 * np.eye(nu)] * N + [np.zeros((0, 0))]
+    S_l = [np.zeros((nu, 0))] + [np.zeros((nu, nx))] * (N - 1) + [np.zeros((0, nx))]
+    q_l = [np.zeros(0)] + [0.1 * np.ones(nx)] * N
+    r_l = [0.2 * np.ones(nu)] * N + [np.zeros(0)]
+    lb = [-0.5 * np.ones(nb_v[n]) for n in range(N + 1)]
+    ub = [0.5 * np.ones(nb_v[n]) for n in range(N + 1)]
+
+    qp = pack_ocp(
+        dims, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, dtype=dtype,
+    )
+
+    # soft spec: states of stages 1..N, padded coords NU + j
+    NS = nx
+    NU = dims.NU
+    idxbs = np.zeros((N + 1, NS), dtype=np.int32)
+    ns_mask = np.zeros((N + 1, NS))
+    for n in range(1, N + 1):
+        idxbs[n] = NU + np.arange(NS)
+        ns_mask[n] = 1.0
+    d_lbs = -1.0 * np.ones((N + 1, NS))
+    d_ubs = 1.0 * np.ones((N + 1, NS))
+    Zp = Z * np.ones((N + 1, 2, NS))
+    zp = z_lin * np.ones((N + 1, 2, NS))
+
+    as_j = lambda x: jnp.asarray(x, dtype=dtype)
+    soft = SoftSpec(
+        idxbs=jnp.asarray(idxbs),
+        d_lbs=as_j(d_lbs),
+        d_ubs=as_j(d_ubs),
+        Z=as_j(Zp),
+        z_lin=as_j(zp),
+        ns_mask=as_j(ns_mask),
+    )
+    return dims, qp, soft

@@ -24,6 +24,9 @@
 #include "blas_d.h"
 #include "lqcp_solvers.h"
 #include "mpc_solvers.h"
+
+int d_ip2_mpc_soft_tv(int *kk, int k_max, double mu0, double mu_tol, double alpha_min, int warm_start, double *stat, int N, int *nx, int *nu, int *nb, int **idxb, int *ng, int *ns, double **pBAbt, double **pQ, double **Z, double **z, double **pDCt, double **d, double **ux, int compute_mult, double **pi, double **lam, double **t, double *double_work_memory);
+int d_ip2_mpc_soft_tv_work_space_size_bytes(int N, int *nx, int *nu, int *nb, int *ng, int *ns);
 #include "block_size.h"
 #include "../../tools/golden_gen/tools_decl.h"
 
@@ -244,6 +247,143 @@ int main(int argc, char **argv)
 	else
 		{
 		d_ip2_res_mpc_hard_tv(&kk, k_max, mu0, mu_tol, alpha_min, 0, stat, N, nx_v, nu_v, nb_v, hidxb, ng_v, hpBAbt, hpQ, hpDCt, hd, hux, 1, hpi, hlam, ht, work);
+		}
+
+	/* mode 4/5: soft-constraint IPM (d_ip2_mpc_soft_tv) on the reference
+	   test_d_ip_soft.c configuration: hard input boxes +-0.5, soft state
+	   constraints +-1.0 with linear penalty z=100 (mode 4) or additionally
+	   quadratic penalty Z=10 (mode 5); Q=0, q=0.1, R=2I, r=0.2, b=0,
+	   x0=(3.5,3.5,0,...), mu0=100.  Dumps lam/t in logical order
+	   lb,ub(hard) then the 4 soft groups. */
+	if(mode==4 || mode==5)
+		{
+		double Zval = mode==5 ? 10.0 : 0.0;
+		double zval = 100.0;
+		int ns_v[N+1];
+		ns_v[0] = 0; for(ii=1; ii<=N; ii++) ns_v[ii] = nx;
+		int nbs_v[N+1];
+		/* redefine constraint setup: hard boxes on inputs only */
+		for(ii=0; ii<N; ii++) nb_v[ii] = ii==0 ? nbu : nu;
+		nb_v[N] = 0;
+		for(ii=0; ii<=N; ii++) { ng_v[ii] = 0; nbs_v[ii] = nb_v[ii] + ns_v[ii]; }
+		int pns_v[N+1];
+		for(ii=0; ii<=N; ii++)
+			{
+			pnb_v[ii] = (nb_v[ii]+bs-1)/bs*bs;
+			png_v[ii] = (ng_v[ii]+bs-1)/bs*bs;
+			pns_v[ii] = (ns_v[ii]+bs-1)/bs*bs;
+			}
+		/* rebuild b=0, x0=(3.5,3.5,...), b0 = A x0 */
+		for(ii=0; ii<nx; ii++) { b[ii] = 0.0; x0[ii] = 0.0; }
+		x0[0] = 3.5; x0[1] = 3.5;
+		for(ii=0; ii<nx; ii++) b0[ii] = 0.0;
+		dgemv_n_lib(nx, nx, pA, cnx_v[1], x0, 1, b0, b0);
+		for(ii=0; ii<N; ii++)
+			{
+			double *bused = ii==0 ? b0 : b;
+			d_cvt_tran_mat2pmat(nx, 1, bused, nx, nu_v[ii]+nx_v[ii], hpBAbt[ii]+(nu_v[ii]+nx_v[ii])/bs*bs*cnx_v[ii+1]+(nu_v[ii]+nx_v[ii])%bs, cnx_v[ii+1]);
+			}
+		/* cost: Q=0 diag (keep q=0.1, R=2I, r=0.2 already packed) -> rebuild pQ with Q=0 */
+		for(ii=0; ii<nx*nx; ii++) Q[ii] = 0.0;
+		for(ii=0; ii<=N; ii++)
+			{
+			int nu0 = nu_v[ii], nx0 = nx_v[ii];
+			for(jj=0; jj<pnz_v[ii]*cnux_v[ii]; jj++) hpQ[ii][jj] = 0.0;
+			if(nu0>0)
+				{
+				d_cvt_mat2pmat(nu0, nu0, R, nu, 0, hpQ[ii], cnux_v[ii]);
+				d_cvt_tran_mat2pmat(nu0, 1, r, nu, nu0+nx0, hpQ[ii]+(nu0+nx0)/bs*bs*cnux_v[ii]+(nu0+nx0)%bs, cnux_v[ii]);
+				}
+			if(nx0>0)
+				{
+				d_cvt_mat2pmat(nx0, nx0, Q, nx, nu0, hpQ[ii]+nu0/bs*bs*cnux_v[ii]+nu0%bs+nu0*bs, cnux_v[ii]);
+				d_cvt_tran_mat2pmat(nx0, 1, q, nx, nu0+nx0, hpQ[ii]+(nu0+nx0)/bs*bs*cnux_v[ii]+(nu0+nx0)%bs+nu0*bs, cnux_v[ii]);
+				}
+			}
+		/* constraints: idxb covers hard inputs then soft states */
+		int *hidxbs[N+1]; double *hds[N+1]; double *hZ[N+1]; double *hz[N+1];
+		double *hlams[N+1]; double *hts[N+1];
+		for(ii=0; ii<=N; ii++)
+			{
+			int_zeros(&hidxbs[ii], nbs_v[ii]>0?nbs_v[ii]:1, 1);
+			d_zeros_align(&hds[ii], 2*pnb_v[ii]+2*png_v[ii]+2*pns_v[ii]>0?2*pnb_v[ii]+2*png_v[ii]+2*pns_v[ii]:1, 1);
+			d_zeros_align(&hZ[ii], 2*pns_v[ii]>0?2*pns_v[ii]:1, 1);
+			d_zeros_align(&hz[ii], 2*pns_v[ii]>0?2*pns_v[ii]:1, 1);
+			d_zeros_align(&hlams[ii], 2*pnb_v[ii]+2*png_v[ii]+4*pns_v[ii]>0?2*pnb_v[ii]+2*png_v[ii]+4*pns_v[ii]:1, 1);
+			d_zeros_align(&hts[ii], 2*pnb_v[ii]+2*png_v[ii]+4*pns_v[ii]>0?2*pnb_v[ii]+2*png_v[ii]+4*pns_v[ii]:1, 1);
+			for(jj=0; jj<nb_v[ii]; jj++)
+				{ hds[ii][jj] = -0.5; hds[ii][pnb_v[ii]+jj] = 0.5; hidxbs[ii][jj] = jj; }
+			for(jj=0; jj<ns_v[ii]; jj++)
+				{
+				hds[ii][2*pnb_v[ii]+2*png_v[ii]+jj] = -1.0;
+				hds[ii][2*pnb_v[ii]+2*png_v[ii]+pns_v[ii]+jj] = 1.0;
+				hidxbs[ii][nb_v[ii]+jj] = nu_v[ii] + jj;
+				hZ[ii][jj] = Zval; hZ[ii][pns_v[ii]+jj] = Zval;
+				hz[ii][jj] = zval; hz[ii][pns_v[ii]+jj] = zval;
+				}
+			}
+		double mu0s = 100.0;
+		int wss = d_ip2_mpc_soft_tv_work_space_size_bytes(N, nx_v, nu_v, nbs_v, ng_v, ns_v);
+		double *works; v_zeros_align((void**)&works, wss);
+		d_ip2_mpc_soft_tv(&kk, k_max, mu0s, mu_tol, alpha_min, 0, stat, N, nx_v, nu_v, nb_v, hidxbs, ng_v, ns_v, hpBAbt, hpQ, hZ, hz, NULL, hds, hux, 1, hpi, hlams, hts, works);
+		/* dump with soft layout */
+		printf("{\n");
+		printf("\"config\": {\"nx\": %d, \"nu\": %d, \"N\": %d, \"nb\": %d, \"ns\": %d, \"Z\": %.1f, \"zlin\": %.1f, \"k_max\": %d, \"mu_tol\": %.3e, \"mu0\": %.1f, \"alpha_min\": %.1e, \"mode\": %d},\n",
+			nx, nu, N, nu, nx, Zval, zval, k_max, mu_tol, mu0s, alpha_min, mode);
+		print_vec("A_colmajor", A, nx*nx, 1);
+		print_vec("B_colmajor", B, nx*nu, 1);
+		print_vec("b0", b0, nx, 1);
+		print_vec("x0", x0, nx, 1);
+		printf("\"kk\": %d,\n", kk);
+		print_vec("stat", stat, 5*k_max, 1);
+		printf("\"ux\": [\n");
+		for(ii=0; ii<=N; ii++)
+			{
+			printf("[");
+			int n = nu_v[ii]+nx_v[ii];
+			for(jj=0; jj<n; jj++) printf("%.17e%s", hux[ii][jj], jj<n-1?",":"");
+			printf("]%s\n", ii<N?",":"");
+			}
+		printf("],\n");
+		printf("\"pi\": [\n");
+		for(ii=0; ii<N; ii++)
+			{
+			printf("[");
+			for(jj=0; jj<nx_v[ii+1]; jj++) printf("%.17e%s", hpi[ii][jj], jj<nx_v[ii+1]-1?",":"");
+			printf("]%s\n", ii<N-1?",":"");
+			}
+		printf("],\n");
+		/* lam/t logical order: lb_h, ub_h, then soft slots 0..3 */
+		double tmpvs[2*nu+4*nx+8];
+		int nts;
+		printf("\"lam\": [\n");
+		for(ii=0; ii<=N; ii++)
+			{
+			nts = 0;
+			for(jj=0; jj<nb_v[ii]; jj++) tmpvs[nts++] = hlams[ii][jj];
+			for(jj=0; jj<nb_v[ii]; jj++) tmpvs[nts++] = hlams[ii][pnb_v[ii]+jj];
+			for(int ss=0; ss<4; ss++)
+				for(jj=0; jj<ns_v[ii]; jj++) tmpvs[nts++] = hlams[ii][2*pnb_v[ii]+2*png_v[ii]+ss*pns_v[ii]+jj];
+			printf("[");
+			for(jj=0; jj<nts; jj++) printf("%.17e%s", tmpvs[jj], jj<nts-1?",":"");
+			printf("]%s\n", ii<N?",":"");
+			}
+		printf("],\n");
+		printf("\"t\": [\n");
+		for(ii=0; ii<=N; ii++)
+			{
+			nts = 0;
+			for(jj=0; jj<nb_v[ii]; jj++) tmpvs[nts++] = hts[ii][jj];
+			for(jj=0; jj<nb_v[ii]; jj++) tmpvs[nts++] = hts[ii][pnb_v[ii]+jj];
+			for(int ss=0; ss<4; ss++)
+				for(jj=0; jj<ns_v[ii]; jj++) tmpvs[nts++] = hts[ii][2*pnb_v[ii]+2*png_v[ii]+ss*pns_v[ii]+jj];
+			printf("[");
+			for(jj=0; jj<nts; jj++) printf("%.17e%s", tmpvs[jj], jj<nts-1?",":"");
+			printf("]%s\n", ii<N?",":"");
+			}
+		printf("]\n");
+		printf("}\n");
+		return 0;
 		}
 
 	/* mode 2: after the full IPM solve, change b0 (new initial state) and
