@@ -120,6 +120,21 @@ class Residuals(NamedTuple):
     mu: jax.Array  # scalar
 
 
+class KKTBackend(NamedTuple):
+    """Equality-structure backend for the IPM: the chain default uses the
+    stage Riccati recursion; the scenario-tree solver injects a tree
+    Riccati and tree-topology residuals (models/tree.py).
+
+    factor_solve(H_eff, g_eff, rhs_b) -> (dz, dpi, factor_state)
+    resolve(factor_state, g_eff, rhs_b) -> (dz, dpi)
+    residuals(z, pi, lam_b, t_b, lam_g, t_g, b) -> Residuals
+    """
+
+    factor_solve: object
+    resolve: object
+    residuals: object
+
+
 class IPMSolution(NamedTuple):
     z: jax.Array
     pi: jax.Array
@@ -316,6 +331,33 @@ def compute_residuals(qp: OCPQP, oh, mu_scal, z, pi, lam_b, t_b, lam_g, t_g):
 
 
 # --------------------------------------------------------------------------
+# chain (stage-recursion) backend
+# --------------------------------------------------------------------------
+
+
+def chain_backend(dims: OCPDims, qp: OCPQP, oh, mu_scal) -> KKTBackend:
+    """Default backend: stage-chain Riccati + chain residual topology."""
+    NU = dims.NU
+
+    def factor_solve(H_eff, g_eff, rhs_b):
+        sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, qp.F, rhs_b, NU)
+        return sol.z, sol.pi, (L, Pb)
+
+    def resolve(fstate, g_eff, rhs_b):
+        L, Pb = fstate
+        sol, _ = riccati.solve(L, g_eff, qp.F, rhs_b, NU, Pb=Pb)
+        return sol.z, sol.pi
+
+    def residuals(z, pi, lam_b, t_b, lam_g, t_g, rhs_b):
+        import dataclasses as _dc
+
+        qp_b = _dc.replace(qp, b=rhs_b)
+        return compute_residuals(qp_b, oh, mu_scal, z, pi, lam_b, t_b, lam_g, t_g)
+
+    return KKTBackend(factor_solve=factor_solve, resolve=resolve, residuals=residuals)
+
+
+# --------------------------------------------------------------------------
 # the solver
 # --------------------------------------------------------------------------
 
@@ -327,6 +369,7 @@ def solve(
     z0=None,
     pi0=None,
     return_carry: bool = False,
+    backend: "KKTBackend | None" = None,
 ) -> IPMSolution:
     """Solve the hard-constrained OCP QP.  Jit/vmap/pjit-safe.
 
@@ -342,7 +385,7 @@ def solve(
     iterates stall around mu~1e-1 and the Cholesky eventually NaNs).
     """
     with jax.default_matmul_precision("float32"):
-        return _solve_impl(dims, qp, cfg, z0, pi0, return_carry)
+        return _solve_impl(dims, qp, cfg, z0, pi0, return_carry, backend)
 
 
 def _solve_impl(
@@ -352,6 +395,7 @@ def _solve_impl(
     z0=None,
     pi0=None,
     return_carry: bool = False,
+    backend: "KKTBackend | None" = None,
 ) -> IPMSolution:
     dt = qp.dtype
     N, NU = dims.N, dims.NU
@@ -396,6 +440,9 @@ def _solve_impl(
     oh = _box_onehot(qp)
     mb, mg = qp.nb_mask, qp.ng_mask
     mb2, mg2 = mb[:, None, :], mg[:, None, :]
+
+    if backend is None:
+        backend = chain_backend(dims, qp, oh, mu_scal)
 
     if return_carry:
         NZ = dims.NZ
@@ -474,8 +521,7 @@ def _solve_impl(
         g_eff = _build_geff(qp, oh, qp.g * qp.z_mask, qx_b, qx_g)
 
         # affine (predictor) solve: full new iterate
-        sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, qp.F, qp.b, NU)
-        dz, dpi = sol.z, sol.pi
+        dz, dpi, fstate = backend.factor_solve(H_eff, g_eff, qp.b)
 
         dtb, dtg, dlam_b, dlam_g = dt_dlam_phase1(
             dz, s.t_b, s.t_g, s.lam_b, t_inv_b, t_inv_g,
@@ -494,8 +540,7 @@ def _solve_impl(
         qx_g2 = qx_g + (dlam2_g[:, 1] - dlam2_g[:, 0]) * mg
         g_eff2 = _build_geff(qp, oh, qp.g * qp.z_mask, qx_b2, qx_g2)
 
-        sol2, _ = riccati.solve(L, g_eff2, qp.F, qp.b, NU, Pb=Pb)
-        dz2, dpi2 = sol2.z, sol2.pi
+        dz2, dpi2 = backend.resolve(fstate, g_eff2, qp.b)
 
         dtb, dtg, dlam_b, dlam_g = dt_dlam_phase1(
             dz2, s.t_b, s.t_g, s.lam_b, t_inv_b, t_inv_g, dlam2_b, dlam2_g, s.lam_g
@@ -515,7 +560,7 @@ def _solve_impl(
         stat = lax.dynamic_update_slice(s.stat, row[None].astype(dt), (s.kk, jnp.asarray(0, s.kk.dtype)))
 
         carry = (
-            KKTCarry(L, s.z, s.pi, s.lam_b, s.t_b, s.lam_g, s.t_g)
+            KKTCarry(fstate[0], s.z, s.pi, s.lam_b, s.t_b, s.lam_g, s.t_g)
             if return_carry
             else s.carry
         )
@@ -552,9 +597,9 @@ def _solve_impl(
 
     # -------------------- phase 2: with residuals --------------------
 
-    res1 = compute_residuals(
-        qp, oh, mu_scal, state1.z, state1.pi,
-        state1.lam_b, state1.t_b, state1.lam_g, state1.t_g,
+    res1 = backend.residuals(
+        state1.z, state1.pi,
+        state1.lam_b, state1.t_b, state1.lam_g, state1.t_g, qp.b,
     )
     state1 = state1._replace(mu=res1.mu)
 
@@ -593,8 +638,7 @@ def _solve_impl(
         H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=cfg.reg_eps)
         g_eff = _build_geff(qp, oh, res.rq, qx_b, qx_g)
 
-        sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, qp.F, res.rb, NU)
-        dz, dpi = sol.z, sol.pi
+        dz, dpi, fstate = backend.factor_solve(H_eff, g_eff, res.rb)
 
         dtb, dtg, dlam_b, dlam_g = dt_dlam_res(dz, res, t_inv_b, t_inv_g, s.lam_b, s.lam_g)
         alpha_aff = alpha_all(dtb, dtg, dlam_b, dlam_g, s.t_b, s.t_g, s.lam_b, s.lam_g)
@@ -610,8 +654,7 @@ def _solve_impl(
         g_eff2 = _build_geff(qp, oh, res.rq, qx_b2, qx_g2)
         res2 = res._replace(rm_b=rm_b2, rm_g=rm_g2)
 
-        sol2, _ = riccati.solve(L, g_eff2, qp.F, res.rb, NU, Pb=Pb)
-        dz2, dpi2 = sol2.z, sol2.pi
+        dz2, dpi2 = backend.resolve(fstate, g_eff2, res.rb)
 
         dtb, dtg, dlam_b, dlam_g = dt_dlam_res(dz2, res2, t_inv_b, t_inv_g, s.lam_b, s.lam_g)
         alpha2 = alpha_all(dtb, dtg, dlam_b, dlam_g, s.t_b, s.t_g, s.lam_b, s.lam_g)
@@ -624,8 +667,8 @@ def _solve_impl(
         lam_g_new = s.lam_g + a2 * dlam_g
         t_g_new = s.t_g + a2 * dtg
 
-        res_new = compute_residuals(
-            qp, oh, mu_scal, z_new, pi_new, lam_b_new, t_b_new, lam_g_new, t_g_new
+        res_new = backend.residuals(
+            z_new, pi_new, lam_b_new, t_b_new, lam_g_new, t_g_new, qp.b
         )
         mu_new = res_new.mu
 
@@ -633,7 +676,7 @@ def _solve_impl(
         stat = lax.dynamic_update_slice(s.stat, row[None].astype(dt), (s.kk, jnp.asarray(0, s.kk.dtype)))
 
         carry = (
-            KKTCarry(L, s.z, s.pi, s.lam_b, s.t_b, s.lam_g, s.t_g)
+            KKTCarry(fstate[0], s.z, s.pi, s.lam_b, s.t_b, s.lam_g, s.t_g)
             if return_carry
             else s.carry
         )
