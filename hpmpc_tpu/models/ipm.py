@@ -217,7 +217,22 @@ def _sum_lt(lam_b, t_b, lam_g, t_g, nb_mask, ng_mask):
 
 
 def init_vars(dims: OCPDims, qp: OCPQP, cfg: IPMConfig, z0=None, pi0=None,
-              carry0: KKTCarry | None = None):
+              carry0: KKTCarry | None = None, iterate0=None):
+    if iterate0 is not None:
+        # full warm start from a provided iterate (the reference's
+        # d_init_var_mpc_hard_tv_single_newton, d_aux_ip_hard_lib4.c:154)
+        z0_, pi0_, lam_b0, t_b0, lam_g0, t_g0 = iterate0
+        dt = qp.dtype
+        return IPMState(
+            z=z0_, pi=pi0_,
+            lam_b=lam_b0, t_b=t_b0, lam_g=lam_g0, t_g=t_g0,
+            mu=jnp.asarray(cfg.mu0, dt),
+            alpha=jnp.asarray(1.0, dt),
+            kk=jnp.asarray(0, jnp.int32),
+            sigma=jnp.asarray(0.0, dt),
+            stat=jnp.zeros((cfg.k_max, 5), dt),
+            carry=carry0 if carry0 is not None else _empty_carry(dt),
+        )
     dt = qp.dtype
     N = dims.N
     NZ, NX, NB, NG = dims.NZ, dims.NX, dims.NB, dims.NG
@@ -370,6 +385,8 @@ def solve(
     pi0=None,
     return_carry: bool = False,
     backend: "KKTBackend | None" = None,
+    iterate0=None,
+    rti_mode: bool = False,
 ) -> IPMSolution:
     """Solve the hard-constrained OCP QP.  Jit/vmap/pjit-safe.
 
@@ -385,7 +402,9 @@ def solve(
     iterates stall around mu~1e-1 and the Cholesky eventually NaNs).
     """
     with jax.default_matmul_precision("float32"):
-        return _solve_impl(dims, qp, cfg, z0, pi0, return_carry, backend)
+        return _solve_impl(
+            dims, qp, cfg, z0, pi0, return_carry, backend, iterate0, rti_mode
+        )
 
 
 def _solve_impl(
@@ -396,6 +415,8 @@ def _solve_impl(
     pi0=None,
     return_carry: bool = False,
     backend: "KKTBackend | None" = None,
+    iterate0=None,
+    rti_mode: bool = False,
 ) -> IPMSolution:
     dt = qp.dtype
     N, NU = dims.N, dims.NU
@@ -457,7 +478,9 @@ def _solve_impl(
         )
     else:
         carry0 = None
-    state0 = init_vars(dims, qp, cfg, z0=z0, pi0=pi0, carry0=carry0)
+    state0 = init_vars(
+        dims, qp, cfg, z0=z0, pi0=pi0, carry0=carry0, iterate0=iterate0
+    )
 
     # -------------------- phase 1: no residuals --------------------
 
@@ -593,7 +616,12 @@ def _solve_impl(
             )
         return f
 
-    state1 = lax.while_loop(phase1_pred, gated(phase1_body, phase1_pred), state0)
+    if rti_mode:
+        state1 = state0  # no phase-1 loop (d_ip2_..._single_newton_step:1686)
+    else:
+        state1 = lax.while_loop(
+            phase1_pred, gated(phase1_body, phase1_pred), state0
+        )
 
     # -------------------- phase 2: with residuals --------------------
 
@@ -700,6 +728,9 @@ def _solve_impl(
 
     def phase2_pred(carry):
         s, _ = carry
+        if rti_mode:
+            # fixed iteration count, no tolerance exits (reference :1686)
+            return s.kk < k_max
         return (s.kk < k_max) & (s.mu > mu_tol) & (s.alpha >= alpha_min)
 
     def gated2(body, pred):
@@ -847,4 +878,27 @@ def _kkt_solve_new_rhs_impl(dims, qp_new, carry):
         status=jnp.asarray(0, jnp.int32),
         stat=jnp.zeros((1, 5), dt),
         inf_norm_res=inf_norm_res,
+    )
+
+
+def solve_single_newton(
+    dims: OCPDims,
+    qp: OCPQP,
+    cfg: IPMConfig,
+    z0,
+    pi0,
+    lam_b0,
+    t_b0,
+    lam_g0,
+    t_g0,
+) -> IPMSolution:
+    """RTI-style fixed-count warm Newton iterations
+    (``d_ip2_res_mpc_hard_tv_single_newton_step``, ``d_ip2_res_hard.c:1348``):
+    start from the provided full iterate (typically the previous MPC
+    solution), run exactly ``cfg.k_max`` residual-phase iterations with no
+    tolerance exits (set ``k_max=1`` for classic RTI)."""
+    return solve(
+        dims, qp, cfg,
+        iterate0=(z0, pi0, lam_b0, t_b0, lam_g0, t_g0),
+        rti_mode=True,
     )

@@ -190,3 +190,145 @@ def factor_solve(data: MHEData):
         fac = factor(data)
         sol = solve(data, fac)
     return sol, fac
+
+
+# --------------------------------------------------------------------------
+# covariance-filter form (d_ric_trf_mhe :2357 / d_ric_trs_mhe :2004, with
+# the `smooth` flag; the `_end` variants :2597 are the smooth=False path)
+# --------------------------------------------------------------------------
+
+
+class MHECovData(NamedTuple):
+    """Covariance-form MHE data: explicit measurements y = C x + v,
+    v ~ N(0, W^{-1}); process noise cost 1/2 w'Rw + r'w; prior covariance
+    factor Lp0 (P0 = Lp0 Lp0')."""
+
+    A: jax.Array  # (N, nx, nx)
+    G: jax.Array  # (N, nx, nw)
+    f: jax.Array  # (N, nx)
+    C: jax.Array  # (N+1, ny, nx)
+    y: jax.Array  # (N+1, ny)
+    W: jax.Array  # (N+1, ny, ny) measurement information (inverse covariance)
+    R: jax.Array  # (N, nw, nw)
+    r: jax.Array  # (N, nw)
+    Lp0: jax.Array  # (nx, nx) lower chol of the prior covariance P0
+    xp0: jax.Array  # (nx,)
+
+    def as_information(self) -> MHEData:
+        """The equivalent information-form problem (Q = C'WC, q = -C'Wy),
+        for cross-validation against :func:`factor_solve`."""
+        Q = jnp.einsum("nyx,nyz,nzw->nxw", self.C, self.W, self.C)
+        q = -jnp.einsum("nyx,nyz,nz->nx", self.C, self.W, self.y)
+        nx = self.A.shape[-1]
+        Up0 = jnp.swapaxes(tril_inverse(self.Lp0), -1, -2)
+        return MHEData(
+            A=self.A, G=self.G, f=self.f, Q=Q, q=q, R=self.R, r=self.r,
+            Up0=Up0, xp0=self.xp0,
+            D=jnp.zeros((0, nx), self.A.dtype),
+            dN=jnp.zeros((0,), self.A.dtype),
+        )
+
+
+class MHECovSolution(NamedTuple):
+    x: jax.Array  # (N+1, nx) smoothed (smooth=True) or filtered states
+    w: jax.Array  # (N, nw) noise estimates (zeros when smooth=False)
+    lam: jax.Array  # (N, nx) costates (zeros when smooth=False)
+    xe: jax.Array  # (N+1, nx) filtered estimates
+    xp: jax.Array  # (N+1, nx) one-step predictions
+
+
+def solve_cov(data: MHECovData, smooth: bool = True) -> MHECovSolution:
+    """Square-root covariance Kalman filter + (optionally) RTS smoother.
+
+    Solves the SAME MHE QP as the information form but propagating
+    covariance factors — the better-conditioned choice when measurement
+    information is low-rank (ny < nx), which is exactly the reference's
+    test configuration (``test_d_ric_mhe.c:438-445``: ny=nx/2).
+    ``smooth=False`` is the reference's filtered-only path (its ``_end``
+    variants return just the terminal estimate).
+    """
+    with jax.default_matmul_precision("float32"):
+        return _solve_cov_impl(data, smooth)
+
+
+def _solve_cov_impl(data: MHECovData, smooth: bool) -> MHECovSolution:
+    N, nx, nw = data.A.shape[0], data.A.shape[-1], data.G.shape[-1]
+    ny = data.C.shape[-2]
+    dt = data.A.dtype
+
+    P0 = jnp.matmul(data.Lp0, data.Lp0.T, precision=_HI)
+    wt = -jnp.linalg.solve(data.R, data.r[..., None])[..., 0]  # -R^{-1} r
+
+    # Joseph-form measurement update with Cholesky solves (no explicit inv)
+    def step(carry, inp):
+        P, xp = carry
+        A_n, G_n, f_n, C_n, W_n, y_n, R_n, wt_n = inp
+        # innovation covariance S = W^{-1} + C P C'  (W information -> V=W^{-1})
+        V = jnp.linalg.solve(W_n, jnp.eye(ny, dtype=dt))
+        S = V + jnp.matmul(C_n, jnp.matmul(P, C_n.T, precision=_HI), precision=_HI)
+        Ls = cholesky(S)
+        PCt = jnp.matmul(P, C_n.T, precision=_HI)
+        K = solve_triu(Ls.T, solve_tril(Ls, PCt.T)).T  # P C' S^{-1}
+        innov = y_n - C_n @ xp
+        xe = xp + K @ innov
+        IKC = jnp.eye(nx, dtype=dt) - jnp.matmul(K, C_n, precision=_HI)
+        Pe = (
+            jnp.matmul(IKC, jnp.matmul(P, IKC.T, precision=_HI), precision=_HI)
+            + jnp.matmul(K, jnp.matmul(V, K.T, precision=_HI), precision=_HI)
+        )
+        # prediction
+        xp_next = A_n @ xe + G_n @ wt_n + f_n
+        P_next = (
+            jnp.matmul(A_n, jnp.matmul(Pe, A_n.T, precision=_HI), precision=_HI)
+            + jnp.matmul(
+                G_n,
+                jnp.linalg.solve(R_n, G_n.T),
+                precision=_HI,
+            )
+        )
+        return (P_next, xp_next), (xe, Pe, xp, P)
+
+    (P_N, xp_N), (xe_s, Pe_s, xp_s, Pp_s) = lax.scan(
+        step,
+        (P0, data.xp0),
+        (data.A, data.G, data.f, data.C[:N], data.W[:N], data.y[:N], data.R, wt),
+    )
+    # terminal measurement update
+    V_N = jnp.linalg.solve(data.W[N], jnp.eye(ny, dtype=dt))
+    S_N = V_N + data.C[N] @ P_N @ data.C[N].T
+    Ls_N = cholesky(S_N)
+    K_N = solve_triu(Ls_N.T, solve_tril(Ls_N, (P_N @ data.C[N].T).T)).T
+    xe_N = xp_N + K_N @ (data.y[N] - data.C[N] @ xp_N)
+
+    xe = jnp.concatenate([xe_s, xe_N[None]], axis=0)
+    xp = jnp.concatenate([xp_s, xp_N[None]], axis=0)
+
+    if not smooth:
+        return MHECovSolution(
+            x=xe,
+            w=jnp.zeros((N, nw), dt),
+            lam=jnp.zeros((N, nx), dt),
+            xe=xe,
+            xp=xp,
+        )
+
+    # RTS smoother: J_n = Pe_n A_n' P_pred,n+1^{-1}
+    Pp_next = jnp.concatenate([Pp_s[1:], P_N[None]], axis=0)  # P_pred at n+1
+
+    def bwd(x_next, inp):
+        A_n, G_n, R_n, r_n, Pe_n, Pp1, xp1, xe_n = inp
+        Lp1 = cholesky(Pp1)
+        lam_n = solve_triu(Lp1.T, solve_tril(Lp1, xp1 - x_next))  # P^{-1}(xp - xs)
+        x_n = xe_n - Pe_n @ (A_n.T @ lam_n)
+        w_n = -jnp.linalg.solve(R_n, G_n.T @ lam_n + r_n)
+        return x_n, (x_n, lam_n, w_n)
+
+    x_N = xe_N
+    _, (x_s, lam, w) = lax.scan(
+        bwd,
+        x_N,
+        (data.A, data.G, data.R, data.r, Pe_s, Pp_next, xp[1:], xe_s),
+        reverse=True,
+    )
+    x = jnp.concatenate([x_s, x_N[None]], axis=0)
+    return MHECovSolution(x=x, w=w, lam=lam, xe=xe, xp=xp)

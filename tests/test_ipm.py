@@ -206,3 +206,44 @@ def test_kkt_solve_new_rhs_matches_reference(name):
         np.testing.assert_allclose(
             t_got, np.array(g["t"][n]), rtol=1e-5, atol=1e-7, err_msg=f"t {n}"
         )
+
+
+def test_single_newton_step_rti():
+    """RTI mode (d_ip2_res_mpc_hard_tv_single_newton_step): from the
+    previous solution, ONE warm Newton iteration tracks a shifted problem."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    dims, qp = mass_spring_qp(8, 3, 10)
+    # warm point with some centrality (mu ~ 1e-4): an exactly-converged
+    # iterate has boundary slacks and the fraction-to-boundary blocks any
+    # warm step (true of the reference too)
+    cfg = ipm.IPMConfig(k_max=30, mu_tol=1e-4)
+    sol0 = _solve_jit(dims, qp, cfg)
+    assert int(sol0.status) == 0
+
+    # shift the initial state slightly (new b0) and take one warm step
+    b_new = qp.b.at[0].mul(1.02)
+    qp_new = dc.replace(qp, b=b_new)
+    cfg1 = ipm.IPMConfig(k_max=1, mu_tol=1e-10)
+    sol1 = jax.jit(
+        lambda q, z, p, lb, tb, lg, tg: ipm.solve_single_newton(
+            dims, q, cfg1, z, p, lb, tb, lg, tg
+        )
+    )(qp_new, sol0.z, sol0.pi, sol0.lam_b, sol0.t_b, sol0.lam_g, sol0.t_g)
+    assert int(sol1.kk) == 1
+
+    # the warm step must reduce the KKT error on the new problem vs the
+    # stale iterate (classic RTI contract); note a converged warm point has
+    # boundary slacks, so one damped step contracts but cannot fully re-solve
+    oh = ipm._box_onehot(qp_new)
+    mu_scal = jnp.asarray(1.0 / dims.n_constr, qp.dtype)
+
+    def kkt_err(s):
+        r = ipm.compute_residuals(
+            qp_new, oh, mu_scal, s.z, s.pi, s.lam_b, s.t_b, s.lam_g, s.t_g
+        )
+        return float(jnp.max(jnp.abs(r.rb)))
+
+    assert kkt_err(sol1) < 0.05 * kkt_err(sol0)
+

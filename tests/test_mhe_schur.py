@@ -214,3 +214,50 @@ def test_forward_schur_matches_dense_kkt(ragged):
     rv, re = schur.residuals(chain, jnp.asarray(v), jnp.asarray(pi))
     assert float(jnp.max(jnp.abs(rv))) < 1e-9
     assert float(jnp.max(jnp.abs(re))) < 1e-9
+
+
+def _mhe_cov_data(nx=8, nw=3, ny=4, N=12, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    A, G = mass_spring_ab(nx, nw)
+    C = np.zeros((ny, nx))
+    C[:, :ny] = np.eye(ny)
+    return mhe.MHECovData(
+        A=jnp.asarray(np.broadcast_to(A, (N, nx, nx)), dtype),
+        G=jnp.asarray(np.broadcast_to(G, (N, nx, nw)), dtype),
+        f=jnp.asarray(0.1 * rng.standard_normal((N, nx)), dtype),
+        C=jnp.asarray(np.broadcast_to(C, (N + 1, ny, nx)), dtype),
+        y=jnp.asarray(rng.standard_normal((N + 1, ny)), dtype),
+        W=jnp.asarray(np.broadcast_to(2.0 * np.eye(ny), (N + 1, ny, ny)), dtype),
+        R=jnp.asarray(np.broadcast_to(np.eye(nw), (N, nw, nw)), dtype),
+        r=jnp.asarray(0.3 * rng.standard_normal((N, nw)), dtype),
+        Lp0=jnp.asarray(np.eye(nx), dtype),
+        xp0=jnp.asarray(rng.standard_normal(nx), dtype),
+    )
+
+
+def test_mhe_covariance_form_matches_information_form():
+    """The square-root covariance smoother solves the same QP as the
+    information filter (the reference's trf/trs_mhe vs trf/trs_mhe_if
+    cross-check, test_d_ric_mhe.c:990-1002)."""
+    data_c = _mhe_cov_data()
+    sol_c = jax.jit(lambda d: mhe.solve_cov(d, smooth=True))(data_c)
+    data_i = data_c.as_information()
+    sol_i, _ = jax.jit(mhe.factor_solve)(data_i)
+    np.testing.assert_allclose(np.asarray(sol_c.x), np.asarray(sol_i.x), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sol_c.w), np.asarray(sol_i.w), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sol_c.xp), np.asarray(sol_i.xp), atol=1e-9)
+
+
+def test_mhe_covariance_filtered_only():
+    """smooth=False (the reference's _end path): returns the filtered
+    trajectory; the terminal filtered estimate equals the smoothed one."""
+    data_c = _mhe_cov_data()
+    sol_f = jax.jit(lambda d: mhe.solve_cov(d, smooth=False), static_argnums=())(data_c)
+    sol_s = jax.jit(lambda d: mhe.solve_cov(d, smooth=True), static_argnums=())(data_c)
+    np.testing.assert_allclose(
+        np.asarray(sol_f.x[-1]), np.asarray(sol_s.x[-1]), atol=1e-10
+    )
+    # filtered estimates match the smoother's xe
+    np.testing.assert_allclose(
+        np.asarray(sol_f.xe), np.asarray(sol_s.xe), atol=1e-12
+    )
