@@ -1,0 +1,263 @@
+"""High-level NumPy front door — the reference's fortran-order interface.
+
+Mirrors ``fortran_order_d_ip_ocp_hard_tv`` semantics
+(``interfaces/c/fortran_order_interface.c``; header
+``include/c_interface.h:62-76``): the user supplies per-stage column-major
+NumPy arrays ``A, B, b, Q, S, R, q, r`` (+ box bounds with logical ``[u;x]``
+indices, general constraint rows ``C/D`` with two-sided bounds), picks an
+optional partial-condensing horizon ``N2 < N``, and gets back
+``x, u, pi, lam, t``, the per-iteration ``stat`` trace and
+``inf_norm_res = {|rq|inf, |rb|inf, |rd|inf, mu}`` (``doc/guide.tex:313-315``).
+
+Packing runs through the native C++ layer (``native/src/packing.cpp``,
+loaded via ctypes) when the shared library is built, with a pure-numpy
+fallback — the reference's L6 interface layer is native C, and so is ours.
+
+Workspace planning: :func:`work_space_size_bytes` is the analogue of
+``hpmpc_d_ip_ocp_hard_tv_work_space_size_bytes`` (``c_interface.h:40``) —
+JAX manages memory, so the number is a planning figure (device bytes per
+solve) rather than a buffer the caller must allocate.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import os
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+from .models import cond as _cond
+from .models import ipm as _ipm
+from .ocp import OCPDims, OCPQP, pack_ocp
+
+_NATIVE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "native",
+    "lib",
+    "libhpmpc_tpu_native.so",
+)
+
+
+def _load_native():
+    try:
+        lib = ctypes.CDLL(_NATIVE_PATH)
+        lib.hpmpc_tpu_ip_ocp_hard_tv_work_space_size_bytes.restype = ctypes.c_int64
+        return lib
+    except OSError:
+        return None
+
+
+_native = _load_native()
+
+
+def native_available() -> bool:
+    return _native is not None
+
+
+def _ptr_array(mats: Sequence[np.ndarray]):
+    """Array of double* pointers to Fortran-contiguous copies."""
+    fortran = [np.asfortranarray(np.asarray(m, dtype=np.float64)) for m in mats]
+    arr = (ctypes.POINTER(ctypes.c_double) * len(fortran))()
+    for i, m in enumerate(fortran):
+        arr[i] = m.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    return arr, fortran  # keep refs alive
+
+
+def _int_ptr_array(vecs: Sequence[np.ndarray]):
+    ints = [np.ascontiguousarray(np.asarray(v, dtype=np.int32)) for v in vecs]
+    arr = (ctypes.POINTER(ctypes.c_int) * len(ints))()
+    for i, v in enumerate(ints):
+        arr[i] = v.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    return arr, ints
+
+
+def _c_ints(v):
+    return (ctypes.c_int * len(v))(*v)
+
+
+class OCPResult(NamedTuple):
+    x: list  # per-stage state estimates (length N+1, each (nx[n],))
+    u: list  # per-stage inputs (length N+1, each (nu[n],))
+    pi: list  # equality multipliers (length N, each (nx[n+1],))
+    lam: list  # per-stage multipliers [lb, ub, lg, ug] concatenated
+    t: list  # per-stage slacks, same layout
+    kk: int
+    status: int
+    stat: np.ndarray  # (kk, 5) {sigma, alpha_aff, mu_aff, alpha, mu}
+    inf_norm_res: np.ndarray  # (4,)
+
+
+def pack_problem(
+    N,
+    A, B, b,
+    Q, S, R, q, r,
+    idxb=None, lb=None, ub=None,
+    C=None, D=None, lg=None, ug=None,
+    x0=None,
+    dtype=np.float64,
+):
+    """Build (dims, qp) from fortran-order per-stage data.
+
+    ``x0`` given: the fixed initial state is eliminated like the reference
+    tests do (``test_d_ip_hard.c:199-204``): nx[0]=0, b_0 <- b_0 + A_0 x0,
+    r_0 <- r_0 + S_0 x0, stage-0 state bounds dropped.
+    """
+    import jax.numpy as jnp
+
+    A = list(A); B = list(B); b = list(b)
+    Q = list(Q); S = list(S); R = list(R); q = list(q); r = list(r)
+    nx_full = [np.asarray(Bn).shape[0] for Bn in B] + [np.asarray(Q[-1]).shape[0]]
+    nu_v = [np.asarray(Bn).shape[1] for Bn in B] + [0]
+    nx_v = list(nx_full)
+
+    if x0 is not None:
+        x0 = np.asarray(x0, dtype=np.float64).reshape(-1)
+        b = [np.asarray(b[0]).reshape(-1) + np.asarray(A[0]) @ x0] + [
+            np.asarray(bb) for bb in b[1:]
+        ]
+        r = [np.asarray(r[0]).reshape(-1) + np.asarray(S[0]).reshape(nu_v[0], -1) @ x0] + [
+            np.asarray(rr) for rr in r[1:]
+        ]
+        A = [np.zeros((nx_v[1], 0))] + [np.asarray(a) for a in A[1:]]
+        S = [np.zeros((nu_v[0], 0))] + [np.asarray(s) for s in S[1:]]
+        Q = [np.zeros((0, 0))] + [np.asarray(qq) for qq in Q[1:]]
+        q = [np.zeros(0)] + [np.asarray(qq) for qq in q[1:]]
+        nx_v[0] = 0
+        if idxb is not None:
+            # drop stage-0 state bounds (those coordinates are eliminated)
+            keep = [j for j, v in enumerate(np.asarray(idxb[0])) if v < nu_v[0]]
+            idxb = [np.asarray(idxb[0])[keep]] + [np.asarray(i) for i in idxb[1:]]
+            lb = [np.asarray(lb[0])[keep]] + [np.asarray(l) for l in lb[1:]]
+            ub = [np.asarray(ub[0])[keep]] + [np.asarray(u_) for u_ in ub[1:]]
+
+    nb_v = [len(np.asarray(i)) for i in idxb] if idxb is not None else [0] * (N + 1)
+    ng_v = (
+        [np.asarray(c).shape[0] if c is not None else 0 for c in C]
+        if C is not None
+        else [0] * (N + 1)
+    )
+    dims = OCPDims.create(N, nx_v, nu_v, nb_v, ng_v, idxb=idxb)
+    qp = pack_ocp(
+        dims, A, B, b, Q, S, R, q, r,
+        idxb=idxb, lb=lb, ub=ub, C=C, D=D, lg=lg, ug=ug,
+        dtype=jnp.float64 if dtype == np.float64 else jnp.float32,
+    )
+    return dims, qp
+
+
+def solve_ocp(
+    N,
+    A, B, b,
+    Q, S, R, q, r,
+    idxb=None, lb=None, ub=None,
+    C=None, D=None, lg=None, ug=None,
+    x0=None,
+    N2=None,
+    k_max=30,
+    mu0=2.0,
+    mu_tol=1e-8,
+    alpha_min=1e-8,
+) -> OCPResult:
+    """One-call hard-constrained OCP solve (the reference's
+    ``fortran_order_d_ip_ocp_hard_tv``; the ``N2 < N`` path runs partial
+    condensing -> IPM -> expand like ``fortran_order_interface.c:434-528``)."""
+    import jax
+
+    dims, qp = pack_problem(
+        N, A, B, b, Q, S, R, q, r,
+        idxb=idxb, lb=lb, ub=ub, C=C, D=D, lg=lg, ug=ug, x0=x0,
+    )
+    cfg = _ipm.IPMConfig(k_max=k_max, mu0=mu0, mu_tol=mu_tol, alpha_min=alpha_min)
+
+    if N2 is not None and N2 < N:
+        sol, _ = jax.jit(
+            lambda qq: _cond.solve_partial_cond(dims, qq, cfg, N2)
+        )(qp)
+    else:
+        sol = jax.jit(lambda qq: _ipm.solve(dims, qq, cfg))(qp)
+
+    NU = dims.NU
+    z = np.asarray(sol.z)
+    x = [z[n, NU : NU + dims.nx[n]].copy() for n in range(N + 1)]
+    u = [z[n, : dims.nu[n]].copy() for n in range(N + 1)]
+    pi = [np.asarray(sol.pi)[n, : dims.nx[n + 1]].copy() for n in range(N)]
+    lam_out, t_out = [], []
+    for n in range(N + 1):
+        nbn, ngn = dims.nb[n], dims.ng[n]
+        lam_out.append(
+            np.concatenate(
+                [
+                    np.asarray(sol.lam_b)[n, 0, :nbn],
+                    np.asarray(sol.lam_b)[n, 1, :nbn],
+                    np.asarray(sol.lam_g)[n, 0, :ngn],
+                    np.asarray(sol.lam_g)[n, 1, :ngn],
+                ]
+            )
+        )
+        t_out.append(
+            np.concatenate(
+                [
+                    np.asarray(sol.t_b)[n, 0, :nbn],
+                    np.asarray(sol.t_b)[n, 1, :nbn],
+                    np.asarray(sol.t_g)[n, 0, :ngn],
+                    np.asarray(sol.t_g)[n, 1, :ngn],
+                ]
+            )
+        )
+    kk = int(sol.kk)
+    return OCPResult(
+        x=x, u=u, pi=pi, lam=lam_out, t=t_out,
+        kk=kk,
+        status=int(sol.status),
+        stat=np.asarray(sol.stat)[:kk],
+        inf_norm_res=np.asarray(sol.inf_norm_res),
+    )
+
+
+def work_space_size_bytes(N, nx, nu, nb=None, ng=None, k_max=30, dtype=np.float64):
+    """Device-memory planning figure per solve (the reference's
+    ``hpmpc_d_ip_ocp_hard_tv_work_space_size_bytes`` analogue)."""
+    nx = list(np.broadcast_to(nx, (N + 1,)).astype(int)) if np.isscalar(nx) else list(nx)
+    nu = list(np.broadcast_to(nu, (N + 1,)).astype(int)) if np.isscalar(nu) else list(nu)
+    nb = [0] * (N + 1) if nb is None else (list(np.broadcast_to(nb, (N + 1,)).astype(int)) if np.isscalar(nb) else list(nb))
+    ng = [0] * (N + 1) if ng is None else (list(np.broadcast_to(ng, (N + 1,)).astype(int)) if np.isscalar(ng) else list(ng))
+    elem = np.dtype(dtype).itemsize
+    if _native is not None:
+        return int(
+            _native.hpmpc_tpu_ip_ocp_hard_tv_work_space_size_bytes(
+                N, _c_ints(nx), _c_ints(nu), _c_ints(nb), _c_ints(ng),
+                k_max, elem,
+            )
+        )
+    # numpy fallback mirrors the native formula
+    NX, NU = max(nx), max(nu)
+    NB, NG = max(max(nb), 1), max(max(ng), 1)
+    NZ = NX + NU
+    elems = N * NZ * NX + N * NX
+    elems += (N + 1) * (NZ * NZ + NZ)
+    elems += (N + 1) * (3 * NB + 3 * NG + NG * NZ)
+    elems += (N + 1) * (NZ + NX + NB + NG)
+    elems += 2 * ((N + 1) * NZ + N * NX + 4 * (N + 1) * (NB + NG))
+    elems += (N + 1) * NZ * NZ
+    elems += k_max * 5
+    return elems * elem
+
+
+def pack_dynamics_native(dims: OCPDims, A, B, b):
+    """Native packing of the dynamics stack (testable fast path)."""
+    assert _native is not None
+    N, NU, NX, NZ = dims.N, dims.NU, dims.NX, dims.NZ
+    Ap, Aref = _ptr_array([np.asarray(a, dtype=np.float64).reshape(dims.nx[n + 1], dims.nx[n]) for n, a in enumerate(A)])
+    Bp, Bref = _ptr_array([np.asarray(x, dtype=np.float64).reshape(dims.nx[n + 1], dims.nu[n]) for n, x in enumerate(B)])
+    bp, bref = _ptr_array([np.asarray(x, dtype=np.float64).reshape(dims.nx[n + 1], 1) for n, x in enumerate(b)])
+    F = np.zeros((N, NZ, NX))
+    bb = np.zeros((N, NX))
+    _native.hpmpc_tpu_pack_dynamics(
+        N, _c_ints(dims.nx), _c_ints(dims.nu), NU, NX, NZ,
+        Ap, Bp, bp,
+        F.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        bb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return F, bb

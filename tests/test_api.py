@@ -1,0 +1,134 @@
+"""High-level API tests: the fortran-order front door must reproduce the
+golden reference solution end to end (pack -> solve -> unpack), the N2
+partial-condensing path must agree, and the native C++ packing layer must
+match the numpy packer bit for bit."""
+
+import numpy as np
+import pytest
+
+from conftest import golden_ab, load_golden
+from hpmpc_tpu import api
+from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+
+def _mass_spring_raw(nx, nu, N, ngN=0, A=None, B=None):
+    """Raw fortran-order stage data for the canonical benchmark problem."""
+    from hpmpc_tpu.utils.mass_spring import mass_spring_ab
+
+    if A is None:
+        A, B = mass_spring_ab(nx, nu)
+    b = 0.1 * np.ones(nx)
+    x0 = np.zeros(nx)
+    x0[0] = 2.5
+    x0[1] = 2.5
+    nb = nu + nx // 2
+    A_l = [A] * N
+    B_l = [B] * N
+    b_l = [b] * N
+    Q_l = [np.eye(nx)] * (N + 1)
+    S_l = [np.zeros((nu, nx))] * N + [np.zeros((0, nx))]
+    R_l = [2.0 * np.eye(nu)] * N + [np.zeros((0, 0))]
+    q_l = [0.1 * np.ones(nx)] * (N + 1)
+    r_l = [0.2 * np.ones(nu)] * N + [np.zeros(0)]
+    idxb, lb, ub = [], [], []
+    for n in range(N + 1):
+        if n == 0:
+            idx = list(range(nu)) + list(range(nu, nu + nx // 2))
+        elif n < N:
+            idx = list(range(nu + nx // 2))
+        else:
+            idx = list(range(nx // 2))  # terminal: state bounds (nu[N]=0)
+        lo = [-0.5 if j < nu and n < N else -4.0 for j in idx]
+        hi = [0.5 if j < nu and n < N else 4.0 for j in idx]
+        idxb.append(np.array(idx, dtype=np.int32))
+        lb.append(np.array(lo))
+        ub.append(np.array(hi))
+    C_l = D_l = lg_l = ug_l = None
+    if ngN:
+        C_l, D_l, lg_l, ug_l = [], [], [], []
+        for n in range(N + 1):
+            g_n = ngN if n == N else 0
+            Cn = np.zeros((g_n, nx))
+            for j in range(g_n):
+                Cn[j, j] = 1.0
+            C_l.append(Cn)
+            D_l.append(np.zeros((g_n, nu if n < N else 0)))
+            lg_l.append(np.zeros(g_n))
+            ug_l.append(np.zeros(g_n))
+    return A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l, idxb, lb, ub, C_l, D_l, lg_l, ug_l, x0
+
+
+def test_solve_ocp_matches_golden():
+    g = load_golden("ipm_ms_nx8_nu3_N30_ngN8")
+    cfg = g["config"]
+    A, B = golden_ab(g)
+    (A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+     idxb, lb, ub, C_l, D_l, lg_l, ug_l, x0) = _mass_spring_raw(
+        cfg["nx"], cfg["nu"], cfg["N"], ngN=cfg["ngN"], A=A, B=B
+    )
+    res = api.solve_ocp(
+        cfg["N"], A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, C=C_l, D=D_l, lg=lg_l, ug=ug_l, x0=x0,
+        k_max=cfg["k_max"], mu0=cfg["mu0"], mu_tol=cfg["mu_tol"],
+        alpha_min=cfg["alpha_min"],
+    )
+    assert res.status == 0
+    assert res.kk == g["kk"]
+    for n in range(cfg["N"] + 1):
+        ref = np.array(g["ux"][n])
+        nun = cfg["nu"] if n < cfg["N"] else 0
+        got = np.concatenate([res.u[n], res.x[n]])
+        np.testing.assert_allclose(got, ref, atol=1e-8, err_msg=f"stage {n}")
+    assert res.inf_norm_res[3] <= cfg["mu_tol"]
+    stat_ref = np.array(g["stat"]).reshape(-1, 5)[: g["kk"]]
+    np.testing.assert_allclose(res.stat, stat_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_solve_ocp_partial_condensing_path():
+    (A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+     idxb, lb, ub, *_rest, x0) = _mass_spring_raw(8, 3, 12)
+    full = api.solve_ocp(
+        12, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-10,
+    )
+    part = api.solve_ocp(
+        12, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-10, N2=3,
+    )
+    for n in range(13):
+        np.testing.assert_allclose(part.x[n], full.x[n], atol=1e-6)
+        np.testing.assert_allclose(part.u[n], full.u[n], atol=1e-6)
+
+
+@pytest.mark.skipif(not api.native_available(), reason="native lib not built")
+def test_native_packing_matches_numpy():
+    dims, qp = mass_spring_qp(8, 3, 10)
+    from hpmpc_tpu.utils.mass_spring import mass_spring_ab
+
+    A, B = mass_spring_ab(8, 3)
+    b = 0.1 * np.ones(8)
+    x0 = np.zeros(8)
+    x0[0] = 2.5
+    x0[1] = 2.5
+    b0 = b + A @ x0
+    A_l = [np.zeros((8, 0))] + [A] * 9
+    B_l = [B] * 10
+    b_l = [b0] + [b] * 9
+    F_nat, b_nat = api.pack_dynamics_native(dims, A_l, B_l, b_l)
+    np.testing.assert_array_equal(F_nat, np.asarray(qp.F))
+    np.testing.assert_array_equal(b_nat, np.asarray(qp.b))
+
+
+def test_work_space_size_query():
+    n_bytes = api.work_space_size_bytes(30, 8, 3, nb=7, ng=0, k_max=30)
+    assert n_bytes > 0
+    # matches the numpy fallback formula exactly
+    if api.native_available():
+        import hpmpc_tpu.api as m
+
+        saved = m._native
+        try:
+            m._native = None
+            assert api.work_space_size_bytes(30, 8, 3, nb=7, ng=0, k_max=30) == n_bytes
+        finally:
+            m._native = saved
