@@ -2,15 +2,25 @@
 
 Reproduces the reference's headline benchmark problem (mass-spring MPC,
 nx=8 nu=3 N=30 nb=7 ngN=8, 8 IPM iterations; ``doc/guide.tex:330-360``) and
-measures end-to-end solves/second for a large instance batch.
+measures device-side end-to-end solves/second for a large instance batch.
 
-Baseline: the reference does 3185 solves/s on one Ivy Bridge core
-(3.14e-4 s/solve, ``doc/guide.tex:355-360``).  Driver target: >= 10,000
-solves/s per TPU chip (BASELINE.json).
+Methodology: K independent full solves (per-solve perturbed b) run inside
+ONE jitted call via lax.scan; per-solve time is the SLOPE between a K=2 and
+a K=10 call, which cancels dispatch/transfer overhead (this harness reaches
+the chip through a network relay whose per-call latency and output
+shipping would otherwise dominate by 100x; solutions are materialized in
+HBM and checksummed on device, plus the u_0 controls — what an MPC
+deployment actually ships off-chip — are extracted per solve).
+
+Work-normalization: the f32 path stops at its precision floor (~5-6 of the
+8 reference iterations, mu ~ 1e-4); throughput is expressed as equivalent
+8-iteration solves so the number is comparable to the reference's
+8-iteration f64 benchmark (3,185 solves/s on one Ivy Bridge core).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import dataclasses
 import json
 import time
 
@@ -20,6 +30,7 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from hpmpc_tpu.models import ipm
     from hpmpc_tpu.parallel import batch as pbatch
@@ -31,42 +42,56 @@ def main():
 
     dims, qp = mass_spring_qp(8, 3, 30, ngN=8, dtype=dtype)
     qpb = pbatch.broadcast_qp(qp, BATCH)
-    # perturb b across instances so no degenerate batch shortcuts exist
     rng = np.random.default_rng(0)
-    scales = jnp.asarray(
-        1.0 + 0.05 * rng.standard_normal(BATCH), dtype
-    )
-    import dataclasses
-
+    scales = jnp.asarray(1.0 + 0.05 * rng.standard_normal(BATCH), dtype)
     qpb = dataclasses.replace(qpb, b=qpb.b * scales[:, None, None])
-    # mu_tol=0 forces exactly k_max iterations per instance: the same work
-    # per solve as the reference's 8-iteration run (no early-exit flattery)
-    cfg = ipm.IPMConfig(k_max=K_MAX, mu_tol=0.0, alpha_min=1e-8)
+    # mu_tol=0 runs every instance to its floor: same per-iteration work as
+    # the reference's 8-iteration run, counted via mean_kk below.
+    # use_pallas dispatches the Riccati sweeps to the fused VMEM-resident
+    # stage kernels (ops/stage_kernel.py) — ~2.4x over the XLA scan path
+    cfg = ipm.IPMConfig(
+        k_max=K_MAX, mu_tol=0.0, alpha_min=1e-8,
+        use_pallas=jax.default_backend() == "tpu",
+    )
 
-    @jax.jit
-    def run(q, eps):
-        # eps perturbs b so no layer (XLA, runtime, relay) can cache results
-        q = dataclasses.replace(q, b=q.b * (1.0 + eps))
-        sol = pbatch.solve_batched(dims, q, cfg)
-        return sol.z, sol.kk
+    def make(K):
+        @jax.jit
+        def run(q, seed):
+            def body(acc, i):
+                qi = dataclasses.replace(q, b=q.b * (1.0 + 1e-4 * (i + seed)))
+                sol = pbatch.solve_batched(dims, qi, cfg)
+                # u_0 controls: the output an MPC deployment ships off-chip
+                u0 = sol.z[:, 0, : dims.NU]
+                chk = jnp.sum(sol.z) + jnp.sum(u0) + jnp.sum(sol.kk)
+                return acc + chk, None
 
-    z, kk = run(qpb, jnp.asarray(0.0, dtype))
-    jax.block_until_ready(z)  # compile + warmup
-    assert not bool(jnp.isnan(z).any()), "NaN in warmup solves"
-    mean_kk = float(jnp.mean(kk.astype(jnp.float32)))
+            acc, _ = lax.scan(
+                body, jnp.asarray(0.0, dtype), jnp.arange(K, dtype=dtype)
+            )
+            return acc
 
-    reps = 5
-    t0 = time.perf_counter()
-    for i in range(reps):
-        z, kk = run(qpb, jnp.asarray(1e-4 * (i + 1), dtype))
-        jax.block_until_ready(z)  # per-call sync: no async pipelining flattery
-    dt_s = (time.perf_counter() - t0) / reps
+        return run
 
-    # work-normalized: the f32 path stops at its precision floor (~5-6
-    # iterations, mu ~ 1e-4); count iteration throughput and express it as
-    # equivalent 8-iteration solves so the number is comparable to the
-    # reference's 8-iteration f64 benchmark solve
-    solves_per_s = (BATCH * mean_kk / K_MAX) / dt_s
+    # iteration count for work normalization (converged instances freeze)
+    sol0 = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg).kk)(qpb)
+    mean_kk = float(jnp.mean(sol0.astype(jnp.float32)))
+    assert mean_kk > 3.0, f"suspicious iteration count {mean_kk}"
+
+    times = {}
+    for K in (2, 10):
+        f = make(K)
+        out = float(f(qpb, jnp.asarray(0.0, dtype)))  # compile + warmup
+        assert np.isfinite(out), "non-finite checksum"
+        reps = 3
+        t0 = time.perf_counter()
+        for r in range(1, reps + 1):
+            # float() forces completion — on this harness's relay,
+            # block_until_ready returns before execution finishes
+            out = float(f(qpb, jnp.asarray(r * 37.0, dtype)))
+        times[K] = (time.perf_counter() - t0) / reps
+
+    per_solve_s = (times[10] - times[2]) / (10 - 2)
+    solves_per_s = (BATCH * mean_kk / K_MAX) / per_solve_s
     baseline = 3185.0  # reference: 1/3.14e-4 solves/s, one CPU core
     print(
         json.dumps(
@@ -75,7 +100,8 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": (
                     f"equivalent 8-iteration solves/s (mass-spring nx=8 nu=3 N=30 "
-                    f"nb=7 ngN=8, batch={BATCH}, f32, mean_iters={mean_kk:.2f})"
+                    f"nb=7 ngN=8, batch={BATCH}, f32, mean_iters={mean_kk:.2f}, "
+                    f"slope K=2..10 in-graph, {per_solve_s*1e3:.3f} ms/batch)"
                 ),
                 "vs_baseline": round(solves_per_s / baseline, 2),
             }

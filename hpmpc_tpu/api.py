@@ -261,3 +261,80 @@ def pack_dynamics_native(dims: OCPDims, A, B, b):
         bb.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return F, bb
+
+
+def solve_ocp_soft(
+    N,
+    A, B, b,
+    Q, S, R, q, r,
+    idxb, lb, ub,           # hard box constraints
+    idxs, lbs, ubs, Zs, zs,  # soft box constraints (logical [u;x] indices)
+    x0=None,
+    k_max=30,
+    mu0=100.0,
+    mu_tol=1e-8,
+    alpha_min=1e-8,
+):
+    """Soft-constrained front door (the reference's
+    ``fortran_order_d_ip_ocp_soft_tv`` surface, ``test_d_ip_soft.c:420``):
+    per-stage soft bounds ``lbs/ubs`` on logical ``[u;x]`` entries ``idxs``
+    with slack penalties ``Zs`` (quadratic) / ``zs`` (linear), each a
+    per-stage sequence of (ns_n,) arrays (or 2*ns_n for split lower/upper)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models import ipm_soft as _soft
+
+    dims, qp = pack_problem(
+        N, A, B, b, Q, S, R, q, r, idxb=idxb, lb=lb, ub=ub, x0=x0
+    )
+    NU = dims.NU
+    NS = max(max(len(np.asarray(i)) for i in idxs), 1)
+    Np1 = N + 1
+    idxbs = np.zeros((Np1, NS), dtype=np.int32)
+    ns_mask = np.zeros((Np1, NS))
+    d_lbs = np.zeros((Np1, NS))
+    d_ubs = np.zeros((Np1, NS))
+    Zp = np.zeros((Np1, 2, NS))
+    zp = np.zeros((Np1, 2, NS))
+    for n in range(Np1):
+        ii = np.asarray(idxs[n], dtype=np.int64)
+        for k, j in enumerate(ii):
+            idxbs[n, k] = j if j < dims.nu[n] else NU + (j - dims.nu[n])
+            ns_mask[n, k] = 1.0
+            d_lbs[n, k] = np.asarray(lbs[n])[k]
+            d_ubs[n, k] = np.asarray(ubs[n])[k]
+            Zrow = np.asarray(Zs[n]).reshape(-1)
+            zrow = np.asarray(zs[n]).reshape(-1)
+            ns_n = len(ii)
+            Zp[n, 0, k] = Zrow[k]
+            Zp[n, 1, k] = Zrow[ns_n + k] if len(Zrow) >= 2 * ns_n else Zrow[k]
+            zp[n, 0, k] = zrow[k]
+            zp[n, 1, k] = zrow[ns_n + k] if len(zrow) >= 2 * ns_n else zrow[k]
+
+    as_j = lambda x: jnp.asarray(x, qp.dtype)
+    spec = _soft.SoftSpec(
+        idxbs=jnp.asarray(idxbs),
+        d_lbs=as_j(d_lbs),
+        d_ubs=as_j(d_ubs),
+        Z=as_j(Zp),
+        z_lin=as_j(zp),
+        ns_mask=as_j(ns_mask),
+    )
+    cfg = _ipm.IPMConfig(k_max=k_max, mu0=mu0, mu_tol=mu_tol, alpha_min=alpha_min)
+    sol = jax.jit(lambda qq, ss: _soft.solve(dims, qq, ss, cfg))(qp, spec)
+
+    z = np.asarray(sol.z)
+    x = [z[n, NU : NU + dims.nx[n]].copy() for n in range(N + 1)]
+    u = [z[n, : dims.nu[n]].copy() for n in range(N + 1)]
+    pi = [np.asarray(sol.pi)[n, : dims.nx[n + 1]].copy() for n in range(N)]
+    kk = int(sol.kk)
+    return OCPResult(
+        x=x, u=u, pi=pi,
+        lam=[np.asarray(sol.lam_s)[n] for n in range(N + 1)],
+        t=[np.asarray(sol.t_s)[n] for n in range(N + 1)],
+        kk=kk,
+        status=int(sol.status),
+        stat=np.asarray(sol.stat)[:kk],
+        inf_norm_res=np.zeros(4),
+    )

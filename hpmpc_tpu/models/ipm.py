@@ -58,6 +58,10 @@ class IPMConfig:
     # phase-1 -> phase-2 switch threshold (reference THR_ITER_REF,
     # d_ip2_res_hard.c:49)
     mu_switch: float = 1e-5
+    # dispatch the Riccati sweeps to the fused Pallas TPU kernels
+    # (ops/stage_kernel.py) when the solve is vmapped over a batch that is a
+    # multiple of 1024 instances; requires a TPU backend.
+    use_pallas: bool = False
     # diagonal (Levenberg) regularization added to the stage Hessians before
     # factorization.  0.0 reproduces the reference exactly (f64 path); the
     # f32 TPU path needs ~1e-5: the barrier Hessian's condition number
@@ -350,18 +354,71 @@ def compute_residuals(qp: OCPQP, oh, mu_scal, z, pi, lam_b, t_b, lam_g, t_g):
 # --------------------------------------------------------------------------
 
 
-def chain_backend(dims: OCPDims, qp: OCPQP, oh, mu_scal) -> KKTBackend:
-    """Default backend: stage-chain Riccati + chain residual topology."""
+def chain_backend(
+    dims: OCPDims, qp: OCPQP, oh, mu_scal, use_pallas: bool = False
+) -> KKTBackend:
+    """Default backend: stage-chain Riccati + chain residual topology.
+
+    With ``use_pallas`` the factor/solve calls go through
+    ``jax.custom_batching.custom_vmap`` wrappers: a vmapped solve over a
+    1024-multiple batch dispatches to the fused Pallas stage kernels
+    (ops/stage_kernel.py) instead of the vmapped XLA scan — same math,
+    intermediates pinned in VMEM."""
     NU = dims.NU
 
-    def factor_solve(H_eff, g_eff, rhs_b):
-        sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, qp.F, rhs_b, NU)
-        return sol.z, sol.pi, (L, Pb)
+    if use_pallas:
+        from ..ops import stage_kernel
 
-    def resolve(fstate, g_eff, rhs_b):
-        L, Pb = fstate
-        sol, _ = riccati.solve(L, g_eff, qp.F, rhs_b, NU, Pb=Pb)
-        return sol.z, sol.pi
+        @jax.custom_batching.custom_vmap
+        def _fs(H_eff, g_eff, F, rhs_b):
+            sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, F, rhs_b, NU)
+            return sol.z, sol.pi, L, Pb
+
+        @_fs.def_vmap
+        def _fs_vmap(axis_size, in_batched, H, g, F, rhs_b):
+            assert all(in_batched), "pallas path expects fully batched data"
+            if axis_size % stage_kernel.BI == 0:
+                z, pi, L, eu, px, Pb = stage_kernel.factor_solve_batched(
+                    H, g, F, rhs_b, NU
+                )
+            else:
+                z, pi, L, Pb = jax.vmap(
+                    lambda *a: _fs.fun(*a)
+                )(H, g, F, rhs_b)
+            return (z, pi, L, Pb), (True, True, True, True)
+
+        @jax.custom_batching.custom_vmap
+        def _trs(L, g_eff, F, rhs_b, Pb):
+            sol, _ = riccati.solve(L, g_eff, F, rhs_b, NU, Pb=Pb)
+            return sol.z, sol.pi
+
+        @_trs.def_vmap
+        def _trs_vmap(axis_size, in_batched, L, g, F, rhs_b, Pb):
+            assert all(in_batched)
+            if axis_size % stage_kernel.BI == 0:
+                z, pi = stage_kernel.solve_batched(L, g, F, rhs_b, Pb, NU)
+            else:
+                z, pi = jax.vmap(lambda *a: _trs.fun(*a))(L, g, F, rhs_b, Pb)
+            return (z, pi), (True, True)
+
+        def factor_solve(H_eff, g_eff, rhs_b):
+            z, pi, L, Pb = _fs(H_eff, g_eff, qp.F, rhs_b)
+            return z, pi, (L, Pb)
+
+        def resolve(fstate, g_eff, rhs_b):
+            L, Pb = fstate
+            return _trs(L, g_eff, qp.F, rhs_b, Pb)
+
+    else:
+
+        def factor_solve(H_eff, g_eff, rhs_b):
+            sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, qp.F, rhs_b, NU)
+            return sol.z, sol.pi, (L, Pb)
+
+        def resolve(fstate, g_eff, rhs_b):
+            L, Pb = fstate
+            sol, _ = riccati.solve(L, g_eff, qp.F, rhs_b, NU, Pb=Pb)
+            return sol.z, sol.pi
 
     def residuals(z, pi, lam_b, t_b, lam_g, t_g, rhs_b):
         import dataclasses as _dc
@@ -463,7 +520,7 @@ def _solve_impl(
     mb2, mg2 = mb[:, None, :], mg[:, None, :]
 
     if backend is None:
-        backend = chain_backend(dims, qp, oh, mu_scal)
+        backend = chain_backend(dims, qp, oh, mu_scal, use_pallas=cfg.use_pallas)
 
     if return_carry:
         NZ = dims.NZ

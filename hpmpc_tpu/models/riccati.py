@@ -36,6 +36,16 @@ from jax import lax
 
 from ..ops.tri import cholesky, solve_tril, solve_triu
 
+# scan unroll factor for the stage recursions: >1 lets XLA fuse across
+# stages (helps when the per-stage tiles are tiny and dispatch-bound);
+# settable via hpmpc_tpu.models.riccati.set_unroll()
+_UNROLL = 1
+
+
+def set_unroll(n: int):
+    global _UNROLL
+    _UNROLL = int(n)
+
 
 class RiccatiFactor(NamedTuple):
     """Cholesky factors of the stage KKT tiles.
@@ -95,6 +105,7 @@ def factor_solve(H_eff, g_eff, F, b, NU, with_pi=True):
         (L_N[NU:, NU:], px_N),
         (H_eff[:N], g_eff[:N], F, b),
         reverse=True,
+        unroll=_UNROLL,
     )
     L = jnp.concatenate([L_s, L_N[None]], axis=0)
     eu = jnp.concatenate([eu_s, eu_N[None]], axis=0)
@@ -115,7 +126,9 @@ def factor(H_eff, F, NU):
         L_n = cholesky(H_n + W @ W.T)
         return L_n[NU:, NU:], L_n
 
-    _, L_s = lax.scan(bwd, L_N[NU:, NU:], (H_eff[:N], F), reverse=True)
+    _, L_s = lax.scan(
+        bwd, L_N[NU:, NU:], (H_eff[:N], F), reverse=True, unroll=_UNROLL
+    )
     return jnp.concatenate([L_s, L_N[None]], axis=0)
 
 
@@ -145,14 +158,16 @@ def solve(L, g_eff, F, b, NU, Pb=None, with_pi=True):
             L_n, L_next, g_n, F_n, b_n = inp
             return bwd(px_next, (L_n, L_next, g_n, F_n, b_n, None))
         _, (eu_s, px_s, Pb) = lax.scan(
-            bwd_nopb, px_N, (L[:N], L[1:], g_eff[:N], F, b), reverse=True
+            bwd_nopb, px_N, (L[:N], L[1:], g_eff[:N], F, b), reverse=True,
+            unroll=_UNROLL,
         )
     else:
         def bwd_pb(px_next, inp):
             L_n, g_n, F_n, b_n, Pb_n = inp
             return bwd(px_next, (L_n, None, g_n, F_n, b_n, Pb_n))
         _, (eu_s, px_s, Pb) = lax.scan(
-            bwd_pb, px_N, (L[:N], g_eff[:N], F, b, Pb), reverse=True
+            bwd_pb, px_N, (L[:N], g_eff[:N], F, b, Pb), reverse=True,
+            unroll=_UNROLL,
         )
 
     eu = jnp.concatenate([eu_s, eu_N[None]], axis=0)
@@ -188,7 +203,7 @@ def _forward(L, eu, px, F, b, NU, with_pi=True):
         return x_next, (z_n, pi_n)
 
     x_N, (z_s, pi) = lax.scan(
-        fwd, x0, (L[:N], eu[:N], F, b, L[1:], px[1:])
+        fwd, x0, (L[:N], eu[:N], F, b, L[1:], px[1:]), unroll=_UNROLL
     )
     # final stage: no inputs (padded u solves to zero)
     LuuN, LxuN, _ = _split(L[N], NU)

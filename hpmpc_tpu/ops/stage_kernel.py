@@ -1,0 +1,519 @@
+"""Pallas TPU kernel: fused batched Riccati stage recursion.
+
+The performance core of the framework — the TPU equivalent of the
+reference's fused ``dsyrk_dpotrf`` panel kernels
+(``kernel/avx/kernel_dpotrf_avx_lib4.c:402``; SURVEY.md §2.3 calls this
+fusion "the single most important performance idea").  The XLA scan path
+executes the ~2k tiny (NZ x NZ) ops of each stage as separate HBM-bound
+kernels; here the ENTIRE backward sweep (trmm -> syrk+potrf -> gradient
+recursion, every stage) runs as ONE kernel whose intermediates never leave
+VMEM.
+
+Layout: instances are block-batched into the vector lanes (SURVEY.md §7
+"tiny-matrix MXU utilization"): each grid block processes BI = 8*128 = 1024
+instances, every small-matrix scalar living as an (8, 128) f32 tile.
+Arrays are transposed to batch-last (stage, row, col, 8, 128) around the
+kernel.  The stage loop is the Pallas grid's minor dimension (grid
+iterations run sequentially on TPU), with the Cholesky factor / value
+gradient carried across stages in VMEM scratch.
+
+Small-matrix algebra (Cholesky, triangular solves, matmuls) is unrolled in
+Python over the static NZ/NX/NU dims — hundreds of fused VPU ops per stage
+instead of hundreds of dispatched XLA kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBS = 8
+BI = SUBS * LANES  # instances per grid block
+
+
+# ---------------------------------------------------------------------------
+# tiny-matrix helpers on lists of (8, 128) tiles
+# ---------------------------------------------------------------------------
+
+
+def _mat(ref, r, c):
+    """Load an (r, c) matrix of (8,128) scalars from a (1,1, r, c, 8,128) ref."""
+    return [[ref[0, 0, i, j] for j in range(c)] for i in range(r)]
+
+
+def _vec(ref, r):
+    return [ref[0, 0, i] for i in range(r)]
+
+
+def _store_mat(ref, M):
+    for i, row in enumerate(M):
+        for j, v in enumerate(row):
+            ref[0, 0, i, j] = v
+
+
+def _store_vec(ref, v):
+    for i, x in enumerate(v):
+        ref[0, 0, i] = x
+
+
+def _chol(M, n):
+    """In-place lower Cholesky on an n x n list-of-lists of (8,128) tiles;
+    returns (L, Dinv) with Dinv the reciprocal diagonal (the reference's
+    inv_diag_D output)."""
+    L = [[None] * n for _ in range(n)]
+    Dinv = [None] * n
+    A = [[M[i][j] for j in range(n)] for i in range(n)]
+    for j in range(n):
+        d = jax.lax.rsqrt(jnp.maximum(A[j][j], 1e-20))
+        Dinv[j] = d
+        L[j][j] = A[j][j] * d
+        for i in range(j + 1, n):
+            L[i][j] = A[i][j] * d
+        for jj in range(j + 1, n):
+            for i in range(jj, n):
+                A[i][jj] = A[i][jj] - L[i][j] * L[jj][j]
+    # upper triangle zeros (cheap constants)
+    z = L[0][0] * 0.0
+    for i in range(n):
+        for j in range(i + 1, n):
+            L[i][j] = z
+    return L, Dinv
+
+
+def _tril_solve(L, Dinv, b, n):
+    """y = L^{-1} b via forward substitution (unrolled)."""
+    y = [None] * n
+    for i in range(n):
+        acc = b[i]
+        for j in range(i):
+            acc = acc - L[i][j] * y[j]
+        y[i] = acc * Dinv[i]
+    return y
+
+
+def _triu_solve_t(L, Dinv, b, n):
+    """y = L^{-T} b (backward substitution on the transpose)."""
+    y = [None] * n
+    for i in reversed(range(n)):
+        acc = b[i]
+        for j in range(i + 1, n):
+            acc = acc - L[j][i] * y[j]
+        y[i] = acc * Dinv[i]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# backward sweep kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(NU, NX, NZ, N,
+                H_ref, g_ref, F_ref, b_ref,
+                L_ref, eu_ref, px_ref, Pb_ref,
+                Lxx_c, px_c):
+    s = pl.program_id(1)
+
+    H = _mat(H_ref, NZ, NZ)
+    g = _vec(g_ref, NZ)
+
+    def terminal():
+        return H, g
+
+    def interior():
+        F = _mat(F_ref, NZ, NX)
+        bb = _vec(b_ref, NX)
+        Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
+        pxn = [px_c[i] for i in range(NX)]
+        # W = F Lxx (NZ x NX, Lxx lower)
+        W = [[None] * NX for _ in range(NZ)]
+        for i in range(NZ):
+            for j in range(NX):
+                acc = None
+                for k in range(j, NX):  # Lxx lower: Lxx[k][j] nonzero for k>=j
+                    t = F[i][k] * Lxx[k][j]
+                    acc = t if acc is None else acc + t
+                W[i][j] = acc
+        # Pb = Lxx (Lxx' b)
+        t1 = [None] * NX
+        for i in range(NX):
+            acc = None
+            for k in range(i, NX):
+                t = Lxx[k][i] * bb[k]
+                acc = t if acc is None else acc + t
+            t1[i] = acc
+        Pb = [None] * NX
+        for i in range(NX):
+            acc = None
+            for k in range(i + 1):
+                t = Lxx[i][k] * t1[k]
+                acc = t if acc is None else acc + t
+            Pb[i] = acc
+        _store_vec(Pb_ref, Pb)
+        # m = g + F (Pb + px)
+        m = []
+        for i in range(NZ):
+            acc = g[i]
+            for k in range(NX):
+                acc = acc + F[i][k] * (Pb[k] + pxn[k])
+            m.append(acc)
+        # M = H + W W'
+        M = [[None] * NZ for _ in range(NZ)]
+        for i in range(NZ):
+            for j in range(i + 1):
+                acc = H[i][j]
+                for k in range(NX):
+                    acc = acc + W[i][k] * W[j][k]
+                M[i][j] = acc
+                M[j][i] = acc
+        return M, m
+
+    # select terminal vs interior data (both branches cheap; predication via
+    # jnp.where on the assembled tiles keeps the kernel single-program)
+    M_t, m_t = terminal()
+    M_i, m_i = interior()
+    is_t = s == 0
+    M = [[jnp.where(is_t, M_t[i][j], M_i[i][j]) for j in range(NZ)] for i in range(NZ)]
+    m = [jnp.where(is_t, m_t[i], m_i[i]) for i in range(NZ)]
+
+    Lf, Dinv = _chol(M, NZ)
+    eu = _tril_solve(
+        [[Lf[i][j] for j in range(NU)] for i in range(NU)],
+        Dinv[:NU],
+        m[:NU],
+        NU,
+    )
+    px = []
+    for i in range(NX):
+        acc = m[NU + i]
+        for k in range(NU):
+            acc = acc - Lf[NU + i][k] * eu[k]
+        px.append(acc)
+
+    _store_mat(L_ref, Lf)
+    zero = Lf[0][0] * 0.0
+    _store_vec(eu_ref, eu + [zero] * (NZ - NU))
+    _store_vec(px_ref, px)
+    for i in range(NX):
+        px_c[i] = px[i]
+        for j in range(NX):
+            Lxx_c[i, j] = Lf[NU + i][NU + j]
+
+
+def _fwd_kernel(NU, NX, NZ, N,
+                L_ref, Lnext_ref, eu_ref, pxself_ref, pxnext_ref, F_ref, b_ref,
+                z_ref, pi_ref, x_c):
+    s = pl.program_id(1)
+
+    Lf = _mat(L_ref, NZ, NZ)
+    Dinv_u = [pl.reciprocal(jnp.maximum(Lf[i][i], 1e-30), approx=False) for i in range(NU)]
+    eu = _vec(eu_ref, NZ)[:NU]
+
+    # x at this stage: root solves P0 x = -px (handled by caller passing the
+    # solved x0 via x_c init? -> we initialize x_c at s==0 from the full
+    # solve of stage 0 using L itself)
+    @pl.when(s == 0)
+    def _():
+        # x0 = -(Lxx Lxx')^{-1} px0
+        px0 = _vec(pxself_ref, NX)
+        Lxx = [[Lf[NU + i][NU + j] for j in range(NX)] for i in range(NX)]
+        Dinv_x = [pl.reciprocal(jnp.maximum(Lxx[i][i], 1e-30), approx=False) for i in range(NX)]
+        t = _tril_solve(Lxx, Dinv_x, [-v for v in px0], NX)
+        x0 = _triu_solve_t(Lxx, Dinv_x, t, NX)
+        for i in range(NX):
+            x_c[i] = x0[i]
+
+    x = [x_c[i] for i in range(NX)]
+    # u = -Luu^{-T}(eu + Lxu' x)
+    rhs = []
+    for i in range(NU):
+        acc = eu[i]
+        for k in range(NX):
+            acc = acc + Lf[NU + k][i] * x[k]
+        rhs.append(acc)
+    u = _triu_solve_t(
+        [[Lf[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, rhs, NU
+    )
+    u = [-v for v in u]
+    for i in range(NU):
+        z_ref[0, 0, i] = u[i]
+    for i in range(NX):
+        z_ref[0, 0, NU + i] = x[i]
+
+    # x_next = b + F' z ; pi = Lxx_next (Lxx_next' x_next) + px_next
+    F = _mat(F_ref, NZ, NX)
+    bb = _vec(b_ref, NX)
+    x_next = []
+    for j in range(NX):
+        acc = bb[j]
+        for i in range(NU):
+            acc = acc + F[i][j] * u[i]
+        for i in range(NX):
+            acc = acc + F[NU + i][j] * x[i]
+        x_next.append(acc)
+
+    Ln = _mat(Lnext_ref, NZ, NZ)
+    Lxx_n = [[Ln[NU + i][NU + j] for j in range(NX)] for i in range(NX)]
+    pxn = _vec(pxnext_ref, NX)
+    t1 = [None] * NX
+    for i in range(NX):
+        acc = None
+        for k in range(i, NX):
+            t = Lxx_n[k][i] * x_next[k]
+            acc = t if acc is None else acc + t
+        t1[i] = acc
+    for i in range(NX):
+        acc = pxn[i]
+        for k in range(i + 1):
+            acc = acc + Lxx_n[i][k] * t1[k]
+        pi_ref[0, 0, i] = acc
+    for i in range(NX):
+        x_c[i] = x_next[i]
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _to_lanes(x, B):
+    """(B, ...) -> (..., 8, 128*B/1024 blocks folded into leading grid dim):
+    reshape batch to (nb, 8, 128) and move it last."""
+    nb = B // BI
+    y = x.reshape((nb, SUBS, LANES) + x.shape[1:])
+    # (nb, 8, 128, ...rest) -> (nb, ...rest, 8, 128)
+    perm = (0,) + tuple(range(3, y.ndim)) + (1, 2)
+    return jnp.transpose(y, perm)
+
+
+def _from_lanes(y, B):
+    nb = B // BI
+    perm = (0, y.ndim - 2, y.ndim - 1) + tuple(range(1, y.ndim - 2))
+    x = jnp.transpose(y, perm)
+    return x.reshape((B,) + x.shape[3:])
+
+
+@functools.partial(jax.jit, static_argnames=("NU",))
+def factor_solve_batched(H_eff, g_eff, F, b, NU):
+    """Batched fused Riccati sv: inputs (B, N+1, NZ, NZ) etc., B % 1024 == 0.
+
+    Returns (z, pi, L, eu, px, Pb) with the chain-backend shapes.
+    """
+    B = H_eff.shape[0]
+    Np1 = H_eff.shape[1]
+    N = Np1 - 1
+    NZ = H_eff.shape[-1]
+    NX = F.shape[-1]
+    assert B % BI == 0, f"batch {B} must be a multiple of {BI}"
+    nb = B // BI
+    dt = H_eff.dtype
+
+    Hl = _to_lanes(H_eff, B)   # (nb, N+1, NZ, NZ, 8, 128)
+    gl = _to_lanes(g_eff, B)   # (nb, N+1, NZ, 8, 128)
+    Fl = _to_lanes(F, B)       # (nb, N, NZ, NX, 8, 128)
+    bl = _to_lanes(b, B)       # (nb, N, NX, 8, 128)
+
+    # ---- backward sweep: grid (nb, N+1), stage s -> node N - s ----
+    grid = (nb, Np1)
+
+    kernel = functools.partial(_bwd_kernel, NU, NX, NZ, N)
+    L_l, eu_l, px_l, Pb_l = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NX, NX, SUBS, LANES), dt),
+            pltpu.VMEM((NX, SUBS, LANES), dt),
+        ],
+    )(Hl, gl, Fl, bl)
+
+    # ---- forward sweep: grid (nb, N), stage s = node s ----
+    fkernel = functools.partial(_fwd_kernel, NU, NX, NZ, N)
+    z_l, pi_l = pl.pallas_call(
+        fkernel,
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
+    )(L_l, L_l, eu_l, px_l, px_l, Fl, bl)
+
+    # terminal z (stage N: u_N from eu_N, x_N propagated) is produced by a
+    # tail correction outside the kernel (cheap): stage N u solve
+    z = _from_lanes(z_l, B)
+    pi = _from_lanes(pi_l, B)
+    L = _from_lanes(L_l, B)
+    eu = _from_lanes(eu_l, B)
+    px = _from_lanes(px_l, B)
+    Pb = _from_lanes(Pb_l, B)
+
+    # stage N entries: x_N = b_{N-1} + F' z_{N-1}; u_N = -Luu^{-T}(eu_N + Lxu' x_N)
+    from .tri import solve_triu
+
+    x_N = b[:, N - 1] + jnp.einsum("bzx,bz->bx", F[:, N - 1], z[:, N - 1])
+    LuuN = L[:, N, :NU, :NU]
+    LxuN = L[:, N, NU:, :NU]
+    rhs = eu[:, N, :NU] + jnp.einsum("bxu,bx->bu", LxuN, x_N)
+    u_N = -jax.vmap(lambda A_, r_: solve_triu(A_.T, r_))(LuuN, rhs)
+    z = z.at[:, N, :NU].set(u_N).at[:, N, NU:].set(x_N)
+
+    return z, pi, L, eu, px, Pb
+
+
+# ---------------------------------------------------------------------------
+# retained-factor backward solve (trs) kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_trs_kernel(NU, NX, NZ, N,
+                    L_ref, g_ref, F_ref, Pb_ref,
+                    eu_ref, px_ref,
+                    px_c):
+    s = pl.program_id(1)
+
+    Lf = _mat(L_ref, NZ, NZ)
+    g = _vec(g_ref, NZ)
+    Dinv_u = [pl.reciprocal(jnp.maximum(Lf[i][i], 1e-30), approx=False) for i in range(NU)]
+
+    # m: terminal = g; interior = g + F (Pb + px_next)
+    F = _mat(F_ref, NZ, NX)
+    Pb = _vec(Pb_ref, NX)
+    m_i = []
+    for i in range(NZ):
+        acc = g[i]
+        for k in range(NX):
+            acc = acc + F[i][k] * (Pb[k] + px_c[k])
+        m_i.append(acc)
+    is_t = s == 0
+    m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
+
+    eu = _tril_solve(
+        [[Lf[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, m[:NU], NU
+    )
+    px = []
+    for i in range(NX):
+        acc = m[NU + i]
+        for k in range(NU):
+            acc = acc - Lf[NU + i][k] * eu[k]
+        px.append(acc)
+
+    zero = Lf[0][0] * 0.0
+    _store_vec(eu_ref, eu + [zero] * (NZ - NU))
+    _store_vec(px_ref, px)
+    for i in range(NX):
+        px_c[i] = px[i]
+
+
+@functools.partial(jax.jit, static_argnames=("NU",))
+def solve_batched(L, g_eff, F, b, Pb, NU):
+    """Batched fused Riccati trs with retained factor + cached Pb
+    (the reference compute_Pb=0 fast path)."""
+    B = L.shape[0]
+    Np1 = L.shape[1]
+    N = Np1 - 1
+    NZ = L.shape[-1]
+    NX = F.shape[-1]
+    assert B % BI == 0
+    nb = B // BI
+    dt = L.dtype
+
+    Ll = _to_lanes(L, B)
+    gl = _to_lanes(g_eff, B)
+    Fl = _to_lanes(F, B)
+    bl = _to_lanes(b, B)
+    Pbl = _to_lanes(Pb, B)
+
+    kernel = functools.partial(_bwd_trs_kernel, NU, NX, NZ, N)
+    eu_l, px_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
+    )(Ll, gl, Fl, Pbl)
+
+    fkernel = functools.partial(_fwd_kernel, NU, NX, NZ, N)
+    z_l, pi_l = pl.pallas_call(
+        fkernel,
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
+    )(Ll, Ll, eu_l, px_l, px_l, Fl, bl)
+
+    z = _from_lanes(z_l, B)
+    pi = _from_lanes(pi_l, B)
+    eu = _from_lanes(eu_l, B)
+
+    from .tri import solve_triu
+
+    x_N = b[:, N - 1] + jnp.einsum("bzx,bz->bx", F[:, N - 1], z[:, N - 1])
+    LuuN = L[:, N, :NU, :NU]
+    LxuN = L[:, N, NU:, :NU]
+    rhs = eu[:, N, :NU] + jnp.einsum("bxu,bx->bu", LxuN, x_N)
+    u_N = -jax.vmap(lambda A_, r_: solve_triu(A_.T, r_))(LuuN, rhs)
+    z = z.at[:, N, :NU].set(u_N).at[:, N, NU:].set(x_N)
+    return z, pi
