@@ -211,3 +211,20 @@ def _forward(L, eu, px, F, b, NU, with_pi=True):
     z_N = jnp.concatenate([u_N, x_N])
     z = jnp.concatenate([z_s, z_N[None]], axis=0)
     return RiccatiSolution(z=z, pi=pi)
+
+
+def kkt_residuals(H_eff, g_eff, F, b, z, pi, NU):
+    """Unconstrained LQCP KKT residuals (the reference's
+    ``d_back_ric_res_tv``, ``lqcp_solvers/d_res.c:38``):
+
+        rq_n = g_n + H_n z_n + [0; -pi_{n-1}] + F_n pi_n
+        rb_n = b_n + F_n' z_n - x_{n+1}
+    """
+    N = F.shape[0]
+    NX = F.shape[-1]
+    rq = g_eff + jnp.einsum("nzw,nw->nz", H_eff, z)
+    pi_pad = jnp.concatenate([jnp.zeros_like(pi[:1]), pi], axis=0)
+    rq = rq.at[:, NU:].add(-pi_pad)
+    rq = rq.at[:N].add(jnp.einsum("nzx,nx->nz", F, pi))
+    rb = b + jnp.einsum("nzx,nz->nx", F, z[:N]) - z[1:, NU:]
+    return rq, rb

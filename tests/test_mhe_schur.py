@@ -261,3 +261,58 @@ def test_mhe_covariance_filtered_only():
     np.testing.assert_allclose(
         np.asarray(sol_f.xe), np.asarray(sol_s.xe), atol=1e-12
     )
+
+
+def test_mhe_measure_dat_fixture():
+    """The reference's MHE measurement file drives an information-form solve
+    (test_d_ric_mhe.c:299 protocol: C selects the first ny states, unit
+    weights, horizon from the file)."""
+    import pathlib
+
+    from hpmpc_tpu.utils.mhe_data import load_mhe_measure
+
+    path = pathlib.Path(__file__).parent / "golden" / "mhe_measure.dat"
+    nx, nw, ny, Ns, y = load_mhe_measure(str(path))
+    assert (nx, nw, ny, Ns) == (12, 5, 3, 101)
+    assert y.shape == (101, 3)
+
+    # horizon N=15 like the reference test default (test_d_ric_mhe.c:316)
+    N = 15
+    A, G = mass_spring_ab(nx, nw)
+    C = np.zeros((ny, nx))
+    C[:, :ny] = np.eye(ny)
+    data = mhe.MHECovData(
+        A=jnp.asarray(np.broadcast_to(A, (N, nx, nx))),
+        G=jnp.asarray(np.broadcast_to(G, (N, nx, nw))),
+        f=jnp.zeros((N, nx)),
+        C=jnp.asarray(np.broadcast_to(C, (N + 1, ny, nx))),
+        y=jnp.asarray(y[: N + 1]),
+        W=jnp.asarray(np.broadcast_to(np.eye(ny), (N + 1, ny, ny))),
+        R=jnp.asarray(np.broadcast_to(np.eye(nw), (N, nw, nw))),
+        r=jnp.zeros((N, nw)),
+        Lp0=jnp.asarray(np.eye(nx)),
+        xp0=jnp.zeros(nx),
+    )
+    sol_c = jax.jit(lambda d: mhe.solve_cov(d, smooth=True))(data)
+    sol_i, _ = jax.jit(mhe.factor_solve)(data.as_information())
+    np.testing.assert_allclose(np.asarray(sol_c.x), np.asarray(sol_i.x), atol=1e-9)
+    # the smoother tracks the measured components
+    err = np.asarray(sol_c.x)[:, :ny] - y[: N + 1]
+    assert np.abs(err).mean() < np.abs(y[: N + 1]).mean()
+
+
+def test_riccati_kkt_residuals():
+    from hpmpc_tpu.models import riccati
+    from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+    dims, qp = mass_spring_qp(8, 3, 10)
+    H_eff = qp.H + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(qp.pad_diag)
+    g_eff = qp.g * qp.z_mask
+    sol, *_ = jax.jit(
+        lambda H, g, F, b: riccati.factor_solve(H, g, F, b, dims.NU)
+    )(H_eff, g_eff, qp.F, qp.b)
+    rq, rb = riccati.kkt_residuals(
+        H_eff, g_eff, qp.F, qp.b, sol.z, sol.pi, dims.NU
+    )
+    assert float(jnp.max(jnp.abs(rq * qp.z_mask))) < 1e-10
+    assert float(jnp.max(jnp.abs(rb * qp.x_mask[1:]))) < 1e-10
