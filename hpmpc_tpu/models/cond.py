@@ -434,3 +434,74 @@ def solve_partial_cond(
     qp2 = condense(qp, pl)
     sol2 = ipm.solve(pl.dims2, qp2, cfg)
     return expand_solution(qp, pl, sol2), sol2
+
+
+def condense_rhs(qp: OCPQP, pl: CondPlan, qp2_mat: OCPQP) -> OCPQP:
+    """Vector-only re-condensing (the reference's rhs fast path,
+    ``d_part_cond_rhs_libstr``, ``d_part_cond_libstr.c:991``): rebuild the
+    condensed g/b/bounds for changed vector data (b, g, d) while keeping the
+    matrix parts (F2/H2/C2 and the affine maps) from a previous
+    :func:`condense` result ``qp2_mat``.  Matrix data (A, B, Q, S, R, C)
+    must be unchanged — the RTI/warm-start loop's common case.
+    """
+    dims, dims2 = pl.dims, pl.dims2
+    N, NU, NX = dims.N, dims.NU, dims.NX
+    N2 = pl.N2
+    NU2, NX2, NZ2, NB2, NG2 = dims2.NU, dims2.NX, dims2.NZ, dims2.NB, dims2.NG
+    dt = qp.dtype
+    HI = jax.lax.Precision.HIGHEST
+
+    b2 = jnp.zeros((N2, NX2), dt)
+    g2 = jnp.zeros((N2 + 1, NZ2), dt)
+    d_lb2 = jnp.zeros((N2 + 1, NB2), dt)
+    d_ub2 = jnp.zeros((N2 + 1, NB2), dt)
+    d_lg2 = jnp.zeros((N2 + 1, NG2), dt)
+    d_ug2 = jnp.zeros((N2 + 1, NG2), dt)
+
+    all_phis = {}
+    for g in range(N2):
+        Phis, cs, GxT, gcT = _stage_maps(dims, qp, pl, g)
+        all_phis[g] = (Phis, cs)
+        s, T = pl.group_start[g], pl.group_T[g]
+        gg = jnp.zeros((NZ2,), dt)
+        for k in range(T):
+            stg = s + k
+            gg = gg + Phis[k].T @ (qp.H[stg] @ cs[k] + qp.g[stg] * qp.z_mask[stg])
+        g2 = g2.at[g].set(gg)
+        b2 = b2.at[g].set(gcT[:NX2])
+    g2 = g2.at[N2, NU2 : NU2 + NX2].set(qp.g[N, NU : NU + NX2])
+
+    for (g, slot2, stg, idx) in pl.box_map:
+        idxp = idx if idx < dims.nu[stg] else NU + (idx - dims.nu[stg])
+        Phis, cs = all_phis[g]
+        k = stg - pl.group_start[g]
+        cval = cs[k][idxp]
+        j = _find_slot(dims, stg, idx)
+        d_lb2 = d_lb2.at[g, slot2].set(qp.d_lb[stg, j] - cval)
+        d_ub2 = d_ub2.at[g, slot2].set(qp.d_ub[stg, j] - cval)
+    for (g, row2, stg, idx) in pl.gen_from_box:
+        Phis, cs = all_phis[g]
+        k = stg - pl.group_start[g]
+        idxp = NU + (idx - dims.nu[stg])
+        cval = cs[k][idxp]
+        j = _find_slot(dims, stg, idx)
+        d_lg2 = d_lg2.at[g, row2].set(qp.d_lb[stg, j] - cval)
+        d_ug2 = d_ug2.at[g, row2].set(qp.d_ub[stg, j] - cval)
+    for (g, row2, stg, j) in pl.gen_from_gen:
+        Phis, cs = all_phis[g]
+        k = stg - pl.group_start[g]
+        cshift = qp.C[stg, j] @ cs[k]
+        d_lg2 = d_lg2.at[g, row2].set(qp.d_lg[stg, j] - cshift)
+        d_ug2 = d_ug2.at[g, row2].set(qp.d_ug[stg, j] - cshift)
+    for j in range(dims.nb[N]):
+        d_lb2 = d_lb2.at[N2, j].set(qp.d_lb[N, j])
+        d_ub2 = d_ub2.at[N2, j].set(qp.d_ub[N, j])
+    for j in range(dims.ng[N]):
+        d_lg2 = d_lg2.at[N2, j].set(qp.d_lg[N, j])
+        d_ug2 = d_ug2.at[N2, j].set(qp.d_ug[N, j])
+
+    return dataclasses.replace(
+        qp2_mat,
+        b=b2, g=g2,
+        d_lb=d_lb2, d_ub=d_ub2, d_lg=d_lg2, d_ug=d_ug2,
+    )

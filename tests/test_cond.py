@@ -89,3 +89,35 @@ def test_cond_plan_sizes():
     assert d2.nb[0] == 12
     assert d2.ng[0] == 12
     assert d2.nx[1] == 8
+
+
+def test_condense_rhs_matches_full_recondense():
+    """The rhs-only path must equal a full re-condense when only vector data
+    changed (the reference d_part_cond_rhs_libstr contract)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    dims, qp = mass_spring_qp(8, 3, 12, ng=2, ngN=4)
+    pl = cond.plan(dims, 4)
+    qp2_mat = cond.condense(qp, pl)
+
+    # change b, g and bounds (matrices unchanged)
+    qp_new = dc.replace(
+        qp,
+        b=qp.b * 1.1,
+        g=qp.g + 0.05 * qp.z_mask,
+        d_lb=qp.d_lb - 0.1 * qp.nb_mask,
+        d_ug=qp.d_ug + 0.2 * qp.ng_mask,
+    )
+    qp2_full = cond.condense(qp_new, pl)
+    qp2_rhs = jax.jit(lambda a, b_: cond.condense_rhs(a, pl, b_), static_argnums=())(
+        qp_new, qp2_mat
+    )
+    for field in ("b", "g", "d_lb", "d_ub", "d_lg", "d_ug", "F", "H", "C"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(qp2_rhs, field)),
+            np.asarray(getattr(qp2_full, field)),
+            atol=1e-12,
+            err_msg=field,
+        )
