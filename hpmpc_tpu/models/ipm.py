@@ -39,6 +39,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..ocp import OCPDims, OCPQP
@@ -177,26 +178,46 @@ def _cz(qp: OCPQP, z):
     return jnp.einsum("ngz,nz->ng", qp.C, z)
 
 
-def _build_Heff(qp: OCPQP, oh, Qx_b, Qx_g, reg=0.0):
+def _build_Heff(qp: OCPQP, oh, Qx_b, Qx_g, reg=0.0, ng_stages=None):
     """H + diag(scatter(idxb, Qx_b)) + C' diag(Qx_g) C + identity padding
     (reference ``ddiaadin_libsp`` + ``dgemm_diag_right``+``dsyrk`` fold,
     ``d_back_ric_rec.c:197-230``).  ``reg`` adds Levenberg regularization
-    for low-precision factorization (see IPMConfig.reg_eps)."""
+    for low-precision factorization (see IPMConfig.reg_eps).
+
+    ``ng_stages`` (static tuple) restricts the general-constraint fold to
+    the stages that actually have general rows — MPC problems typically
+    constrain only a few stages (e.g. the terminal), and materializing the
+    (N+1, NG, NZ, NZ) contraction over every stage is pure HBM waste."""
     NZ = qp.H.shape[-1]
     dvec = _scatter_box(oh, Qx_b) + qp.pad_diag + jnp.asarray(reg, qp.dtype)
     H = qp.H + jnp.eye(NZ, dtype=qp.H.dtype)[None] * dvec[:, None, :]
-    H = H + jnp.einsum("ngz,ng,ngw->nzw", qp.C, Qx_g * qp.ng_mask, qp.C)
+    if ng_stages is None:
+        H = H + jnp.einsum("ngz,ng,ngw->nzw", qp.C, Qx_g * qp.ng_mask, qp.C)
+    elif len(ng_stages) > 0:
+        idx = np.asarray(ng_stages)
+        H = H.at[idx].add(
+            jnp.einsum(
+                "ngz,ng,ngw->nzw",
+                qp.C[idx],
+                Qx_g[idx] * qp.ng_mask[idx],
+                qp.C[idx],
+            )
+        )
     return H
 
 
-def _build_geff(qp: OCPQP, oh, base, qx_b, qx_g):
+def _build_geff(qp: OCPQP, oh, base, qx_b, qx_g, ng_stages=None):
     """base + scatter(idxb, qx_b) + C' qx_g (reference ``drowad_libsp`` +
     ``drowin``/``dgemv`` gradient fold)."""
-    return (
-        base
-        + _scatter_box(oh, qx_b)
-        + jnp.einsum("ngz,ng->nz", qp.C, qx_g * qp.ng_mask)
-    )
+    out = base + _scatter_box(oh, qx_b)
+    if ng_stages is None:
+        out = out + jnp.einsum("ngz,ng->nz", qp.C, qx_g * qp.ng_mask)
+    elif len(ng_stages) > 0:
+        idx = np.asarray(ng_stages)
+        out = out.at[idx].add(
+            jnp.einsum("ngz,ng->nz", qp.C[idx], qx_g[idx] * qp.ng_mask[idx])
+        )
+    return out
 
 
 def _min_ratio(alpha, v, dv, mask):
@@ -519,6 +540,8 @@ def _solve_impl(
     mb, mg = qp.nb_mask, qp.ng_mask
     mb2, mg2 = mb[:, None, :], mg[:, None, :]
 
+    ng_stages = tuple(n for n in range(dims.N + 1) if dims.ng[n] > 0)
+
     if backend is None:
         backend = chain_backend(dims, qp, oh, mu_scal, use_pallas=cfg.use_pallas)
 
@@ -597,8 +620,8 @@ def _solve_impl(
             - lamt_g[:, 0] * qp.d_lg
         ) * mg
 
-        H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=cfg.reg_eps)
-        g_eff = _build_geff(qp, oh, qp.g * qp.z_mask, qx_b, qx_g)
+        H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=cfg.reg_eps, ng_stages=ng_stages)
+        g_eff = _build_geff(qp, oh, qp.g * qp.z_mask, qx_b, qx_g, ng_stages=ng_stages)
 
         # affine (predictor) solve: full new iterate
         dz, dpi, fstate = backend.factor_solve(H_eff, g_eff, qp.b)
@@ -720,8 +743,8 @@ def _solve_impl(
             return qxb, qxg
 
         qx_b, qx_g = qx_from(res.rm_b, res.rm_g)
-        H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=cfg.reg_eps)
-        g_eff = _build_geff(qp, oh, res.rq, qx_b, qx_g)
+        H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=cfg.reg_eps, ng_stages=ng_stages)
+        g_eff = _build_geff(qp, oh, res.rq, qx_b, qx_g, ng_stages=ng_stages)
 
         dz, dpi, fstate = backend.factor_solve(H_eff, g_eff, res.rb)
 
@@ -736,7 +759,7 @@ def _solve_impl(
         rm_b2 = res.rm_b + (dtb * dlam_b - sm) * mb2
         rm_g2 = res.rm_g + (dtg * dlam_g - sm) * mg2
         qx_b2, qx_g2 = qx_from(rm_b2, rm_g2)
-        g_eff2 = _build_geff(qp, oh, res.rq, qx_b2, qx_g2)
+        g_eff2 = _build_geff(qp, oh, res.rq, qx_b2, qx_g2, ng_stages=ng_stages)
         res2 = res._replace(rm_b=rm_b2, rm_g=rm_g2)
 
         dz2, dpi2 = backend.resolve(fstate, g_eff2, res.rb)
