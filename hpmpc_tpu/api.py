@@ -22,7 +22,6 @@ solve) rather than a buffer the caller must allocate.
 from __future__ import annotations
 
 import ctypes
-import dataclasses
 import os
 from typing import NamedTuple, Sequence
 
@@ -30,7 +29,7 @@ import numpy as np
 
 from .models import cond as _cond
 from .models import ipm as _ipm
-from .ocp import OCPDims, OCPQP, pack_ocp
+from .ocp import OCPDims, pack_ocp
 
 _NATIVE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -1,3 +1,6 @@
-from . import riccati
+from . import admm, cond, ipm, ipm_soft, mhe, riccati, riccati_par, schur, tree
 
-__all__ = ["riccati"]
+__all__ = [
+    "admm", "cond", "ipm", "ipm_soft", "mhe",
+    "riccati", "riccati_par", "schur", "tree",
+]

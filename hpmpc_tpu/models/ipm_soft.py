@@ -23,7 +23,6 @@ alpha, mu} contract.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax

@@ -44,7 +44,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.tri import cholesky, solve_tril, solve_triu, tril_inverse
 from .riccati import RiccatiSolution

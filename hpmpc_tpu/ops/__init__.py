@@ -1,3 +1,3 @@
-from . import tri
+from . import stage_kernel, tri
 
-__all__ = ["tri"]
+__all__ = ["stage_kernel", "tri"]

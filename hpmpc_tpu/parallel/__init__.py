@@ -1,0 +1,3 @@
+from . import batch, multihost
+
+__all__ = ["batch", "multihost"]

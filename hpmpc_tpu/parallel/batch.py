@@ -14,7 +14,6 @@ retires together without wasted flops beyond the slowest instance.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

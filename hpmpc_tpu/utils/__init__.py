@@ -1,3 +1,3 @@
-from . import mass_spring
+from . import mass_spring, mhe_data
 
-__all__ = ["mass_spring"]
+__all__ = ["mass_spring", "mhe_data"]

@@ -52,3 +52,47 @@ def test_graft_entry_compiles():
     jax.block_until_ready(out)
 
     ge.dryrun_multichip(8)
+
+
+def test_batched_soft_and_admm_and_tree():
+    """All solver families are vmap-safe (per-instance gating) — smoke test
+    with per-instance perturbed data."""
+    import dataclasses as dc
+
+    from hpmpc_tpu.models import admm, ipm_soft, tree
+    from hpmpc_tpu.utils.mass_spring import mass_spring_soft_qp
+
+    B = 4
+    # soft IPM batched
+    dims, qp, soft = mass_spring_soft_qp(4, 1, 6)
+    qps = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), qp)
+    softs = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), soft)
+    scales = jnp.linspace(0.9, 1.1, B, dtype=qp.b.dtype)
+    qps = dc.replace(qps, b=qps.b * scales[:, None, None])
+    cfg = ipm.IPMConfig(k_max=40, mu0=100.0, mu_tol=1e-6)
+    sols = jax.jit(jax.vmap(lambda q, s: ipm_soft.solve(dims, q, s, cfg)))(qps, softs)
+    assert int(jnp.sum(sols.status == 0)) == B
+
+    # ADMM batched
+    from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+    dims2, qp2 = mass_spring_qp(4, 1, 6)
+    qps2 = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), qp2)
+    qps2 = dc.replace(qps2, b=qps2.b * scales[:, None, None])
+    acfg = admm.ADMMConfig(k_max=1500, tol_p=1e-7, tol_d=1e-7)
+    asols = jax.jit(jax.vmap(lambda q: admm.solve_box(dims2, q, acfg)))(qps2)
+    assert int(jnp.sum(asols.status == 0)) == B
+
+    # tree IPM batched
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_tree import _tree_qp
+
+    tdef = tree.TreeDef.from_md_nr_nh(2, 1, 3)
+    dims3, qp3 = _tree_qp(tdef, nb=1)
+    qps3 = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), qp3)
+    qps3 = dc.replace(qps3, b=qps3.b * scales[:, None, None])
+    tcfg = ipm.IPMConfig(k_max=25, mu_tol=1e-8)
+    tsols = jax.jit(jax.vmap(lambda q: tree.solve_tree_ipm(tdef, dims3, q, tcfg)))(qps3)
+    assert int(jnp.sum(tsols.status == 0)) == B

@@ -42,7 +42,7 @@ def main():
     dt = jnp.float32
     HI = jax.lax.Precision.HIGHEST
 
-    def slope_time(fn, x, K_lo=4, K_hi=16, reps=3):
+    def slope_time(fn, x, K_lo=32, K_hi=256, reps=2):
         def make(K):
             @jax.jit
             def run(x, seed):
@@ -56,12 +56,12 @@ def main():
         ts = {}
         for K in (K_lo, K_hi):
             f = make(K)
-            jax.block_until_ready(f(x, jnp.asarray(0.0, dt)))
+            float(f(x, jnp.asarray(0.0, dt)))  # compile+warm; float() = sync
             t0 = time.perf_counter()
             for r in range(1, reps + 1):
-                jax.block_until_ready(f(x, jnp.asarray(r * 31.0, dt)))
+                float(f(x, jnp.asarray(r * 31.0, dt)))
             ts[K] = (time.perf_counter() - t0) / reps
-        return (ts[K_hi] - ts[K_lo]) / (K_hi - K_lo)
+        return max((ts[K_hi] - ts[K_lo]) / (K_hi - K_lo), 1e-9)
 
     rng = np.random.default_rng(0)
     for n in sizes:
