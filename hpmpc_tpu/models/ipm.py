@@ -57,7 +57,10 @@ class IPMConfig:
     alpha_min: float = 1e-8
     warm_start: bool = False
     # phase-1 -> phase-2 switch threshold (reference THR_ITER_REF,
-    # d_ip2_res_hard.c:49)
+    # d_ip2_res_hard.c:49).  Degenerate settings recover the reference's
+    # other solver variants: mu_switch=0 runs phase 1 all the way to mu_tol
+    # (the legacy no-residual d_ip2_mpc_hard_tv); a huge mu_switch skips
+    # phase 1 entirely (pure residual iteration from the start).
     mu_switch: float = 1e-5
     # dispatch the Riccati sweeps to the fused Pallas TPU kernels
     # (ops/stage_kernel.py) when the solve is vmapped over a batch that is a

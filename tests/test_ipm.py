@@ -247,3 +247,18 @@ def test_single_newton_step_rti():
 
     assert kkt_err(sol1) < 0.05 * kkt_err(sol0)
 
+
+
+@pytest.mark.parametrize("mu_switch", [0.0, 1e30])
+def test_legacy_and_pure_residual_modes(mu_switch):
+    """mu_switch=0 reproduces the legacy no-residual solver
+    (d_ip2_mpc_hard_tv); mu_switch=inf runs residual iterations from the
+    start.  Both must converge to the same optimum as the default."""
+    dims, qp = mass_spring_qp(8, 3, 10)
+    base = _solve_jit(dims, qp, ipm.IPMConfig(k_max=30, mu_tol=1e-9))
+    cfg = ipm.IPMConfig(k_max=30, mu_tol=1e-9, mu_switch=mu_switch)
+    sol = jax.jit(lambda q: ipm.solve(dims, q, cfg))(qp)
+    assert int(sol.status) == 0
+    np.testing.assert_allclose(
+        np.asarray(sol.z), np.asarray(base.z), atol=1e-6
+    )
