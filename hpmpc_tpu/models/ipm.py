@@ -133,7 +133,10 @@ class KKTBackend(NamedTuple):
     stage Riccati recursion; the scenario-tree solver injects a tree
     Riccati and tree-topology residuals (models/tree.py).
 
-    factor_solve(H_eff, g_eff, rhs_b) -> (dz, dpi, factor_state)
+    factor_solve(Qx_b, Qx_g, g_eff, rhs_b) -> (dz, dpi, factor_state)
+        (the backend owns the barrier-Hessian assembly H + diag fold +
+        C'diag(Qx_g)C — the Pallas backend fuses it into the sweep kernel
+        to avoid materializing (N+1, NZ, NZ) stage Hessians in HBM)
     resolve(factor_state, g_eff, rhs_b) -> (dz, dpi)
     residuals(z, pi, lam_b, t_b, lam_g, t_g, b) -> Residuals
     """
@@ -379,7 +382,8 @@ def compute_residuals(qp: OCPQP, oh, mu_scal, z, pi, lam_b, t_b, lam_g, t_g):
 
 
 def chain_backend(
-    dims: OCPDims, qp: OCPQP, oh, mu_scal, use_pallas: bool = False
+    dims: OCPDims, qp: OCPQP, oh, mu_scal, use_pallas: bool = False,
+    reg_eps: float = 0.0,
 ) -> KKTBackend:
     """Default backend: stage-chain Riccati + chain residual topology.
 
@@ -390,25 +394,43 @@ def chain_backend(
     intermediates pinned in VMEM."""
     NU = dims.NU
 
+    ng_stages = tuple(n for n in range(dims.N + 1) if dims.ng[n] > 0)
+    reg = reg_eps
+
     if use_pallas:
         from ..ops import stage_kernel
 
         @jax.custom_batching.custom_vmap
-        def _fs(H_eff, g_eff, F, rhs_b):
+        def _fs(dvec, Qx_g, g_eff, H, C, F, rhs_b):
+            H_eff = H + jnp.eye(H.shape[-1], dtype=H.dtype)[None] * dvec[:, None, :]
+            if len(ng_stages) > 0:
+                idx = np.asarray(ng_stages)
+                H_eff = H_eff.at[idx].add(
+                    jnp.einsum("ngz,ng,ngw->nzw", C[idx], Qx_g[idx], C[idx])
+                )
             sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, F, rhs_b, NU)
             return sol.z, sol.pi, L, Pb
 
         @_fs.def_vmap
-        def _fs_vmap(axis_size, in_batched, H, g, F, rhs_b):
+        def _fs_vmap(axis_size, in_batched, dvec, Qx_g, g, H, C, F, rhs_b):
             assert all(in_batched), "pallas path expects fully batched data"
             if axis_size % stage_kernel.BI == 0:
-                z, pi, L, eu, px, Pb = stage_kernel.factor_solve_batched(
-                    H, g, F, rhs_b, NU
+                if len(ng_stages) > 0:
+                    idx = np.asarray(ng_stages)
+                    ngterm = jnp.einsum(
+                        "bngz,bng,bngw->bnzw", C[:, idx], Qx_g[:, idx], C[:, idx]
+                    )
+                else:
+                    ngterm = jnp.zeros(
+                        (axis_size, 0, H.shape[-1], H.shape[-1]), H.dtype
+                    )
+                z, pi, L, eu, px, Pb = stage_kernel.factor_solve_folded(
+                    H, dvec, ngterm, ng_stages, g, F, rhs_b, NU
                 )
             else:
                 z, pi, L, Pb = jax.vmap(
                     lambda *a: _fs.fun(*a)
-                )(H, g, F, rhs_b)
+                )(dvec, Qx_g, g, H, C, F, rhs_b)
             return (z, pi, L, Pb), (True, True, True, True)
 
         @jax.custom_batching.custom_vmap
@@ -425,8 +447,15 @@ def chain_backend(
                 z, pi = jax.vmap(lambda *a: _trs.fun(*a))(L, g, F, rhs_b, Pb)
             return (z, pi), (True, True)
 
-        def factor_solve(H_eff, g_eff, rhs_b):
-            z, pi, L, Pb = _fs(H_eff, g_eff, qp.F, rhs_b)
+        def factor_solve(Qx_b, Qx_g, g_eff, rhs_b):
+            dvec = (
+                _scatter_box(oh, Qx_b)
+                + qp.pad_diag
+                + jnp.asarray(reg, qp.dtype)
+            )
+            z, pi, L, Pb = _fs(
+                dvec, Qx_g * qp.ng_mask, g_eff, qp.H, qp.C, qp.F, rhs_b
+            )
             return z, pi, (L, Pb)
 
         def resolve(fstate, g_eff, rhs_b):
@@ -435,7 +464,8 @@ def chain_backend(
 
     else:
 
-        def factor_solve(H_eff, g_eff, rhs_b):
+        def factor_solve(Qx_b, Qx_g, g_eff, rhs_b):
+            H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=reg, ng_stages=ng_stages)
             sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, qp.F, rhs_b, NU)
             return sol.z, sol.pi, (L, Pb)
 
@@ -546,7 +576,9 @@ def _solve_impl(
     ng_stages = tuple(n for n in range(dims.N + 1) if dims.ng[n] > 0)
 
     if backend is None:
-        backend = chain_backend(dims, qp, oh, mu_scal, use_pallas=cfg.use_pallas)
+        backend = chain_backend(
+            dims, qp, oh, mu_scal, use_pallas=cfg.use_pallas, reg_eps=cfg.reg_eps
+        )
 
     if return_carry:
         NZ = dims.NZ
@@ -623,11 +655,10 @@ def _solve_impl(
             - lamt_g[:, 0] * qp.d_lg
         ) * mg
 
-        H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=cfg.reg_eps, ng_stages=ng_stages)
         g_eff = _build_geff(qp, oh, qp.g * qp.z_mask, qx_b, qx_g, ng_stages=ng_stages)
 
         # affine (predictor) solve: full new iterate
-        dz, dpi, fstate = backend.factor_solve(H_eff, g_eff, qp.b)
+        dz, dpi, fstate = backend.factor_solve(Qx_b, Qx_g, g_eff, qp.b)
 
         dtb, dtg, dlam_b, dlam_g = dt_dlam_phase1(
             dz, s.t_b, s.t_g, s.lam_b, t_inv_b, t_inv_g,
@@ -746,10 +777,9 @@ def _solve_impl(
             return qxb, qxg
 
         qx_b, qx_g = qx_from(res.rm_b, res.rm_g)
-        H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=cfg.reg_eps, ng_stages=ng_stages)
         g_eff = _build_geff(qp, oh, res.rq, qx_b, qx_g, ng_stages=ng_stages)
 
-        dz, dpi, fstate = backend.factor_solve(H_eff, g_eff, res.rb)
+        dz, dpi, fstate = backend.factor_solve(Qx_b, Qx_g, g_eff, res.rb)
 
         dtb, dtg, dlam_b, dlam_g = dt_dlam_res(dz, res, t_inv_b, t_inv_g, s.lam_b, s.lam_g)
         alpha_aff = alpha_all(dtb, dtg, dlam_b, dlam_g, s.t_b, s.t_g, s.lam_b, s.lam_g)

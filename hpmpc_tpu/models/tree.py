@@ -269,13 +269,19 @@ def tree_residuals(tdef: TreeDef, qp: OCPQP, oh, mu_scal, z, pi, lam_b, t_b, lam
     return ipm.Residuals(rq=rq, rb=rb, rd_b=rd_b, rd_g=rd_g, rm_b=rm_b, rm_g=rm_g, mu=mu)
 
 
-def tree_backend(tdef: TreeDef, dims: OCPDims, qp: OCPQP) -> ipm.KKTBackend:
+def tree_backend(
+    tdef: TreeDef, dims: OCPDims, qp: OCPQP, reg_eps: float = 0.0
+) -> ipm.KKTBackend:
     """Build the tree KKTBackend for ipm.solve."""
     NU = dims.NU
     oh = ipm._box_onehot(qp)
     mu_scal = jnp.asarray(1.0 / max(dims.n_constr, 1), qp.dtype)
+    ng_stages = tuple(n for n in range(dims.N + 1) if dims.ng[n] > 0)
 
-    def factor_solve(H_eff, g_eff, rhs_b):
+    def factor_solve(Qx_b, Qx_g, g_eff, rhs_b):
+        H_eff = ipm._build_Heff(
+            qp, oh, Qx_b, Qx_g, reg=reg_eps, ng_stages=ng_stages
+        )
         z, pi, fac = tree_factor_solve(tdef, qp, H_eff, g_eff, rhs_b, NU)
         return z, pi, (fac,)
 
@@ -299,4 +305,6 @@ def solve_tree_ipm(tdef: TreeDef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
     chain-specific fields nx/nu are per-node here; masks drive everything).
     """
     assert dims.N + 1 == tdef.n_nodes
-    return ipm.solve(dims, qp, cfg, backend=tree_backend(tdef, dims, qp))
+    return ipm.solve(
+        dims, qp, cfg, backend=tree_backend(tdef, dims, qp, reg_eps=cfg.reg_eps)
+    )

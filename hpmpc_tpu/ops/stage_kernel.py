@@ -516,3 +516,232 @@ def solve_batched(L, g_eff, F, b, Pb, NU):
     u_N = -jax.vmap(lambda A_, r_: solve_triu(A_.T, r_))(LuuN, rhs)
     z = z.at[:, N, :NU].set(u_N).at[:, N, NU:].set(x_N)
     return z, pi
+
+
+# ---------------------------------------------------------------------------
+# folded backward sweep: barrier-Hessian assembly fused into the kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel_folded(NU, NX, NZ, N, ng_stage_ids,
+                       H_ref, dvec_ref, ngterm_ref, g_ref, F_ref, b_ref,
+                       L_ref, eu_ref, px_ref, Pb_ref,
+                       Lxx_c, px_c):
+    """Like _bwd_kernel but M is assembled in VMEM from the CONSTANT stage
+    Hessian H plus the per-iteration diagonal barrier fold ``dvec`` and the
+    (few) general-constraint stage terms — the (N+1, NZ, NZ) effective
+    Hessians never exist in HBM (on TPU their tile padding costs ~17x the
+    logical bytes, and rebuilding them per IPM iteration dominated the
+    solve time)."""
+    s = pl.program_id(1)
+
+    Hc = _mat(H_ref, NZ, NZ)
+    dv = _vec(dvec_ref, NZ)
+    H = [[Hc[i][j] for j in range(NZ)] for i in range(NZ)]
+    for i in range(NZ):
+        H[i][i] = H[i][i] + dv[i]
+    if len(ng_stage_ids):
+        stage_match = None
+        for stg in ng_stage_ids:
+            m = (s == N - stg)
+            stage_match = m if stage_match is None else (stage_match | m)
+        ng = _mat(ngterm_ref, NZ, NZ)
+        for i in range(NZ):
+            for j in range(NZ):
+                H[i][j] = H[i][j] + jnp.where(stage_match, ng[i][j], 0.0)
+
+    g = _vec(g_ref, NZ)
+
+    def interior():
+        F = _mat(F_ref, NZ, NX)
+        bb = _vec(b_ref, NX)
+        Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
+        pxn = [px_c[i] for i in range(NX)]
+        W = [[None] * NX for _ in range(NZ)]
+        for i in range(NZ):
+            for j in range(NX):
+                acc = None
+                for k in range(j, NX):
+                    t = F[i][k] * Lxx[k][j]
+                    acc = t if acc is None else acc + t
+                W[i][j] = acc
+        t1 = [None] * NX
+        for i in range(NX):
+            acc = None
+            for k in range(i, NX):
+                t = Lxx[k][i] * bb[k]
+                acc = t if acc is None else acc + t
+            t1[i] = acc
+        Pb = [None] * NX
+        for i in range(NX):
+            acc = None
+            for k in range(i + 1):
+                t = Lxx[i][k] * t1[k]
+                acc = t if acc is None else acc + t
+            Pb[i] = acc
+        _store_vec(Pb_ref, Pb)
+        m = []
+        for i in range(NZ):
+            acc = g[i]
+            for k in range(NX):
+                acc = acc + F[i][k] * (Pb[k] + pxn[k])
+            m.append(acc)
+        M = [[None] * NZ for _ in range(NZ)]
+        for i in range(NZ):
+            for j in range(i + 1):
+                acc = H[i][j]
+                for k in range(NX):
+                    acc = acc + W[i][k] * W[j][k]
+                M[i][j] = acc
+                M[j][i] = acc
+        return M, m
+
+    M_i, m_i = interior()
+    is_t = s == 0
+    M = [[jnp.where(is_t, H[i][j], M_i[i][j]) for j in range(NZ)] for i in range(NZ)]
+    m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
+
+    Lf, Dinv = _chol(M, NZ)
+    eu = _tril_solve(
+        [[Lf[i][j] for j in range(NU)] for i in range(NU)],
+        Dinv[:NU], m[:NU], NU,
+    )
+    px = []
+    for i in range(NX):
+        acc = m[NU + i]
+        for k in range(NU):
+            acc = acc - Lf[NU + i][k] * eu[k]
+        px.append(acc)
+
+    _store_mat(L_ref, Lf)
+    zero = Lf[0][0] * 0.0
+    _store_vec(eu_ref, eu + [zero] * (NZ - NU))
+    _store_vec(px_ref, px)
+    for i in range(NX):
+        px_c[i] = px[i]
+        for j in range(NX):
+            Lxx_c[i, j] = Lf[NU + i][NU + j]
+
+
+@functools.partial(jax.jit, static_argnames=("ng_stage_ids", "NU"))
+def factor_solve_folded(H, dvec, ngterm, ng_stage_ids, g_eff, F, b, NU):
+    """Fused Riccati sv with in-kernel barrier-Hessian assembly.
+
+    H: (B, N+1, NZ, NZ) CONSTANT stage Hessians (loop-invariant: XLA hoists
+    their lanes transpose out of the IPM while-loop);
+    dvec: (B, N+1, NZ) per-iteration diagonal fold (box barrier + padding +
+    regularization); ngterm: (B, n_ng, NZ, NZ) dense general-constraint
+    terms for the statically known ``ng_stage_ids``.
+    """
+    B = H.shape[0]
+    Np1 = H.shape[1]
+    N = Np1 - 1
+    NZ = H.shape[-1]
+    NX = F.shape[-1]
+    assert B % BI == 0
+    nb = B // BI
+    dt = H.dtype
+    n_ng = len(ng_stage_ids)
+
+    Hl = _to_lanes(H, B)
+    dl = _to_lanes(dvec, B)
+    gl = _to_lanes(g_eff, B)
+    Fl = _to_lanes(F, B)
+    bl = _to_lanes(b, B)
+
+    def ng_slot(s):
+        # slot of stage N-s in ngterm (arbitrary when not an ng stage:
+        # the kernel masks the add)
+        slot = 0
+        for k, stg in enumerate(ng_stage_ids):
+            slot = jnp.where((N - s) == stg, k, slot)
+        return slot
+
+    in_specs = [
+        pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [Hl, dl]
+    if n_ng:
+        ngl = _to_lanes(ngterm, B)
+        in_specs.append(
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, ng_slot(s), 0, 0, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(ngl)
+    else:
+        # dummy single-slot ref (never added)
+        ngl = jnp.zeros((nb, 1, NZ, NZ, SUBS, LANES), dt)
+        in_specs.append(
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(ngl)
+    in_specs += [
+        pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [gl, Fl, bl]
+
+    kernel = functools.partial(_bwd_kernel_folded, NU, NX, NZ, N, tuple(ng_stage_ids))
+    L_l, eu_l, px_l, Pb_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NX, NX, SUBS, LANES), dt),
+            pltpu.VMEM((NX, SUBS, LANES), dt),
+        ],
+    )(*args)
+
+    fkernel = functools.partial(_fwd_kernel, NU, NX, NZ, N)
+    z_l, pi_l = pl.pallas_call(
+        fkernel,
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
+    )(L_l, L_l, eu_l, px_l, px_l, Fl, bl)
+
+    z = _from_lanes(z_l, B)
+    pi = _from_lanes(pi_l, B)
+    L = _from_lanes(L_l, B)
+    eu = _from_lanes(eu_l, B)
+    px = _from_lanes(px_l, B)
+    Pb = _from_lanes(Pb_l, B)
+
+    from .tri import solve_triu
+
+    x_N = b[:, N - 1] + jnp.einsum("bzx,bz->bx", F[:, N - 1], z[:, N - 1])
+    LuuN = L[:, N, :NU, :NU]
+    LxuN = L[:, N, NU:, :NU]
+    rhs = eu[:, N, :NU] + jnp.einsum("bxu,bx->bu", LxuN, x_N)
+    u_N = -jax.vmap(lambda A_, r_: solve_triu(A_.T, r_))(LuuN, rhs)
+    z = z.at[:, N, :NU].set(u_N).at[:, N, NU:].set(x_N)
+    return z, pi, L, eu, px, Pb

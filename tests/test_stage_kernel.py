@@ -28,8 +28,8 @@ def interpret_pallas(monkeypatch):
     yield
 
 
-def _batch_qp(N=4, B=1024):
-    dims, qp = mass_spring_qp(8, 3, N, dtype=jnp.float32)
+def _batch_qp(N=4, B=1024, ngN=0):
+    dims, qp = mass_spring_qp(8, 3, N, ngN=ngN, dtype=jnp.float32)
     qpb = pbatch.broadcast_qp(qp, B)
     rng = np.random.default_rng(0)
     qpb = dataclasses.replace(
@@ -64,6 +64,20 @@ def test_fused_sv_matches_xla(interpret_pallas):
 
 def test_fused_ipm_matches_xla_path(interpret_pallas):
     dims, qpb = _batch_qp()
+    cfg_x = ipm.IPMConfig(k_max=3, mu_tol=1e-4)
+    cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
+    sol_x = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_x))(qpb)
+    sol_p = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_p))(qpb)
+    assert bool(jnp.all(sol_x.kk == sol_p.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_p.z), np.asarray(sol_x.z), atol=5e-4
+    )
+
+
+def test_fused_ipm_with_general_constraints(interpret_pallas):
+    """The folded kernel's in-VMEM ng-stage Hessian add (terminal equality
+    rows) must match the XLA path."""
+    dims, qpb = _batch_qp(ngN=4)
     cfg_x = ipm.IPMConfig(k_max=3, mu_tol=1e-4)
     cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
     sol_x = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_x))(qpb)
