@@ -745,3 +745,272 @@ def factor_solve_folded(H, dvec, ngterm, ng_stage_ids, g_eff, F, b, NU):
     u_N = -jax.vmap(lambda A_, r_: solve_triu(A_.T, r_))(LuuN, rhs)
     z = z.at[:, N, :NU].set(u_N).at[:, N, NU:].set(x_N)
     return z, pi, L, eu, px, Pb
+
+
+# ---------------------------------------------------------------------------
+# flat-state wrappers: loop state lives as (B, flat) 2-D arrays (TPU tile
+# padding makes (..., small, small)-trailing layouts cost 10-65x their
+# logical bytes) and the retained factor stays in LANES form between the
+# sv and trs calls (never materialized as (B, N+1, NZ, NZ))
+# ---------------------------------------------------------------------------
+
+
+def _to_lanes_flat(x, B, shape):
+    """(B, prod(shape)) -> (nb, *shape, 8, 128) without materializing the
+    padded structured layout."""
+    nb = B // BI
+    y = x.reshape((nb, SUBS, LANES) + tuple(shape))
+    perm = (0,) + tuple(range(3, y.ndim)) + (1, 2)
+    return jnp.transpose(y, perm)
+
+
+def _from_lanes_flat(y, B):
+    """(nb, *shape, 8, 128) -> (B, prod(shape))."""
+    nb = B // BI
+    perm = (0, y.ndim - 2, y.ndim - 1) + tuple(range(1, y.ndim - 2))
+    x = jnp.transpose(y, perm)
+    return x.reshape(B, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("ng_stage_ids", "NU", "NZ", "NX"))
+def factor_solve_folded_flat(Hl, dvecF, ngterm, ng_stage_ids, gF, Fl, bF, NU, NZ, NX):
+    """Flat-state fused sv.  Hl (nb, N+1, NZ, NZ, 8, 128) and
+    Fl (nb, N, NZ, NX, 8, 128) are the loop-invariant data already in lanes
+    form (the caller transposes them ONCE outside the IPM loop);
+    dvecF (B, (N+1)*NZ), gF likewise, bF (B, N*NX); ngterm (B, n_ng, NZ, NZ).
+
+    Returns (zF, piF, fstate) with fstate = (L_lanes, Pb_lanes).
+    """
+    nb = Hl.shape[0]
+    B = nb * BI
+    Np1 = Hl.shape[1]
+    N = Np1 - 1
+    dt = Hl.dtype
+    n_ng = len(ng_stage_ids)
+
+    dl = _to_lanes_flat(dvecF, B, (Np1, NZ))
+    gl = _to_lanes_flat(gF, B, (Np1, NZ))
+    bl = _to_lanes_flat(bF, B, (N, NX))
+
+    def ng_slot(s):
+        slot = 0
+        for k, stg in enumerate(ng_stage_ids):
+            slot = jnp.where((N - s) == stg, k, slot)
+        return slot
+
+    in_specs = [
+        pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [Hl, dl]
+    if n_ng:
+        ngl = _to_lanes(ngterm, B)
+        in_specs.append(
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, ng_slot(s), 0, 0, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(ngl)
+    else:
+        ngl = jnp.zeros((nb, 1, NZ, NZ, SUBS, LANES), dt)
+        in_specs.append(
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(ngl)
+    in_specs += [
+        pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [gl, Fl, bl]
+
+    kernel = functools.partial(_bwd_kernel_folded, NU, NX, NZ, N, tuple(ng_stage_ids))
+    L_l, eu_l, px_l, Pb_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NX, NX, SUBS, LANES), dt),
+            pltpu.VMEM((NX, SUBS, LANES), dt),
+        ],
+    )(*args)
+
+    zF, piF = _forward_from_lanes(L_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
+    return zF, piF, (L_l, Pb_l)
+
+
+def _forward_from_lanes(L_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX):
+    nb = B // BI
+    dt = L_l.dtype
+    fkernel = functools.partial(_fwd_kernel, NU, NX, NZ, N)
+    z_l, pi_l = pl.pallas_call(
+        fkernel,
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, N + 1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
+    )(L_l, L_l, eu_l, px_l, px_l, Fl, bl)
+
+    zF = _from_lanes_flat(z_l, B)  # (B, (N+1)*NZ); stage N entries fixed below
+    piF = _from_lanes_flat(pi_l, B)
+
+    # terminal stage tail: x_N = b_{N-1} + F' z_{N-1}; u_N via L_N blocks
+    from .tri import solve_triu
+
+    L_N = _from_lanes(L_l[:, N : N + 1], B)[:, 0]  # (B, NZ, NZ), tiny slice
+    eu_N = _from_lanes(eu_l[:, N : N + 1], B)[:, 0][:, :NU]
+    F_last = _from_lanes(Fl[:, N - 1 : N], B)[:, 0]
+    b_last = _from_lanes(bl[:, N - 1 : N], B)[:, 0]
+    z_prev = zF[:, (N - 1) * NZ : N * NZ]
+    x_N = b_last + jnp.einsum("bzx,bz->bx", F_last, z_prev)
+    rhs = eu_N + jnp.einsum("bxu,bx->bu", L_N[:, NU:, :NU], x_N)
+    u_N = -jax.vmap(lambda A_, r_: solve_triu(A_.T, r_))(L_N[:, :NU, :NU], rhs)
+    zF = zF.at[:, N * NZ : N * NZ + NU].set(u_N)
+    zF = zF.at[:, N * NZ + NU :].set(x_N)
+    return zF, piF
+
+
+@functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
+def solve_flat(L_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
+    """Flat-state fused trs with the LANES-form retained factor."""
+    nb = L_l.shape[0]
+    B = nb * BI
+    Np1 = L_l.shape[1]
+    N = Np1 - 1
+    dt = L_l.dtype
+
+    gl = _to_lanes_flat(gF, B, (Np1, NZ))
+    bl = _to_lanes_flat(bF, B, (N, NX))
+
+    kernel = functools.partial(_bwd_trs_kernel, NU, NX, NZ, N)
+    eu_l, px_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
+    )(L_l, gl, Fl, Pb_l)
+
+    return _forward_from_lanes(L_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
+
+
+# ---------------------------------------------------------------------------
+# residual-terms kernel: the three matvecs of the KKT residual (H_n z_n,
+# F_n' z_n, F_n pi_n) read H/F in tile-dense lanes form.  The XLA einsum
+# alternative reads the structured (B, N+1, NZ, NZ) / (B, N, NZ, NX) arrays
+# whose (11, 11) / (11, 7) trailing dims tile-pad 17-18x (~2 GB/iteration
+# at B=4096); lanes-form H+F is ~100 MB.
+# ---------------------------------------------------------------------------
+
+
+def _resid_kernel(NZ, NX, N,
+                  H_ref, F_ref, z_ref, pi_ref,
+                  hz_ref, fz_ref, fpi_ref):
+    H = _mat(H_ref, NZ, NZ)
+    F = _mat(F_ref, NZ, NX)
+    z = _vec(z_ref, NZ)
+    piv = _vec(pi_ref, NX)
+
+    hz = []
+    for i in range(NZ):
+        acc = H[i][0] * z[0]
+        for j in range(1, NZ):
+            acc = acc + H[i][j] * z[j]
+        hz.append(acc)
+    _store_vec(hz_ref, hz)
+
+    fz = []
+    for x in range(NX):
+        acc = F[0][x] * z[0]
+        for j in range(1, NZ):
+            acc = acc + F[j][x] * z[j]
+        fz.append(acc)
+    _store_vec(fz_ref, fz)
+
+    fpi = []
+    for i in range(NZ):
+        acc = F[i][0] * piv[0]
+        for x in range(1, NX):
+            acc = acc + F[i][x] * piv[x]
+        fpi.append(acc)
+    _store_vec(fpi_ref, fpi)
+
+
+@functools.partial(jax.jit, static_argnames=("NZ", "NX"))
+def resid_terms_flat(Hl, Fl, zF, piF, NZ, NX):
+    """hzF[b, n*NZ+i] = (H_n z_n)_i               for n in 0..N
+    fzF[b, n*NX+x] = (F_n' z_n)_x                 for n in 0..N-1
+    fpiF[b, n*NZ+i] = (F_n pi_n)_i                for n in 0..N-1
+    (fpiF's stage-N slice is garbage; callers add only [:, :N*NZ])."""
+    nb = Hl.shape[0]
+    B = nb * BI
+    Np1 = Hl.shape[1]
+    N = Np1 - 1
+    dt = Hl.dtype
+
+    zl = _to_lanes_flat(zF, B, (Np1, NZ))
+    pil = _to_lanes_flat(piF, B, (N, NX))
+
+    kernel = functools.partial(_resid_kernel, NZ, NX, N)
+    hz_l, fz_l, fpi_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+        ],
+    )(Hl, Fl, zl, pil)
+
+    hzF = _from_lanes_flat(hz_l, B)
+    fzF = _from_lanes_flat(fz_l, B)[:, : N * NX]
+    fpiF = _from_lanes_flat(fpi_l, B)
+    return hzF, fzF, fpiF

@@ -33,7 +33,25 @@ def broadcast_qp(qp: OCPQP, batch: int) -> OCPQP:
 
 
 def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
-    """vmap the full IPM over a leading instance axis of every QP leaf."""
+    """vmap the full IPM over a leading instance axis of every QP leaf.
+
+    With ``cfg.use_pallas`` and a 1024-multiple batch, dispatches to the
+    flat-state batch-level engine (:mod:`..models.ipm_fast`) — same
+    algorithm, TPU-tile-friendly (B, flat) loop state and fused Pallas
+    Riccati/residual kernels.  Other batch sizes take the vmapped
+    structured path (which itself uses the Pallas stage kernels through
+    ``custom_vmap`` when the batch allows)."""
+    B = qp.b.shape[0]
+    if (
+        cfg.use_pallas
+        and not cfg.warm_start
+        and dims.n_constr > 0
+        and dims.idxb is not None
+        and B % 1024 == 0
+    ):
+        from ..models import ipm_fast
+
+        return ipm_fast.solve_batched_flat(dims, qp, cfg)
     return jax.vmap(lambda q: ipm.solve(dims, q, cfg))(qp)
 
 
