@@ -337,3 +337,31 @@ def solve_ocp_soft(
         stat=np.asarray(sol.stat)[:kk],
         inf_norm_res=np.zeros(4),
     )
+
+
+def solve_ocp_c_order(
+    N,
+    A, B, b,
+    Q, S, R, q, r,
+    idxb=None, lb=None, ub=None,
+    C=None, D=None, lg=None, ug=None,
+    x0=None,
+    N2=None,
+    k_max=30,
+    mu0=2.0,
+    mu_tol=1e-8,
+    alpha_min=1e-8,
+) -> OCPResult:
+    """Row-major twin of :func:`solve_ocp` (the reference's
+    ``c_order_d_ip_ocp_hard_tv``, ``interfaces/c/c_order_interface.c``):
+    every 2-D matrix argument is interpreted as the TRANSPOSE of the
+    fortran-order layout — the reference packs these with
+    ``d_cvt_tran_mat2pmat`` instead of ``d_cvt_mat2pmat``.  Vectors and
+    index lists are identical in both conventions."""
+    tr = lambda seq: None if seq is None else [np.asarray(m).T for m in seq]
+    return solve_ocp(
+        N, tr(A), tr(B), b, tr(Q), tr(S), tr(R), q, r,
+        idxb=idxb, lb=lb, ub=ub, C=tr(C), D=tr(D), lg=lg, ug=ug,
+        x0=x0, N2=N2, k_max=k_max, mu0=mu0, mu_tol=mu_tol,
+        alpha_min=alpha_min,
+    )

@@ -75,6 +75,14 @@ class IPMConfig:
     # mu ~ sqrt(eps) is unaffected (cf. the reference's own ITER_REF hooks,
     # d_ip2_res_hard.c:48).
     reg_eps: float = 0.0
+    # iterative refinement of each KKT solve (the reference's compile-time
+    # ITER_REF option, d_ip2_res_hard.c:48 / :1086-1163): after the
+    # Riccati-factored solve, evaluate the Newton-system residuals with
+    # full-precision matvecs (d_back_ric_res_tv) and re-solve with the
+    # retained factor for a correction, `iter_ref` times.  Recovers the
+    # accuracy lost to factorization roundoff / reg_eps; mainly useful on
+    # the f32 path.  Supported on the XLA backend path (use_pallas=False).
+    iter_ref: int = 0
 
 
 class IPMState(NamedTuple):
@@ -383,7 +391,7 @@ def compute_residuals(qp: OCPQP, oh, mu_scal, z, pi, lam_b, t_b, lam_g, t_g):
 
 def chain_backend(
     dims: OCPDims, qp: OCPQP, oh, mu_scal, use_pallas: bool = False,
-    reg_eps: float = 0.0,
+    reg_eps: float = 0.0, iter_ref: int = 0,
 ) -> KKTBackend:
     """Default backend: stage-chain Riccati + chain residual topology.
 
@@ -464,14 +472,32 @@ def chain_backend(
 
     else:
 
+        def _refine(L, H_eff, g_eff, rhs_b, z, pi):
+            """Iterative refinement (reference ITER_REF, d_ip2_res_hard.c:48):
+            full-precision Newton residuals via d_back_ric_res_tv semantics,
+            correction re-solve with the retained factor.  Pb is recomputed
+            per correction (its cache is keyed to the original rhs)."""
+            for _ in range(iter_ref):
+                rq, rb = riccati.kkt_residuals(H_eff, g_eff, qp.F, rhs_b, z, pi, NU)
+                dsol, _ = riccati.solve(L, rq, qp.F, rb, NU)
+                z = z + dsol.z
+                pi = pi + dsol.pi
+            return z, pi
+
         def factor_solve(Qx_b, Qx_g, g_eff, rhs_b):
             H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=reg, ng_stages=ng_stages)
             sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, qp.F, rhs_b, NU)
-            return sol.z, sol.pi, (L, Pb)
+            z, pi = _refine(L, H_eff, g_eff, rhs_b, sol.z, sol.pi)
+            return z, pi, (L, Pb, H_eff) if iter_ref else (L, Pb)
 
         def resolve(fstate, g_eff, rhs_b):
-            L, Pb = fstate
+            if iter_ref:
+                L, Pb, H_eff = fstate
+            else:
+                L, Pb = fstate
             sol, _ = riccati.solve(L, g_eff, qp.F, rhs_b, NU, Pb=Pb)
+            if iter_ref:
+                return _refine(L, H_eff, g_eff, rhs_b, sol.z, sol.pi)
             return sol.z, sol.pi
 
     def residuals(z, pi, lam_b, t_b, lam_g, t_g, rhs_b):
@@ -576,8 +602,13 @@ def _solve_impl(
     ng_stages = tuple(n for n in range(dims.N + 1) if dims.ng[n] > 0)
 
     if backend is None:
+        assert not (cfg.use_pallas and cfg.iter_ref), (
+            "iter_ref runs on the XLA backend path (use_pallas=False): the "
+            "Pallas trs kernel's Pb cache is keyed to the original rhs"
+        )
         backend = chain_backend(
-            dims, qp, oh, mu_scal, use_pallas=cfg.use_pallas, reg_eps=cfg.reg_eps
+            dims, qp, oh, mu_scal, use_pallas=cfg.use_pallas,
+            reg_eps=cfg.reg_eps, iter_ref=cfg.iter_ref,
         )
 
     if return_carry:
@@ -1015,3 +1046,45 @@ def solve_single_newton(
         iterate0=(z0, pi0, lam_b0, t_b0, lam_g0, t_g0),
         rti_mode=True,
     )
+
+
+# --------------------------------------------------------------------------
+# parallel-in-time backend (associative-scan Riccati)
+# --------------------------------------------------------------------------
+
+
+def chain_backend_par(
+    dims: OCPDims, qp: OCPQP, oh, mu_scal, reg_eps: float = 0.0
+) -> KKTBackend:
+    """KKT backend with O(log N) sequential depth per solve
+    (:mod:`.riccati_par` associative-scan Riccati) — for single-instance
+    latency, where the reference's only lever is partial condensing
+    (``d_part_cond.c:926``; the recursion itself is sequential,
+    ``d_back_ric_rec.c:249``).
+
+    ``resolve`` refactorizes from the retained ``H_eff`` (the corrector
+    shares the predictor's Hessian): twice the flops of a sequential trs
+    but still O(log N) depth, which is what latency-bound MPC cares about.
+    """
+    from . import riccati_par
+
+    NU = dims.NU
+    ng_stages = tuple(n for n in range(dims.N + 1) if dims.ng[n] > 0)
+
+    def factor_solve(Qx_b, Qx_g, g_eff, rhs_b):
+        H_eff = _build_Heff(qp, oh, Qx_b, Qx_g, reg=reg_eps, ng_stages=ng_stages)
+        sol, L, eu, px, Pb = riccati_par.factor_solve(H_eff, g_eff, qp.F, rhs_b, NU)
+        return sol.z, sol.pi, (L, H_eff)
+
+    def resolve(fstate, g_eff, rhs_b):
+        L, H_eff = fstate
+        sol, *_ = riccati_par.factor_solve(H_eff, g_eff, qp.F, rhs_b, NU)
+        return sol.z, sol.pi
+
+    def residuals(z, pi, lam_b, t_b, lam_g, t_g, rhs_b):
+        import dataclasses as _dc
+
+        qp_b = _dc.replace(qp, b=rhs_b)
+        return compute_residuals(qp_b, oh, mu_scal, z, pi, lam_b, t_b, lam_g, t_g)
+
+    return KKTBackend(factor_solve=factor_solve, resolve=resolve, residuals=residuals)

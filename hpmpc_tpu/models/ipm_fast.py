@@ -38,8 +38,10 @@ This module keeps every piece of loop state 2-D ``(B, flat)`` (pad ~1.2x):
     of einsums over the 17-18x padded structured H/F.
 
 Entered from :func:`hpmpc_tpu.parallel.batch.solve_batched` when
-``cfg.use_pallas`` and the batch is a multiple of 1024; cross-checked
-against the structured path by tests/test_stage_kernel.py.
+``cfg.use_pallas``, the batch is a multiple of 1024, ``dims.idxb`` is
+static, and neither ``warm_start`` nor ``iter_ref`` is requested (those
+take the vmapped structured path); cross-checked against the structured
+path by tests/test_stage_kernel.py.
 """
 
 from __future__ import annotations
@@ -183,6 +185,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     # loop-invariant lanes transposes (once, outside the IPM loop)
     Hl = sk._to_lanes(qp.H, B)
     Fl = sk._to_lanes(qp.F, B)
+    nb_blk = B // sk.BI
 
     # static selection matmuls for the residual's pi / x-shift terms
     # (constant-index gathers also serialize on TPU; same MXU trick)
@@ -210,15 +213,18 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         """Qx_b (B, NBF) masked barrier diag for box vars; Qx_g (B, NGF)."""
         dvecF = scatter_box(Qx_b) + pad_diagF + reg
         if n_ng:
+            # structured einsum + lanes transpose: measured FASTER than the
+            # equivalent 6-D lanes-space einsum (which XLA lowers poorly)
             Qg = Qx_g.reshape(B, n_ng, NG)
             idx = np.asarray(ng_stages)
             ngterm = jnp.einsum(
                 "bngz,bng,bngw->bnzw", qp.C[:, idx], Qg, qp.C[:, idx]
             )
+            ngl = sk._to_lanes(ngterm, B)
         else:
-            ngterm = jnp.zeros((B, 0, NZ, NZ), dt)
+            ngl = jnp.zeros((nb_blk, 1, NZ, NZ, sk.SUBS, sk.LANES), dt)
         return sk.factor_solve_folded_flat(
-            Hl, dvecF, ngterm, ng_stages, g_eff, Fl, rhs_bF, NU, NZ, NX
+            Hl, dvecF, ngl, ng_stages, g_eff, Fl, rhs_bF, NU, NZ, NX
         )
 
     def kkt_resolve(fstate, g_eff, rhs_bF):

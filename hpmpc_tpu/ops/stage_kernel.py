@@ -773,11 +773,13 @@ def _from_lanes_flat(y, B):
 
 
 @functools.partial(jax.jit, static_argnames=("ng_stage_ids", "NU", "NZ", "NX"))
-def factor_solve_folded_flat(Hl, dvecF, ngterm, ng_stage_ids, gF, Fl, bF, NU, NZ, NX):
+def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF, NU, NZ, NX):
     """Flat-state fused sv.  Hl (nb, N+1, NZ, NZ, 8, 128) and
     Fl (nb, N, NZ, NX, 8, 128) are the loop-invariant data already in lanes
     form (the caller transposes them ONCE outside the IPM loop);
-    dvecF (B, (N+1)*NZ), gF likewise, bF (B, N*NX); ngterm (B, n_ng, NZ, NZ).
+    dvecF (B, (N+1)*NZ), gF likewise, bF (B, N*NX); ngl is the
+    C'diag(Qx_g)C barrier term already in lanes form
+    (nb, max(n_ng, 1), NZ, NZ, 8, 128) — see ipm_fast's lanes-space einsum.
 
     Returns (zF, piF, fstate) with fstate = (L_lanes, Pb_lanes).
     """
@@ -804,13 +806,11 @@ def factor_solve_folded_flat(Hl, dvecF, ngterm, ng_stage_ids, gF, Fl, bF, NU, NZ
     ]
     args = [Hl, dl]
     if n_ng:
-        ngl = _to_lanes(ngterm, B)
         in_specs.append(
             pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, ng_slot(s), 0, 0, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(ngl)
     else:
-        ngl = jnp.zeros((nb, 1, NZ, NZ, SUBS, LANES), dt)
         in_specs.append(
             pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM)
         )

@@ -132,3 +132,65 @@ def test_work_space_size_query():
             assert api.work_space_size_bytes(30, 8, 3, nb=7, ng=0, k_max=30) == n_bytes
         finally:
             m._native = saved
+
+
+def test_c_order_api_matches_fortran_order():
+    """Row-major twin: transposed matrix inputs must give the same solution
+    (c_order_interface.c vs fortran_order_interface.c)."""
+    import numpy as np
+
+    from hpmpc_tpu import api
+    from hpmpc_tpu.utils.mass_spring import mass_spring_ab
+
+    nx, nu, N = 6, 2, 8
+    A, B = mass_spring_ab(nx, nu, 0.5)
+    rng = np.random.default_rng(3)
+    S = 0.1 * rng.standard_normal((nu, nx))
+    args = dict(
+        b=[0.1 * np.ones(nx)] * N,
+        q=[0.1 * np.ones(nx)] * (N + 1),
+        r=[0.2 * np.ones(nu)] * (N + 1),
+        idxb=[np.arange(nu + nx // 2)] * (N + 1),
+        lb=[np.concatenate([-0.5 * np.ones(nu), -4.0 * np.ones(nx // 2)])] * (N + 1),
+        ub=[np.concatenate([0.5 * np.ones(nu), 4.0 * np.ones(nx // 2)])] * (N + 1),
+        x0=np.r_[2.5, 2.5, np.zeros(nx - 2)],
+    )
+    rf = api.solve_ocp(
+        N, [A] * N, [B] * N, args["b"],
+        [np.eye(nx)] * (N + 1), [S] * (N + 1), [2 * np.eye(nu)] * (N + 1),
+        args["q"], args["r"],
+        idxb=args["idxb"], lb=args["lb"], ub=args["ub"], x0=args["x0"],
+    )
+    rc = api.solve_ocp_c_order(
+        N, [A.T] * N, [B.T] * N, args["b"],
+        [np.eye(nx)] * (N + 1), [S.T] * (N + 1), [2 * np.eye(nu)] * (N + 1),
+        args["q"], args["r"],
+        idxb=args["idxb"], lb=args["lb"], ub=args["ub"], x0=args["x0"],
+    )
+    assert rc.kk == rf.kk and rc.status == rf.status == 0
+    for n in range(N + 1):
+        np.testing.assert_allclose(rc.x[n], rf.x[n], atol=1e-12)
+        np.testing.assert_allclose(rc.u[n], rf.u[n], atol=1e-12)
+
+
+def test_printing_utils(capsys):
+    """Debug printers produce the logical (padding-stripped) problem view."""
+    import numpy as np
+
+    from hpmpc_tpu.models import ipm
+    from hpmpc_tpu.utils import printing
+    from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+    dims, qp = mass_spring_qp(4, 1, 3)
+    printing.print_ocp_qp(dims, qp)
+    out = capsys.readouterr().out
+    assert "stage 0" in out and "H=[R S'; S Q]" in out and "idxb" in out
+    # stage 0 has nx=0 (eliminated x0): F block printed is (nu x nx1) = 1x4
+    assert "F=[B';A'] (1x4)" in out
+
+    import jax
+
+    sol = jax.jit(lambda q: ipm.solve(dims, q, ipm.IPMConfig(k_max=20)))(qp)
+    printing.print_solution(dims, sol)
+    out = capsys.readouterr().out
+    assert "u[0]" in out and "pi[2]" in out and "status: 0" in out

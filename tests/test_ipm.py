@@ -262,3 +262,63 @@ def test_legacy_and_pure_residual_modes(mu_switch):
     np.testing.assert_allclose(
         np.asarray(sol.z), np.asarray(base.z), atol=1e-6
     )
+
+
+def test_iter_ref_newton_accuracy():
+    """Iterative refinement (reference ITER_REF, d_ip2_res_hard.c:48): on an
+    ill-conditioned barrier Hessian in f32, the refined KKT solve must cut
+    the Newton-system residual by orders of magnitude."""
+    import jax.numpy as jnp
+
+    from hpmpc_tpu.models import riccati
+
+    dims, qp64 = mass_spring_qp(8, 3, 8, dtype=jnp.float32)
+    qp = qp64
+    mu_scal = 1.0 / dims.n_constr
+    oh = ipm._box_onehot(qp)
+
+    # barrier weights spanning 8 orders of magnitude (late-IPM conditioning)
+    NB = dims.NB
+    ramp = jnp.linspace(0.0, 8.0, (dims.N + 1) * NB, dtype=jnp.float32)
+    Qx_b = (10.0 ** ramp).reshape(dims.N + 1, NB) * qp.nb_mask
+    Qx_g = jnp.zeros((dims.N + 1, dims.NG), jnp.float32)
+    g_eff = qp.g * qp.z_mask
+
+    def residual_norm(iter_ref):
+        bk = ipm.chain_backend(dims, qp, oh, mu_scal, iter_ref=iter_ref)
+        z, pi, _ = bk.factor_solve(Qx_b, Qx_g, g_eff, qp.b)
+        H_eff = ipm._build_Heff(qp, oh, Qx_b, Qx_g)
+        rq, rb = riccati.kkt_residuals(H_eff, g_eff, qp.F, qp.b, z, pi, dims.NU)
+        return float(
+            jnp.max(jnp.abs(rq * qp.z_mask)) + jnp.max(jnp.abs(rb * qp.x_mask[1:]))
+        )
+
+    r0 = residual_norm(0)
+    r2 = residual_norm(2)
+    assert r2 < r0 * 1e-2, f"refinement did not help: {r0=} {r2=}"
+
+
+def test_iter_ref_preserves_golden_convergence():
+    """iter_ref=1 at f64 must not disturb convergence on the golden config
+    (corrections are ~1e-13; solution and status unchanged at 1e-6)."""
+    g = load_golden("ipm_ms_nx8_nu3_N10")
+    cfg_g = g["config"]
+    A, B = golden_ab(g)
+    dims, qp = mass_spring_qp(
+        cfg_g["nx"], cfg_g["nu"], cfg_g["N"],
+        ng=cfg_g["ng"], ngN=cfg_g["ngN"], A=A, B=B,
+    )
+    cfg = ipm.IPMConfig(
+        k_max=cfg_g["k_max"], mu0=cfg_g["mu0"],
+        mu_tol=cfg_g["mu_tol"], alpha_min=cfg_g["alpha_min"], iter_ref=1,
+    )
+    sol = _solve_jit(dims, qp, cfg)
+    assert int(sol.status) == 0
+    NU = dims.NU
+    for n in range(dims.N + 1):
+        ref = np.array(g["ux"][n])
+        nun, nxn = dims.nu[n], dims.nx[n]
+        got = np.concatenate(
+            [np.asarray(sol.z[n])[:nun], np.asarray(sol.z[n])[NU : NU + nxn]]
+        )
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)

@@ -47,3 +47,36 @@ def test_parallel_matches_golden():
             [np.asarray(sol.z[n])[:nun], np.asarray(sol.z[n])[dims.NU : dims.NU + nxn]]
         )
         np.testing.assert_allclose(got, ref, atol=1e-8, err_msg=f"stage {n}")
+
+
+def test_ipm_with_parallel_backend_matches_default():
+    """Full IPM with the O(log N)-depth backend (ipm.chain_backend_par) must
+    reproduce the default sequential-Riccati solve on the golden config."""
+    from hpmpc_tpu.models import ipm
+
+    g = load_golden("ipm_ms_nx8_nu3_N10")
+    cfg_g = g["config"]
+    A, B = golden_ab(g)
+    dims, qp = mass_spring_qp(
+        cfg_g["nx"], cfg_g["nu"], cfg_g["N"],
+        ng=cfg_g["ng"], ngN=cfg_g["ngN"], A=A, B=B,
+    )
+    cfg = ipm.IPMConfig(
+        k_max=cfg_g["k_max"], mu0=cfg_g["mu0"],
+        mu_tol=cfg_g["mu_tol"], alpha_min=cfg_g["alpha_min"],
+    )
+    mu_scal = 1.0 / dims.n_constr
+    oh = ipm._box_onehot(qp)
+    bk = ipm.chain_backend_par(dims, qp, oh, mu_scal)
+
+    sol_par = jax.jit(lambda q: ipm.solve(dims, q, cfg, backend=bk))(qp)
+    sol_seq = jax.jit(lambda q: ipm.solve(dims, q, cfg))(qp)
+
+    assert int(sol_par.status) == 0
+    assert abs(int(sol_par.kk) - int(sol_seq.kk)) <= 1
+    np.testing.assert_allclose(
+        np.asarray(sol_par.z), np.asarray(sol_seq.z), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_par.pi), np.asarray(sol_seq.pi), atol=1e-6
+    )

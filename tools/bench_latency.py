@@ -1,0 +1,107 @@
+"""Single-instance solve LATENCY benchmark (deployment-style MPC).
+
+The headline bench (bench.py) measures batched throughput; a deployed MPC
+controller instead cares about the latency of ONE solve per control tick.
+This sweeps the three single-instance strategies over horizon lengths:
+
+  * sequential Riccati backend (the default; O(N) depth per KKT solve)
+  * parallel-in-time backend (``ipm.chain_backend_par``; O(log N) depth via
+    ``jax.lax.associative_scan`` — the capability the reference lacks, its
+    only lever being partial condensing, ``d_part_cond.c:926``)
+  * partial condensing N2=4 + sequential IPM (the reference's own lever)
+
+Timing: K solves in-graph via lax.scan with per-solve perturbed b, slope
+between two K values, float() sync (see bench.py for why; the axon relay
+otherwise fakes timings).
+
+Usage: python tools/bench_latency.py [--horizons 10,30,64]
+Prints one JSON line per (strategy, N).
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from hpmpc_tpu.models import cond, ipm
+    from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--horizons", default="10,30,64")
+    p.add_argument("--k-lo", type=int, default=8)
+    p.add_argument("--k-hi", type=int, default=64)
+    args = p.parse_args()
+
+    dtype = jnp.float32
+    cfg = ipm.IPMConfig(k_max=8, mu_tol=0.0, alpha_min=1e-8)
+
+    def slope_time(solve_fn, qp, K_lo, K_hi, reps=2):
+        def make(K):
+            @jax.jit
+            def run(q, seed):
+                def body(acc, i):
+                    qi = dataclasses.replace(q, b=q.b * (1.0 + 1e-4 * (i + seed)))
+                    sol = solve_fn(qi)
+                    return acc + jnp.sum(sol.z) + jnp.sum(sol.kk), None
+
+                acc, _ = lax.scan(
+                    body, jnp.asarray(0.0, dtype), jnp.arange(K, dtype=dtype)
+                )
+                return acc
+
+            return run
+
+        ts = {}
+        for K in (K_lo, K_hi):
+            f = make(K)
+            out = float(f(qp, jnp.asarray(0.0, dtype)))  # compile; float()=sync
+            assert np.isfinite(out)
+            t0 = time.perf_counter()
+            for r in range(1, reps + 1):
+                float(f(qp, jnp.asarray(r * 37.0, dtype)))
+            ts[K] = (time.perf_counter() - t0) / reps
+        return max((ts[K_hi] - ts[K_lo]) / (K_hi - K_lo), 1e-9)
+
+    for N in [int(s) for s in args.horizons.split(",")]:
+        dims, qp = mass_spring_qp(8, 3, N, dtype=dtype)
+        mu_scal = 1.0 / dims.n_constr
+        oh = ipm._box_onehot(qp)
+        bk_par = ipm.chain_backend_par(dims, qp, oh, mu_scal)
+
+        strategies = {
+            "seq": lambda q: ipm.solve(dims, q, cfg),
+            "par_in_time": lambda q: ipm.solve(dims, q, cfg, backend=bk_par),
+        }
+        if N >= 8:
+            strategies["partial_cond_N2_4"] = lambda q: cond.solve_partial_cond(
+                dims, q, cfg, 4
+            )[0]
+
+        for name, fn in strategies.items():
+            dt_s = slope_time(fn, qp, args.k_lo, args.k_hi)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"latency_us_{name}_N{N}",
+                        "value": round(dt_s * 1e6, 1),
+                        "unit": "us/solve (single instance, f32, mass-spring nx=8 nu=3)",
+                        "vs_baseline": round(314.0 / (dt_s * 1e6), 3),
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
