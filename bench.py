@@ -47,8 +47,9 @@ def main():
     qpb = dataclasses.replace(qpb, b=qpb.b * scales[:, None, None])
     # mu_tol=0 runs every instance to its floor: same per-iteration work as
     # the reference's 8-iteration run, counted via mean_kk below.
-    # use_pallas dispatches the Riccati sweeps to the fused VMEM-resident
-    # stage kernels (ops/stage_kernel.py) — ~2.4x over the XLA scan path
+    # use_pallas routes solve_batched to the flat-state batch-level engine
+    # (models/ipm_fast.py): lanes-form Pallas Riccati/residual kernels plus
+    # tile-friendly (batch, flat) loop state — ~30x over the vmapped XLA path
     cfg = ipm.IPMConfig(
         k_max=K_MAX, mu_tol=0.0, alpha_min=1e-8,
         use_pallas=jax.default_backend() == "tpu",
