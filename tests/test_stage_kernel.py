@@ -28,8 +28,8 @@ def interpret_pallas(monkeypatch):
     yield
 
 
-def _batch_qp(N=4, B=1024, ngN=0):
-    dims, qp = mass_spring_qp(8, 3, N, ngN=ngN, dtype=jnp.float32)
+def _batch_qp(N=4, B=1024, ngN=0, ng=0):
+    dims, qp = mass_spring_qp(8, 3, N, ng=ng, ngN=ngN, dtype=jnp.float32)
     qpb = pbatch.broadcast_qp(qp, B)
     rng = np.random.default_rng(0)
     qpb = dataclasses.replace(
@@ -82,6 +82,37 @@ def test_fused_ipm_with_general_constraints(interpret_pallas):
     cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
     sol_x = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_x))(qpb)
     sol_p = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_p))(qpb)
+    assert bool(jnp.all(sol_x.kk == sol_p.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_p.z), np.asarray(sol_x.z), atol=5e-4
+    )
+
+
+def test_fused_ipm_with_interior_general_constraints(interpret_pallas):
+    """Multiple ng-active stages exercise the folded kernel's ng_slot index
+    mapping (one barrier-term slot per active stage) and the flat path's
+    multi-stage C_ngF rows."""
+    dims, qpb = _batch_qp(N=5, ng=2, ngN=4)
+    assert sum(1 for n in dims.ng if n > 0) > 2  # interior + terminal
+    cfg_x = ipm.IPMConfig(k_max=2, mu_tol=1e-4)
+    cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
+    sol_x = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_x))(qpb)
+    sol_p = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_p))(qpb)
+    assert bool(jnp.all(sol_x.kk == sol_p.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_p.z), np.asarray(sol_x.z), atol=5e-4
+    )
+
+
+def test_structured_pallas_path_via_direct_vmap(interpret_pallas):
+    """The structured custom_vmap Pallas route (used when callers vmap
+    ipm.solve directly rather than through solve_batched) must still match
+    the XLA path."""
+    dims, qpb = _batch_qp()
+    cfg_x = ipm.IPMConfig(k_max=2, mu_tol=1e-4)
+    cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
+    sol_x = jax.jit(jax.vmap(lambda q: ipm.solve(dims, q, cfg_x)))(qpb)
+    sol_p = jax.jit(jax.vmap(lambda q: ipm.solve(dims, q, cfg_p)))(qpb)
     assert bool(jnp.all(sol_x.kk == sol_p.kk))
     np.testing.assert_allclose(
         np.asarray(sol_p.z), np.asarray(sol_x.z), atol=5e-4
