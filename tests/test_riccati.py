@@ -152,3 +152,29 @@ def test_mass_spring_ab_matches_reference_discretization():
     A, B = mass_spring_ab(8, 3)
     np.testing.assert_allclose(A, A_ref, atol=1e-13)
     np.testing.assert_allclose(B, B_ref, atol=1e-13)
+
+
+@pytest.mark.parametrize("nx,nu,N", [(4, 2, 8), (12, 4, 12), (24, 8, 10), (48, 8, 6)])
+def test_riccati_size_sweep_vs_dense_oracle(nx, nu, N):
+    """Size-sweep protocol (the reference validates its Riccati across a
+    size sweep, test_problems/test_d_ric_mpc.c:283): factor_solve must
+    match the dense KKT oracle as dimensions grow past the small MPC
+    regime (blocked-Cholesky block boundaries, padding edges)."""
+    import jax
+
+    dims, qp = mass_spring_qp(nx, nu, N)
+    H_eff = qp.H + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(qp.pad_diag)
+    g_eff = qp.g * qp.z_mask
+    sol, *_ = jax.jit(
+        lambda: riccati.factor_solve(H_eff, g_eff, qp.F, qp.b, dims.NU)
+    )()
+    z_ref, pi_ref = unconstrained_dense_kkt(dims, qp)
+    scale = max(1.0, float(np.max(np.abs(z_ref))))
+    np.testing.assert_allclose(
+        np.asarray(sol.z), z_ref, atol=1e-7 * scale,
+        err_msg=f"z mismatch at nx={nx}",
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.pi), pi_ref, atol=1e-6 * scale,
+        err_msg=f"pi mismatch at nx={nx}",
+    )
