@@ -96,3 +96,19 @@ def test_batched_soft_and_admm_and_tree():
     tcfg = ipm.IPMConfig(k_max=25, mu_tol=1e-8)
     tsols = jax.jit(jax.vmap(lambda q: tree.solve_tree_ipm(tdef, dims3, q, tcfg)))(qps3)
     assert int(jnp.sum(tsols.status == 0)) == B
+
+
+def test_multihost_helpers_single_process():
+    """multihost helpers degrade gracefully in a single-process run and
+    build a mesh/global array over all local devices."""
+    from hpmpc_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op single-process
+    mesh = multihost.global_batch_mesh()
+    assert mesh.devices.size == 8
+
+    local = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = multihost.shard_local_batch(local, mesh)
+    assert arr.shape == (16, 3)
+    assert len(arr.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(arr), local)
