@@ -505,3 +505,39 @@ def condense_rhs(qp: OCPQP, pl: CondPlan, qp2_mat: OCPQP) -> OCPQP:
         b=b2, g=g2,
         d_lb=d_lb2, d_ub=d_ub2, d_lg=d_lg2, d_ug=d_ug2,
     )
+
+
+def suggest_n2(dims: OCPDims, k_iters: int = 8, batch: int = 1) -> int:
+    """Pick a condensed horizon N2 from a cost model (the §7 plan's
+    "autotune N2"; the reference leaves N2 to the caller,
+    ``interfaces/c/fortran_order_interface.c:434``).
+
+    Model: per IPM iteration the condensed solve factorizes N2 stages of
+    size ``nz2 = T nu + nx`` — flops ~ N2 nz2^3 — while on TPU the batched
+    stage recursion is SEQUENTIAL in N2, so wall time scales like
+    N2 * max(nz2^3, C) with C a per-stage latency floor; condensing itself
+    (once, amortized over k_iters) costs ~ sum_g T^2 nz nx matmuls.  Small
+    batches are latency-bound (deep recursion dominates -> favor small N2);
+    large batches are flops-bound (cubic blowup dominates -> favor N2 ~ N).
+    Returns the argmin over N2 in [1, N]; exact optimum is hardware
+    dependent — benchmark around the suggestion (tools/bench_latency.py).
+    """
+    N = dims.N
+    nu_bar = max(1, max(dims.nu[:N]))
+    nx_bar = dims.NX
+    nz = nu_bar + nx_bar
+    # per-stage latency floor, in flop-equivalents: at batch 1 a stage step
+    # is ~free flops-wise but costs a kernel's latency; at huge batches the
+    # MXU is saturated and flops dominate.  Crossover ~ 128-lane tiles.
+    lat_floor = 4096.0 * max(1.0, 128.0 / max(batch, 1))
+
+    best, best_cost = 1, float("inf")
+    for N2 in range(1, N + 1):
+        T = -(-N // N2)  # ceil: longest group
+        nz2 = T * nu_bar + nx_bar
+        solve = k_iters * N2 * max(float(nz2) ** 3, lat_floor)
+        cond_cost = N2 * (T * T) * nz * nx_bar  # one-off, amortized
+        cost = solve + cond_cost
+        if cost < best_cost:
+            best, best_cost = N2, cost
+    return best

@@ -144,3 +144,23 @@ def test_condense_rhs_matches_full_recondense():
             atol=1e-12,
             err_msg=field,
         )
+
+
+def test_suggest_n2_model_sanity():
+    """The N2 autotuner (SURVEY §7 step-6 "autotune N2") returns valid
+    horizons and shifts toward deeper condensing in the latency-bound
+    regime (small batch) vs shallower in the flops-bound regime."""
+    from hpmpc_tpu.ocp import OCPDims
+
+    d = OCPDims.create(30, 8, 3, 7, 0, idxb=[list(range(7))] * 31)
+    n2_lat = cond.suggest_n2(d, batch=1)
+    n2_thr = cond.suggest_n2(d, batch=4096)
+    assert 1 <= n2_lat <= 30 and 1 <= n2_thr <= 30
+    assert n2_lat <= n2_thr
+    # the suggestion must be usable end-to-end
+    dims, qp = mass_spring_qp(8, 3, 30)
+    cfg = ipm.IPMConfig(k_max=30, mu_tol=1e-8)
+    sol, sol2 = jax.jit(
+        lambda q: cond.solve_partial_cond(dims, q, cfg, n2_thr)
+    )(qp)
+    assert int(sol2.status) == 0

@@ -322,3 +322,19 @@ def test_iter_ref_preserves_golden_convergence():
             [np.asarray(sol.z[n])[:nun], np.asarray(sol.z[n])[NU : NU + nxn]]
         )
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
+def test_warm_start_from_solution_converges_immediately():
+    """cfg.warm_start with the cold solution's iterate (the reference's
+    warm_start argument, d_ip2_res_hard.c:116) must converge in fewer
+    iterations than the cold solve."""
+    dims, qp = mass_spring_qp(8, 3, 10)
+    cfg = ipm.IPMConfig(k_max=30, mu_tol=1e-8)
+    cold = _solve_jit(dims, qp, cfg)
+    wcfg = ipm.IPMConfig(k_max=30, mu_tol=1e-8, warm_start=True)
+    warm = jax.jit(
+        lambda q, z, pi: ipm.solve(dims, q, wcfg, z0=z, pi0=pi),
+        static_argnums=(),
+    )(qp, cold.z, cold.pi)
+    assert int(warm.status) == 0
+    assert int(warm.kk) < int(cold.kk)
