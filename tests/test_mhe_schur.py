@@ -316,3 +316,34 @@ def test_riccati_kkt_residuals():
     )
     assert float(jnp.max(jnp.abs(rq * qp.z_mask))) < 1e-10
     assert float(jnp.max(jnp.abs(rb * qp.x_mask[1:]))) < 1e-10
+
+
+@pytest.mark.parametrize(
+    "name", ["schur_N6_nv5_ne3", "schur_N10_nv7_ne4_reg"]
+)
+def test_schur_golden_parity_vs_panel_reference(name):
+    """Golden parity vs the reference's own panel forward-Schur solver
+    (d_forward_schur_trf_tv / d_forward_schur_trs_tv,
+    lqcp_solvers/d_for_schur_rec.c:45,476; fixtures from
+    tools/golden_gen/schur_main.c)."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "golden" / f"{name}.json"
+    d = json.loads(p.read_text())
+    N, nv, ne = d["N"], d["nv"], d["ne"]
+    Q = np.stack([np.array(d["Q"][n]).reshape(nv, nv, order="F") for n in range(N + 1)])
+    A = np.stack([np.array(d["A"][n]).reshape(ne, nv, order="F") for n in range(N)])
+    q = np.stack([np.array(x) for x in d["q"]])
+    b = np.stack([np.array(x) for x in d["b"]])
+    chain = schur.SchurChain(
+        Q=jnp.asarray(Q), q=jnp.asarray(q), A=jnp.asarray(A), b=jnp.asarray(b),
+        v_mask=jnp.ones((N + 1, nv)), e_mask=jnp.ones((N, ne)),
+    )
+    (v, pi), _ = jax.jit(
+        lambda c: schur.factor_solve(c, reg=d["reg"]), static_argnums=()
+    )(chain)
+    v_ref = np.stack([np.array(x) for x in d["v"]])
+    pi_ref = np.stack([np.array(x) for x in d["pi"]])
+    np.testing.assert_allclose(np.asarray(v), v_ref, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pi), pi_ref, atol=1e-10)
