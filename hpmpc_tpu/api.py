@@ -215,13 +215,29 @@ def solve_ocp(
     )
 
 
-def work_space_size_bytes(N, nx, nu, nb=None, ng=None, k_max=30, dtype=np.float64):
+def work_space_size_bytes(N, nx, nu, nb=None, ng=None, k_max=30, dtype=np.float64,
+                          N2=None, idxb=None):
     """Device-memory planning figure per solve (the reference's
-    ``hpmpc_d_ip_ocp_hard_tv_work_space_size_bytes`` analogue)."""
+    ``hpmpc_d_ip_ocp_hard_tv_work_space_size_bytes`` analogue, incl. its
+    ``N2`` partial-condensing argument, ``include/c_interface.h:40``):
+    with ``N2 < N`` the figure covers the CONDENSED problem the IPM
+    actually solves (state boxes become general rows — sizes from
+    ``cond.plan``, which needs the static ``idxb`` lists)."""
     nx = list(np.broadcast_to(nx, (N + 1,)).astype(int)) if np.isscalar(nx) else list(nx)
     nu = list(np.broadcast_to(nu, (N + 1,)).astype(int)) if np.isscalar(nu) else list(nu)
     nb = [0] * (N + 1) if nb is None else (list(np.broadcast_to(nb, (N + 1,)).astype(int)) if np.isscalar(nb) else list(nb))
     ng = [0] * (N + 1) if ng is None else (list(np.broadcast_to(ng, (N + 1,)).astype(int)) if np.isscalar(ng) else list(ng))
+    if N2 is not None and N2 < N:
+        from .models import cond as _cnd
+
+        if idxb is None:
+            idxb = [list(range(nb[n])) for n in range(N + 1)]
+        dims = OCPDims.create(N, nx, nu, nb, ng, idxb=idxb)
+        d2 = _cnd.plan(dims, N2).dims2
+        return work_space_size_bytes(
+            N2, list(d2.nx), list(d2.nu), list(d2.nb), list(d2.ng),
+            k_max=k_max, dtype=dtype,
+        )
     elem = np.dtype(dtype).itemsize
     if _native is not None:
         return int(

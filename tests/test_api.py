@@ -194,3 +194,16 @@ def test_printing_utils(capsys):
     printing.print_solution(dims, sol)
     out = capsys.readouterr().out
     assert "u[0]" in out and "pi[2]" in out and "status: 0" in out
+
+
+def test_work_space_size_with_partial_condensing():
+    """The N2 argument sizes the condensed problem (the reference query's
+    N2 semantics, include/c_interface.h:40): fewer stages but fatter
+    blocks; must be positive and differ from the full-horizon figure."""
+    from hpmpc_tpu import api
+
+    full = api.work_space_size_bytes(30, 8, 3, nb=7)
+    cnd = api.work_space_size_bytes(30, 8, 3, nb=7, N2=5)
+    assert full > 0 and cnd > 0 and cnd != full
+    # N2 = N is the identity transform
+    assert api.work_space_size_bytes(30, 8, 3, nb=7, N2=30) == full
