@@ -164,3 +164,71 @@ def test_suggest_n2_model_sanity():
         lambda q: cond.solve_partial_cond(dims, q, cfg, n2_thr)
     )(qp)
     assert int(sol2.status) == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["partcond_ms_nx8_nu3_N12_N2_4", "partcond_ms_nx8_nu3_N30_N2_5_ngN8"],
+)
+def test_condense_golden_matrix_parity(name):
+    """MATRIX-level golden parity of the condensing transform vs the
+    reference's d_part_cond (d_part_cond.c:926; fixtures from
+    tools/golden_gen mode 3): condensed dynamics/cost/constraint matrices,
+    bounds, box-index lists, and problem sizes must all match (the
+    reference stores only the lower Hessian triangle)."""
+    import json
+    import pathlib
+
+    d = json.loads(
+        (pathlib.Path(__file__).parent / "golden" / f"{name}.json").read_text()
+    )
+    c = d["config"]
+    N, N2, nx, nu = c["N"], c["N2"], c["nx"], c["nu"]
+    A = np.array(d["A"]).reshape(nx, nx, order="F")
+    B = np.array(d["B"]).reshape(nx, nu, order="F")
+    ngN = d["ng2"][N2]
+    dims, qp = mass_spring_qp(nx, nu, N, ngN=ngN, A=A, B=B)
+    pl = cond.plan(dims, N2)
+    qp2 = cond.condense(qp, pl)
+    d2 = pl.dims2
+
+    assert list(d2.nx) == d["nx2"] and list(d2.nu) == d["nu2"]
+    assert list(d2.nb) == d["nb2"] and list(d2.ng) == d["ng2"]
+    for g in range(N2 + 1):
+        assert list(d2.idxb[g]) == d["idxb2"][g], f"idxb2 stage {g}"
+
+    NU2 = d2.NU
+    for g in range(N2 + 1):
+        sel = list(range(d2.nu[g])) + [NU2 + i for i in range(d2.nx[g])]
+        nux = len(sel)
+        # dynamics [B2' ; A2' ; b2'] (stages < N2)
+        if g < N2:
+            cols = d["nx2"][g + 1]
+            BAbt = np.array(d["BAbt2"][g]).reshape(nux + 1, cols, order="F")
+            F2 = np.asarray(qp2.F[g])[np.ix_(sel, range(cols))]
+            np.testing.assert_allclose(F2, BAbt[:-1], atol=1e-12, err_msg=f"F2 {g}")
+            np.testing.assert_allclose(
+                np.asarray(qp2.b[g])[:cols], BAbt[-1], atol=1e-12, err_msg=f"b2 {g}"
+            )
+        # cost [R S'; S Q] lower triangle + gradient row
+        RSQ = np.array(d["RSQrq2"][g]).reshape(nux + 1, nux, order="F")
+        H2 = np.asarray(qp2.H[g])[np.ix_(sel, sel)]
+        lo = np.tril_indices(nux)
+        np.testing.assert_allclose(H2[lo], RSQ[:-1][lo], atol=1e-12, err_msg=f"H2 {g}")
+        np.testing.assert_allclose(
+            np.asarray(qp2.g[g])[sel], RSQ[-1], atol=1e-12, err_msg=f"g2 {g}"
+        )
+        # general rows (transposed in the reference layout) + bounds
+        ngg = d["ng2"][g]
+        if ngg:
+            DCt = np.array(d["DCt2"][g]).reshape(nux, ngg, order="F")
+            C2 = np.asarray(qp2.C[g])[np.ix_(range(ngg), sel)]
+            np.testing.assert_allclose(C2.T, DCt, atol=1e-12, err_msg=f"DCt {g}")
+        nb2g = d["nb2"][g]
+        got = np.concatenate([
+            np.asarray(qp2.d_lb[g])[:nb2g], np.asarray(qp2.d_ub[g])[:nb2g],
+            np.asarray(qp2.d_lg[g])[:ngg], np.asarray(qp2.d_ug[g])[:ngg],
+        ])
+        np.testing.assert_allclose(
+            got, np.array(d["d2"][g]), atol=1e-12, err_msg=f"d2 {g}"
+        )

@@ -77,6 +77,12 @@ int main(int argc, char **argv)
 	double mu_tol = atof(argv[7]);
 	int mode = atoi(argv[8]);
 
+	/* mode 3 (partial-condensing golden): the ng_mid slot carries N2; the
+	   lib4 d_part_cond supports general constraints only at the last stage
+	   (d_part_cond.c:969-974), so interior ng is forced to 0 */
+	int N2_arg = 0;
+	if(mode==3) { N2_arg = ng; ng = 0; }
+
 	int nb = nu + nx/2;
 	double alpha_min = 1e-8;
 	double mu0 = 2.0;
@@ -220,6 +226,98 @@ int main(int argc, char **argv)
 
 	int ws_size = d_ip2_res_mpc_hard_tv_work_space_size_bytes(N, nx_v, nu_v, nb_v, ng_v);
 	double *work; v_zeros_align((void**)&work, ws_size);
+
+	if(mode==3)
+		{
+		/* partial-condensing golden: run the reference d_part_cond
+		   (d_part_cond.c:926) and dump the CONDENSED matrices dense */
+		int N2 = N2_arg;
+		int nx2[N2+1], nu2[N2+1], nb2[N2+1], ng2[N2+1];
+		int *hidxb2[N2+1];
+		double *hpBAbt2[N2+1], *hpRSQrq2[N2+1], *hpDCt2[N2+1], *hd2[N2+1];
+		d_part_cond_compute_problem_size(N, nx_v, nu_v, nb_v, hidxb, ng_v, N2, nx2, nu2, nb2, ng2);
+		int mem_size = d_part_cond_memory_space_size_bytes(N, nx_v, nu_v, nb_v, hidxb, ng_v, N2, nx2, nu2, nb2, ng2);
+		int wk_size = d_part_cond_work_space_size_bytes(N, nx_v, nu_v, nb_v, hidxb, ng_v, N2, nx2, nu2, nb2, ng2);
+		void *mem3; v_zeros_align(&mem3, mem_size);
+		void *wk3; v_zeros_align(&wk3, wk_size);
+		d_part_cond(N, nx_v, nu_v, nb_v, hidxb, ng_v, hpBAbt, hpQ, hpDCt, hd,
+		            N2, nx2, nu2, nb2, hidxb2, ng2, hpBAbt2, hpRSQrq2, hpDCt2, hd2, mem3, wk3);
+
+		printf("{\n\"config\": {\"nx\": %d, \"nu\": %d, \"N\": %d, \"N2\": %d},\n", nx, nu, N, N2);
+		print_vec("A", A, nx*nx, 1);
+		print_vec("B", B, nx*nu, 1);
+		printf("\"nx2\": ["); for(ii=0; ii<=N2; ii++) printf("%d%s", nx2[ii], ii<N2?",":""); printf("],\n");
+		printf("\"nu2\": ["); for(ii=0; ii<=N2; ii++) printf("%d%s", nu2[ii], ii<N2?",":""); printf("],\n");
+		printf("\"nb2\": ["); for(ii=0; ii<=N2; ii++) printf("%d%s", nb2[ii], ii<N2?",":""); printf("],\n");
+		printf("\"ng2\": ["); for(ii=0; ii<=N2; ii++) printf("%d%s", ng2[ii], ii<N2?",":""); printf("],\n");
+		printf("\"idxb2\": [");
+		for(ii=0; ii<=N2; ii++)
+			{
+			printf("[");
+			for(jj=0; jj<nb2[ii]; jj++) printf("%d%s", hidxb2[ii][jj], jj<nb2[ii]-1?",":"");
+			printf("]%s", ii<N2?",":"");
+			}
+		printf("],\n");
+		/* condensed matrices, dense row-major-per-column dump (column-major
+		   with lda = rows, flattened) */
+		printf("\"BAbt2\": [");
+		for(ii=0; ii<N2; ii++)
+			{
+			int rows = nu2[ii]+nx2[ii]+1, cols = nx2[ii+1];
+			int cnx2n = (nx2[ii+1]+ncl-1)/ncl*ncl;
+			double *D = calloc(rows*cols, sizeof(double));
+			d_cvt_pmat2mat(rows, cols, 0, hpBAbt2[ii], cnx2n, D, rows);
+			printf("[");
+			for(jj=0; jj<rows*cols; jj++) printf("%.17e%s", D[jj], jj<rows*cols-1?",":"");
+			printf("]%s", ii<N2-1?",":"");
+			free(D);
+			}
+		printf("],\n");
+		printf("\"RSQrq2\": [");
+		for(ii=0; ii<=N2; ii++)
+			{
+			int nux = nu2[ii]+nx2[ii];
+			int rows = nux+1, cols = nux;
+			int cnux2n = (nux+ncl-1)/ncl*ncl;
+			double *D = calloc(rows*cols, sizeof(double));
+			d_cvt_pmat2mat(rows, cols, 0, hpRSQrq2[ii], cnux2n, D, rows);
+			printf("[");
+			for(jj=0; jj<rows*cols; jj++) printf("%.17e%s", D[jj], jj<rows*cols-1?",":"");
+			printf("]%s", ii<N2?",":"");
+			free(D);
+			}
+		printf("],\n");
+		printf("\"DCt2\": [");
+		for(ii=0; ii<=N2; ii++)
+			{
+			int nux = nu2[ii]+nx2[ii];
+			int rows = nux, cols = ng2[ii];
+			int cng2n = (ng2[ii]+ncl-1)/ncl*ncl;
+			double *D = calloc((rows*cols>0?rows*cols:1), sizeof(double));
+			if(cols>0)
+				d_cvt_pmat2mat(rows, cols, 0, hpDCt2[ii], cng2n, D, rows);
+			printf("[");
+			for(jj=0; jj<rows*cols; jj++) printf("%.17e%s", D[jj], jj<rows*cols-1?",":"");
+			printf("]%s", ii<N2?",":"");
+			free(D);
+			}
+		printf("],\n");
+		printf("\"d2\": [");
+		for(ii=0; ii<=N2; ii++)
+			{
+			int pnb2n = (nb2[ii]+bs-1)/bs*bs;
+			int png2n = (ng2[ii]+bs-1)/bs*bs;
+			int tot = 2*nb2[ii]+2*ng2[ii];
+			printf("[");
+			for(jj=0; jj<nb2[ii]; jj++) printf("%.17e,", hd2[ii][jj]);
+			for(jj=0; jj<nb2[ii]; jj++) printf("%.17e%s", hd2[ii][pnb2n+jj], (2*ng2[ii]>0||jj<nb2[ii]-1)?",":"");
+			for(jj=0; jj<ng2[ii]; jj++) printf("%.17e,", hd2[ii][2*pnb2n+jj]);
+			for(jj=0; jj<ng2[ii]; jj++) printf("%.17e%s", hd2[ii][2*pnb2n+png2n+jj], jj<ng2[ii]-1?",":"");
+			printf("]%s", ii<N2?",":"");
+			}
+		printf("]\n}\n");
+		return 0;
+		}
 
 	if(mode==1)
 		{
