@@ -22,6 +22,7 @@ solve) rather than a buffer the caller must allocate.
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 from typing import NamedTuple, Sequence
 
@@ -43,6 +44,17 @@ def _load_native():
     try:
         lib = ctypes.CDLL(_NATIVE_PATH)
         lib.hpmpc_tpu_ip_ocp_hard_tv_work_space_size_bytes.restype = ctypes.c_int64
+        # runtime self-test: a trivial workspace query must return a sane
+        # positive size, else fall back to the numpy twin (guards against a
+        # stale/mis-built shared library)
+        one = (ctypes.c_int * 2)(1, 1)
+        n = int(
+            lib.hpmpc_tpu_ip_ocp_hard_tv_work_space_size_bytes(
+                1, one, one, one, one, 1, 8
+            )
+        )
+        if not (0 < n < 1 << 40):
+            return None
         return lib
     except OSError:
         return None
@@ -107,9 +119,17 @@ def pack_problem(
 
     A = list(A); B = list(B); b = list(b)
     Q = list(Q); S = list(S); R = list(R); q = list(q); r = list(r)
-    nx_full = [np.asarray(Bn).shape[0] for Bn in B] + [np.asarray(Q[-1]).shape[0]]
+    # nx[n] is the COLUMN count of A[n] (A[n]: (nx[n+1], nx[n]) maps stage
+    # n to n+1); the terminal size comes from Q[N].  Inferring from
+    # B[n].shape[0] would shift time-varying state sizes by one stage.
+    nx_v = [np.asarray(An).shape[1] for An in A] + [np.asarray(Q[-1]).shape[0]]
     nu_v = [np.asarray(Bn).shape[1] for Bn in B] + [0]
-    nx_v = list(nx_full)
+    for n, Bn in enumerate(B):
+        if np.asarray(Bn).shape[0] != nx_v[n + 1]:
+            raise ValueError(
+                f"B[{n}] has {np.asarray(Bn).shape[0]} rows but stage "
+                f"{n + 1} has nx={nx_v[n + 1]} (from A/Q shapes)"
+            )
 
     if x0 is not None:
         x0 = np.asarray(x0, dtype=np.float64).reshape(-1)
@@ -146,6 +166,183 @@ def pack_problem(
     return dims, qp
 
 
+# --------------------------------------------------------------------------
+# compiled-solver cache (dims and cfg are frozen/hashable) — repeated
+# front-door calls at the same problem geometry reuse the same executable
+# instead of recompiling (the reference's retained-workspace idiom).
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_direct(dims: OCPDims, cfg: _ipm.IPMConfig):
+    import jax
+
+    return jax.jit(lambda qq: _ipm.solve(dims, qq, cfg, return_carry=True))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_warm(dims: OCPDims, cfg: _ipm.IPMConfig):
+    import jax
+
+    return jax.jit(
+        lambda qq, z0, pi0: _ipm.solve(
+            dims, qq, cfg, z0=z0, pi0=pi0, return_carry=True
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_partial_cond(dims: OCPDims, cfg: _ipm.IPMConfig, N2: int):
+    import jax
+
+    return jax.jit(lambda qq: _cond.solve_partial_cond(dims, qq, cfg, N2)[0])
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_new_rhs(dims: OCPDims):
+    import jax
+
+    return jax.jit(lambda qq, carry: _ipm.kkt_solve_new_rhs(dims, qq, carry))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_single_newton(dims: OCPDims, cfg: _ipm.IPMConfig):
+    import jax
+
+    return jax.jit(
+        lambda qq, it: _ipm.solve_single_newton(
+            dims, qq, cfg, *it, return_carry=True
+        )
+    )
+
+
+def _unpack_result(dims: OCPDims, sol) -> OCPResult:
+    N, NU = dims.N, dims.NU
+    z = np.asarray(sol.z)
+    x = [z[n, NU : NU + dims.nx[n]].copy() for n in range(N + 1)]
+    u = [z[n, : dims.nu[n]].copy() for n in range(N + 1)]
+    pi = [np.asarray(sol.pi)[n, : dims.nx[n + 1]].copy() for n in range(N)]
+    lam_out, t_out = [], []
+    lam_b, lam_g = np.asarray(sol.lam_b), np.asarray(sol.lam_g)
+    t_b, t_g = np.asarray(sol.t_b), np.asarray(sol.t_g)
+    for n in range(N + 1):
+        nbn, ngn = dims.nb[n], dims.ng[n]
+        lam_out.append(
+            np.concatenate(
+                [lam_b[n, 0, :nbn], lam_b[n, 1, :nbn],
+                 lam_g[n, 0, :ngn], lam_g[n, 1, :ngn]]
+            )
+        )
+        t_out.append(
+            np.concatenate(
+                [t_b[n, 0, :nbn], t_b[n, 1, :nbn],
+                 t_g[n, 0, :ngn], t_g[n, 1, :ngn]]
+            )
+        )
+    kk = int(sol.kk)
+    return OCPResult(
+        x=x, u=u, pi=pi, lam=lam_out, t=t_out,
+        kk=kk,
+        status=int(sol.status),
+        stat=np.asarray(sol.stat)[:kk],
+        inf_norm_res=np.asarray(sol.inf_norm_res),
+    )
+
+
+class OCPSession:
+    """Retained-state front door for re-solves at fixed matrix data.
+
+    Mirrors the reference's workspace-reuse API family
+    (``include/c_interface.h:62-76``): after :func:`solve_ocp` with
+    ``return_session=True``, call
+
+    - :meth:`solve_new_rhs` — re-solve for changed vector data (b, q, r,
+      bounds, x0) reusing the retained Riccati factorization — one
+      triangular re-solve, no new factorization
+      (``fortran_order_d_solve_kkt_new_rhs_ocp_hard_tv``,
+      ``interfaces/c/fortran_order_interface.c:985``);
+    - :meth:`single_newton` — RTI-style warm Newton step(s) from the
+      previous solution for new vector data
+      (``fortran_order_d_ip_ocp_hard_tv_single_newton_step``,
+      ``c_interface.h:67``);
+    - :meth:`solve` — full IPM warm-started from the previous solution
+      (the reference's ``warm_start`` flag).
+
+    All calls hit jit-cached executables — no recompilation after the
+    first call at a given problem geometry.
+    """
+
+    def __init__(self, dims, cfg, matrices, sol, carry):
+        self.dims = dims
+        self.cfg = cfg
+        self._mat = matrices  # dict of the original per-stage data
+        self._sol = sol  # padded device solution (last solve)
+        self._carry = carry  # KKTCarry or None
+
+    def _repack(self, b=None, q=None, r=None, lb=None, ub=None,
+                lg=None, ug=None, x0=None):
+        m = self._mat
+        dims, qp = pack_problem(
+            m["N"], m["A"], m["B"], b if b is not None else m["b"],
+            m["Q"], m["S"], m["R"],
+            q if q is not None else m["q"], r if r is not None else m["r"],
+            idxb=m["idxb"],
+            lb=lb if lb is not None else m["lb"],
+            ub=ub if ub is not None else m["ub"],
+            C=m["C"], D=m["D"],
+            lg=lg if lg is not None else m["lg"],
+            ug=ug if ug is not None else m["ug"],
+            x0=x0 if x0 is not None else m["x0"],
+        )
+        if dims != self.dims:
+            raise ValueError(
+                "new-rhs data changed the problem geometry; start a new "
+                "session via solve_ocp"
+            )
+        return qp
+
+    def solve_new_rhs(self, **vectors) -> OCPResult:
+        """Triangular re-solve with the retained factorization for new
+        vector data (kwargs: b, q, r, lb, ub, lg, ug, x0)."""
+        if self._carry is None:
+            raise ValueError("session has no retained factorization")
+        qp = self._repack(**vectors)
+        sol = _jit_new_rhs(self.dims)(qp, self._carry)
+        return _unpack_result(self.dims, sol)
+
+    def single_newton(self, k: int = 1, **vectors) -> OCPResult:
+        """``k`` warm Newton iterations from the previous solution for new
+        vector data (classic RTI: k=1)."""
+        qp = self._repack(**vectors)
+        cfg = _ipm.IPMConfig(
+            **{**dataclasses_asdict(self.cfg), "k_max": k}
+        )
+        it = (
+            self._sol.z, self._sol.pi,
+            self._sol.lam_b, self._sol.t_b,
+            self._sol.lam_g, self._sol.t_g,
+        )
+        sol, carry = _jit_single_newton(self.dims, cfg)(qp, it)
+        self._sol, self._carry = sol, carry
+        return _unpack_result(self.dims, sol)
+
+    def solve(self, **vectors) -> OCPResult:
+        """Full IPM re-solve warm-started from the previous solution."""
+        qp = self._repack(**vectors)
+        cfg = _ipm.IPMConfig(
+            **{**dataclasses_asdict(self.cfg), "warm_start": True}
+        )
+        sol, carry = _jit_warm(self.dims, cfg)(qp, self._sol.z, self._sol.pi)
+        self._sol, self._carry = sol, carry
+        return _unpack_result(self.dims, sol)
+
+
+def dataclasses_asdict(cfg):
+    import dataclasses
+
+    return {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+
+
 def solve_ocp(
     N,
     A, B, b,
@@ -158,61 +355,61 @@ def solve_ocp(
     mu0=2.0,
     mu_tol=1e-8,
     alpha_min=1e-8,
-) -> OCPResult:
+    warm_start=None,
+    return_session=False,
+):
     """One-call hard-constrained OCP solve (the reference's
     ``fortran_order_d_ip_ocp_hard_tv``; the ``N2 < N`` path runs partial
-    condensing -> IPM -> expand like ``fortran_order_interface.c:434-528``)."""
-    import jax
+    condensing -> IPM -> expand like ``fortran_order_interface.c:434-528``).
 
+    ``warm_start``: a previous :class:`OCPResult` (or ``(x, u)`` per-stage
+    lists) used to initialize the iterate (the reference's ``warm_start``
+    argument).  ``return_session=True`` additionally returns an
+    :class:`OCPSession` for retained-factorization re-solves.  Compiled
+    solvers are cached on (dims, config) — repeated calls do not recompile.
+    """
     dims, qp = pack_problem(
         N, A, B, b, Q, S, R, q, r,
         idxb=idxb, lb=lb, ub=ub, C=C, D=D, lg=lg, ug=ug, x0=x0,
     )
     cfg = _ipm.IPMConfig(k_max=k_max, mu0=mu0, mu_tol=mu_tol, alpha_min=alpha_min)
 
+    carry = None
     if N2 is not None and N2 < N:
-        sol, _ = jax.jit(
-            lambda qq: _cond.solve_partial_cond(dims, qq, cfg, N2)
-        )(qp)
-    else:
-        sol = jax.jit(lambda qq: _ipm.solve(dims, qq, cfg))(qp)
+        if warm_start is not None:
+            raise ValueError("warm_start is not supported with N2 < N")
+        sol = _jit_partial_cond(dims, cfg, int(N2))(qp)
+    elif warm_start is not None:
+        import jax.numpy as jnp
 
-    NU = dims.NU
-    z = np.asarray(sol.z)
-    x = [z[n, NU : NU + dims.nx[n]].copy() for n in range(N + 1)]
-    u = [z[n, : dims.nu[n]].copy() for n in range(N + 1)]
-    pi = [np.asarray(sol.pi)[n, : dims.nx[n + 1]].copy() for n in range(N)]
-    lam_out, t_out = [], []
-    for n in range(N + 1):
-        nbn, ngn = dims.nb[n], dims.ng[n]
-        lam_out.append(
-            np.concatenate(
-                [
-                    np.asarray(sol.lam_b)[n, 0, :nbn],
-                    np.asarray(sol.lam_b)[n, 1, :nbn],
-                    np.asarray(sol.lam_g)[n, 0, :ngn],
-                    np.asarray(sol.lam_g)[n, 1, :ngn],
-                ]
-            )
+        wx, wu = (
+            (warm_start.x, warm_start.u)
+            if isinstance(warm_start, OCPResult)
+            else warm_start
         )
-        t_out.append(
-            np.concatenate(
-                [
-                    np.asarray(sol.t_b)[n, 0, :nbn],
-                    np.asarray(sol.t_b)[n, 1, :nbn],
-                    np.asarray(sol.t_g)[n, 0, :ngn],
-                    np.asarray(sol.t_g)[n, 1, :ngn],
-                ]
-            )
+        z0 = np.zeros((N + 1, dims.NZ))
+        pi0 = np.zeros((N, dims.NX))
+        for n in range(N + 1):
+            z0[n, : dims.nu[n]] = np.asarray(wu[n]).reshape(-1)[: dims.nu[n]]
+            z0[n, dims.NU : dims.NU + dims.nx[n]] = np.asarray(wx[n]).reshape(-1)[
+                : dims.nx[n]
+            ]
+        cfg_w = _ipm.IPMConfig(**{**dataclasses_asdict(cfg), "warm_start": True})
+        sol, carry = _jit_warm(dims, cfg_w)(
+            qp, jnp.asarray(z0, qp.dtype), jnp.asarray(pi0, qp.dtype)
         )
-    kk = int(sol.kk)
-    return OCPResult(
-        x=x, u=u, pi=pi, lam=lam_out, t=t_out,
-        kk=kk,
-        status=int(sol.status),
-        stat=np.asarray(sol.stat)[:kk],
-        inf_norm_res=np.asarray(sol.inf_norm_res),
+        cfg = cfg_w
+    else:
+        sol, carry = _jit_direct(dims, cfg)(qp)
+
+    result = _unpack_result(dims, sol)
+    if not return_session:
+        return result
+    mats = dict(
+        N=N, A=A, B=B, b=b, Q=Q, S=S, R=R, q=q, r=r, idxb=idxb,
+        lb=lb, ub=ub, C=C, D=D, lg=lg, ug=ug, x0=x0,
     )
+    return result, OCPSession(dims, cfg, mats, sol, carry)
 
 
 def work_space_size_bytes(N, nx, nu, nb=None, ng=None, k_max=30, dtype=np.float64,
@@ -344,14 +541,20 @@ def solve_ocp_soft(
     u = [z[n, : dims.nu[n]].copy() for n in range(N + 1)]
     pi = [np.asarray(sol.pi)[n, : dims.nx[n + 1]].copy() for n in range(N)]
     kk = int(sol.kk)
+    stat = np.asarray(sol.stat)[:kk]
+    # soft-path residual norms: the final duality measure is tracked in the
+    # stat trace (stat[:, 4]); the stationarity/feasibility norms are not
+    # evaluated on this path — report NaN rather than fake zeros so callers
+    # checking solution quality use status/stat (the honest signals).
+    mu_final = float(stat[-1, 4]) if kk > 0 else np.nan
     return OCPResult(
         x=x, u=u, pi=pi,
         lam=[np.asarray(sol.lam_s)[n] for n in range(N + 1)],
         t=[np.asarray(sol.t_s)[n] for n in range(N + 1)],
         kk=kk,
         status=int(sol.status),
-        stat=np.asarray(sol.stat)[:kk],
-        inf_norm_res=np.zeros(4),
+        stat=stat,
+        inf_norm_res=np.array([np.nan, np.nan, np.nan, mu_final]),
     )
 
 

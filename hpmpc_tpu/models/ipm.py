@@ -1035,6 +1035,7 @@ def solve_single_newton(
     t_b0,
     lam_g0,
     t_g0,
+    return_carry: bool = False,
 ) -> IPMSolution:
     """RTI-style fixed-count warm Newton iterations
     (``d_ip2_res_mpc_hard_tv_single_newton_step``, ``d_ip2_res_hard.c:1348``):
@@ -1045,6 +1046,7 @@ def solve_single_newton(
         dims, qp, cfg,
         iterate0=(z0, pi0, lam_b0, t_b0, lam_g0, t_g0),
         rti_mode=True,
+        return_carry=return_carry,
     )
 
 

@@ -18,17 +18,45 @@ from __future__ import annotations
 import numpy as np
 
 
-def initialize(**kwargs):
-    """Initialize jax.distributed (no-op if single-process)."""
+def is_initialized() -> bool:
+    """Whether the jax.distributed client is live for this process."""
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
+    if hasattr(jax.distributed, "is_initialized"):  # jax >= 0.7
+        return bool(jax.distributed.is_initialized())
+    from jax._src import distributed as _dist
+
+    return _dist.global_state.client is not None
+
+
+def initialize(**kwargs):
+    """Initialize jax.distributed (idempotent).
+
+    Must be called BEFORE any backend-touching JAX API (jax.devices,
+    jax.process_count, device_put, ...) — instantiating the local backend
+    first would make distributed initialization fail.  kwargs pass through
+    to ``jax.distributed.initialize`` (coordinator_address, num_processes,
+    process_id, ...).  With no kwargs and no cluster environment variables
+    JAX cannot auto-detect a cluster; that specific error is suppressed and
+    the process proceeds single-process — any other failure propagates.
+    """
+    import jax
+
+    if is_initialized():
+        return
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        # single-process / driverless environments
-        pass
+    except (ValueError, RuntimeError) as e:
+        # only swallow the driverless single-process cases when
+        # auto-detecting (no kwargs): "coordinator_address should be
+        # defined" / backend already up; explicit-argument failures
+        # always propagate
+        benign = (
+            "coordinator_address" in str(e)
+            or "must be called before" in str(e)
+        )
+        if kwargs or not benign:
+            raise
 
 
 def global_batch_mesh(axis: str = "batch"):

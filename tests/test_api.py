@@ -207,3 +207,166 @@ def test_work_space_size_with_partial_condensing():
     assert full > 0 and cnd > 0 and cnd != full
     # N2 = N is the identity transform
     assert api.work_space_size_bytes(30, 8, 3, nb=7, N2=30) == full
+
+
+# ---------------------------------------------------------------------------
+# round-2 front-door surface: tv-nx packing, compiled-solver cache,
+# warm start, and the OCPSession resolve family (c_interface.h:62-76)
+# ---------------------------------------------------------------------------
+
+
+def _tv_nx_problem():
+    """Time-varying state sizes nx=[2, 4, 2, 3] (catches the B-row-count
+    nx inference shift flagged by the round-1 advisor)."""
+    rng = np.random.default_rng(7)
+    nx = [2, 4, 2, 3]
+    nu = [1, 2, 1]
+    N = 3
+    A_l = [rng.standard_normal((nx[n + 1], nx[n])) * 0.4 for n in range(N)]
+    B_l = [rng.standard_normal((nx[n + 1], nu[n])) for n in range(N)]
+    b_l = [0.05 * rng.standard_normal(nx[n + 1]) for n in range(N)]
+    Q_l = [np.eye(nx[n]) for n in range(N + 1)]
+    S_l = [np.zeros((nu[n], nx[n])) for n in range(N)] + [np.zeros((0, nx[N]))]
+    R_l = [2.0 * np.eye(nu[n]) for n in range(N)] + [np.zeros((0, 0))]
+    q_l = [0.1 * np.ones(nx[n]) for n in range(N + 1)]
+    r_l = [0.2 * np.ones(nu[n]) for n in range(N)] + [np.zeros(0)]
+    return N, nx, nu, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l
+
+
+def test_solve_ocp_time_varying_nx():
+    """tv-nx through the front door; verify vs a dense KKT solve."""
+    N, nx, nu, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l = _tv_nx_problem()
+    res = api.solve_ocp(N, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+                        mu_tol=1e-10)
+    for n in range(N + 1):
+        assert res.x[n].shape == (nx[n],)
+    # dense equality-constrained KKT oracle
+    nz = [nu[n] + nx[n] for n in range(N)] + [nx[N]]
+    off = np.cumsum([0] + nz)
+    nv = off[-1]
+    H = np.zeros((nv, nv)); gv = np.zeros(nv)
+    for n in range(N):
+        o = off[n]
+        H[o:o + nu[n], o:o + nu[n]] = R_l[n]
+        H[o + nu[n]:o + nz[n], o + nu[n]:o + nz[n]] = Q_l[n]
+        gv[o:o + nu[n]] = r_l[n]; gv[o + nu[n]:o + nz[n]] = q_l[n]
+    H[off[N]:, off[N]:] = Q_l[N]; gv[off[N]:] = q_l[N]
+    ne = sum(nx[1:])
+    E = np.zeros((ne, nv)); ev = np.zeros(ne)
+    ro = 0
+    for n in range(N):
+        o = off[n]
+        E[ro:ro + nx[n + 1], o:o + nu[n]] = B_l[n]
+        E[ro:ro + nx[n + 1], o + nu[n]:o + nz[n]] = A_l[n]
+        E[ro:ro + nx[n + 1], off[n + 1] + (nu[n + 1] if n + 1 < N else 0):
+          off[n + 1] + nz[n + 1]] = -np.eye(nx[n + 1])
+        ev[ro:ro + nx[n + 1]] = -b_l[n]
+        ro += nx[n + 1]
+    KKT = np.block([[H, E.T], [E, np.zeros((ne, ne))]])
+    sol = np.linalg.solve(KKT, np.concatenate([-gv, ev]))
+    for n in range(N + 1):
+        got = np.concatenate([res.u[n], res.x[n]])
+        np.testing.assert_allclose(got, sol[off[n]:off[n] + nz[n]],
+                                   atol=1e-7, err_msg=f"stage {n}")
+
+
+def test_pack_problem_rejects_inconsistent_B():
+    N, nx, nu, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l = _tv_nx_problem()
+    B_bad = list(B_l)
+    B_bad[1] = np.zeros((nx[1], nu[1]))  # wrong row count (nx[1] != nx[2])
+    with pytest.raises(ValueError, match="rows but stage"):
+        api.pack_problem(N, A_l, B_bad, b_l, Q_l, S_l, R_l, q_l, r_l)
+
+
+def _small_ms(N=10):
+    return _mass_spring_raw(8, 3, N)
+
+
+def test_solver_cache_no_recompile():
+    """Repeated solve_ocp calls at one geometry hit the jit cache."""
+    (A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+     idxb, lb, ub, *_rest, x0) = _small_ms()
+    kw = dict(idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-8)
+    api.solve_ocp(10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l, **kw)
+    before = api._jit_direct.cache_info()
+    api.solve_ocp(10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l, **kw)
+    after = api._jit_direct.cache_info()
+    assert after.hits == before.hits + 1
+
+
+def test_session_new_rhs_converged_fixed_point():
+    """solve_new_rhs with unchanged vectors keeps the converged solution
+    (one extra Newton step at the solution is a no-op to tolerance)."""
+    (A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+     idxb, lb, ub, *_rest, x0) = _small_ms()
+    res, sess = api.solve_ocp(
+        10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-10, return_session=True,
+    )
+    res2 = sess.solve_new_rhs()
+    for n in range(11):
+        np.testing.assert_allclose(res2.x[n], res.x[n], atol=1e-7)
+        np.testing.assert_allclose(res2.u[n], res.u[n], atol=1e-7)
+
+
+def test_session_new_rhs_perturbed_b_matches_fresh():
+    """Changed vector data through the session's retained factorization
+    tracks a fresh full solve (golden-parity for the underlying model path
+    is in test_ipm.py; this checks the API wiring end to end)."""
+    (A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+     idxb, lb, ub, *_rest, x0) = _small_ms()
+    _res, sess = api.solve_ocp(
+        10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-10, return_session=True,
+    )
+    b_new = [bb + 0.003 for bb in b_l]
+    quick = sess.solve_new_rhs(b=b_new)
+    fresh = api.solve_ocp(
+        10, A_l, B_l, b_new, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-10,
+    )
+    for n in range(11):
+        np.testing.assert_allclose(quick.x[n], fresh.x[n], atol=2e-4)
+        np.testing.assert_allclose(quick.u[n], fresh.u[n], atol=2e-4)
+
+
+def test_session_single_newton_rti_loop():
+    """Classic RTI: one warm Newton step per new x0 stays near the fully
+    converged solution along a closed-loop-style x0 sequence."""
+    (A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+     idxb, lb, ub, *_rest, x0) = _small_ms()
+    _res, sess = api.solve_ocp(
+        10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-10, return_session=True,
+    )
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        x0 = x0 + 0.01 * rng.standard_normal(8)
+        rti = sess.single_newton(k=1, x0=x0)
+        fresh = api.solve_ocp(
+            10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+            idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-10,
+        )
+        np.testing.assert_allclose(rti.u[0], fresh.u[0], atol=5e-3)
+
+
+def test_warm_start_converges_and_saves_iterations():
+    (A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+     idxb, lb, ub, *_rest, x0) = _small_ms()
+    cold = api.solve_ocp(
+        10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-8,
+    )
+    x0b = x0 + 0.02
+    warm = api.solve_ocp(
+        10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0b, mu_tol=1e-8, warm_start=cold,
+    )
+    fresh = api.solve_ocp(
+        10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0b, mu_tol=1e-8,
+    )
+    assert warm.status == 0
+    assert warm.kk <= fresh.kk
+    for n in range(11):
+        np.testing.assert_allclose(warm.x[n], fresh.x[n], atol=1e-5)
