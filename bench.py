@@ -5,30 +5,90 @@ nx=8 nu=3 N=30 nb=7 ngN=8, 8 IPM iterations; ``doc/guide.tex:330-360``) and
 measures device-side end-to-end solves/second for a large instance batch.
 
 Methodology: K independent full solves (per-solve perturbed b) run inside
-ONE jitted call via lax.scan; per-solve time is the SLOPE between a K=2 and
-a K=10 call, which cancels dispatch/transfer overhead (this harness reaches
-the chip through a network relay whose per-call latency and output
-shipping would otherwise dominate by 100x; solutions are materialized in
-HBM and checksummed on device, plus the u_0 controls — what an MPC
-deployment actually ships off-chip — are extracted per solve).
+ONE jitted call via a dynamic-trip-count ``fori_loop``; per-solve time is
+the SLOPE between a K=2 and a K=10 call, which cancels dispatch/transfer
+overhead (this harness reaches the chip through a network relay whose
+per-call latency and output shipping would otherwise dominate by 100x;
+solutions are materialized in HBM and checksummed on device, plus the u_0
+controls — what an MPC deployment actually ships off-chip — are extracted
+per solve).  K being a runtime scalar means the WHOLE bench is a single
+XLA program: one compile (persisted in ``.jax_cache``) serves every K and
+the iteration-count probe.
 
 Work-normalization: the f32 path stops at its precision floor (~5-6 of the
 8 reference iterations, mu ~ 1e-4); throughput is expressed as equivalent
 8-iteration solves so the number is comparable to the reference's
 8-iteration f64 benchmark (3,185 solves/s on one Ivy Bridge core).
 
+Robustness: compiled executables persist across processes in
+``.jax_cache`` (the axon remote-compile path honours it, measured), so a
+warm run completes in well under a minute.  A watchdog thread guarantees
+ONE JSON line is printed even if a cold compile outlives the caller's
+timeout: it reports this run's measurement if one completed, else the last
+completed run's persisted value tagged as a fallback.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import dataclasses
 import json
+import os
+import threading
 import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_LAST = os.path.join(_REPO, ".bench_last.json")
+_BASELINE = 3185.0  # reference: 1/3.14e-4 solves/s, one CPU core
+
+_t_start = time.time()
+_result = {}  # filled as measurements land; watchdog may print it early
+_printed = threading.Event()
+
+
+def _emit(payload):
+    if not _printed.is_set():
+        _printed.set()
+        print(json.dumps(payload), flush=True)
+
+
+def _watchdog(budget_s: float):
+    """If the run outlives ``budget_s`` (cold compile through a degraded
+    relay), print a best-effort JSON line and hard-exit so the caller's
+    timeout never yields an empty record."""
+    while not _printed.wait(timeout=5.0):
+        if time.time() - _t_start < budget_s:
+            continue
+        if "value" in _result:
+            _emit(_result)
+        elif os.path.exists(_LAST):
+            last = json.load(open(_LAST))
+            last["unit"] += " [fallback: last completed run, this run timed out]"
+            _emit(last)
+        else:
+            _emit(
+                {
+                    "metric": "ipm_solves_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": "TIMEOUT before first measurement (cold compile)",
+                    "vs_baseline": 0.0,
+                }
+            )
+        os._exit(0)
+    # measurement printed normally; nothing to do
+
 
 def main():
+    budget = float(os.environ.get("HPMPC_BENCH_BUDGET_S", "1380"))
+    threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
+
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     import jax.numpy as jnp
     from jax import lax
 
@@ -37,7 +97,7 @@ def main():
     from hpmpc_tpu.utils.mass_spring import mass_spring_qp
 
     dtype = jnp.float32
-    BATCH = 4096
+    BATCH = int(os.environ.get("HPMPC_BENCH_BATCH", "4096"))
     K_MAX = 8  # reference converges in 8 iterations on this problem
 
     dims, qp = mass_spring_qp(8, 3, 30, ngN=8, dtype=dtype)
@@ -55,59 +115,61 @@ def main():
         use_pallas=jax.default_backend() == "tpu",
     )
 
-    def make(K):
-        @jax.jit
-        def run(q, seed):
-            def body(acc, i):
-                qi = dataclasses.replace(q, b=q.b * (1.0 + 1e-4 * (i + seed)))
-                sol = pbatch.solve_batched(dims, qi, cfg)
-                # u_0 controls: the output an MPC deployment ships off-chip
-                u0 = sol.z[:, 0, : dims.NU]
-                chk = jnp.sum(sol.z) + jnp.sum(u0) + jnp.sum(sol.kk)
-                return acc + chk, None
+    @jax.jit
+    def run(q, K, seed):
+        """K solves (runtime trip count) + the mean iteration count of the
+        last batch — one compiled program serves warmup, probe and timing."""
 
-            acc, _ = lax.scan(
-                body, jnp.asarray(0.0, dtype), jnp.arange(K, dtype=dtype)
+        def body(i, carry):
+            acc, _ = carry
+            qi = dataclasses.replace(
+                q, b=q.b * (1.0 + 1e-4 * (i.astype(dtype) + seed))
             )
-            return acc
+            sol = pbatch.solve_batched(dims, qi, cfg)
+            # u_0 controls: the output an MPC deployment ships off-chip
+            u0 = sol.z[:, 0, : dims.NU]
+            chk = jnp.sum(sol.z) + jnp.sum(u0) + jnp.sum(sol.kk)
+            return acc + chk, jnp.mean(sol.kk.astype(jnp.float32))
 
-        return run
+        return lax.fori_loop(
+            0, K, body,
+            (jnp.asarray(0.0, dtype), jnp.asarray(0.0, jnp.float32)),
+        )
 
-    # iteration count for work normalization (converged instances freeze)
-    sol0 = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg).kk)(qpb)
-    mean_kk = float(jnp.mean(sol0.astype(jnp.float32)))
+    # compile + warmup + iteration-count probe in one dispatch
+    acc, mean_kk = run(qpb, 1, jnp.asarray(0.0, dtype))
+    acc, mean_kk = float(acc), float(mean_kk)
+    assert np.isfinite(acc), "non-finite checksum"
     assert mean_kk > 3.0, f"suspicious iteration count {mean_kk}"
 
     times = {}
     for K in (2, 10):
-        f = make(K)
-        out = float(f(qpb, jnp.asarray(0.0, dtype)))  # compile + warmup
-        assert np.isfinite(out), "non-finite checksum"
         reps = 3
         t0 = time.perf_counter()
         for r in range(1, reps + 1):
             # float() forces completion — on this harness's relay,
-            # block_until_ready returns before execution finishes
-            out = float(f(qpb, jnp.asarray(r * 37.0, dtype)))
+            # block_until_ready returns before execution finishes; the
+            # per-rep seed defeats the relay's dispatch memoization
+            out = float(run(qpb, K, jnp.asarray(r * 37.0 + K, dtype))[0])
         times[K] = (time.perf_counter() - t0) / reps
+        assert np.isfinite(out)
 
     per_solve_s = (times[10] - times[2]) / (10 - 2)
     solves_per_s = (BATCH * mean_kk / K_MAX) / per_solve_s
-    baseline = 3185.0  # reference: 1/3.14e-4 solves/s, one CPU core
-    print(
-        json.dumps(
-            {
-                "metric": "ipm_solves_per_s_per_chip",
-                "value": round(solves_per_s, 1),
-                "unit": (
-                    f"equivalent 8-iteration solves/s (mass-spring nx=8 nu=3 N=30 "
-                    f"nb=7 ngN=8, batch={BATCH}, f32, mean_iters={mean_kk:.2f}, "
-                    f"slope K=2..10 in-graph, {per_solve_s*1e3:.3f} ms/batch)"
-                ),
-                "vs_baseline": round(solves_per_s / baseline, 2),
-            }
-        )
-    )
+    payload = {
+        "metric": "ipm_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": (
+            f"equivalent 8-iteration solves/s (mass-spring nx=8 nu=3 N=30 "
+            f"nb=7 ngN=8, batch={BATCH}, f32, mean_iters={mean_kk:.2f}, "
+            f"slope K=2..10 in-graph, {per_solve_s*1e3:.3f} ms/batch)"
+        ),
+        "vs_baseline": round(solves_per_s / _BASELINE, 2),
+    }
+    _result.update(payload)
+    with open(_LAST, "w") as f:
+        json.dump(payload, f)
+    _emit(payload)
 
 
 if __name__ == "__main__":
