@@ -602,12 +602,14 @@ def _solve_impl(
     ng_stages = tuple(n for n in range(dims.N + 1) if dims.ng[n] > 0)
 
     if backend is None:
-        assert not (cfg.use_pallas and cfg.iter_ref), (
-            "iter_ref runs on the XLA backend path (use_pallas=False): the "
-            "Pallas trs kernel's Pb cache is keyed to the original rhs"
-        )
+        # iter_ref through the STRUCTURED path runs on the XLA backend (the
+        # structured custom_vmap Pallas wrappers have no refine hook); the
+        # batch-level flat engine (ipm_fast, entered via
+        # parallel.batch.solve_batched) supports iter_ref natively through
+        # stage_kernel.solve_flat_pb.
         backend = chain_backend(
-            dims, qp, oh, mu_scal, use_pallas=cfg.use_pallas,
+            dims, qp, oh, mu_scal,
+            use_pallas=cfg.use_pallas and not cfg.iter_ref,
             reg_eps=cfg.reg_eps, iter_ref=cfg.iter_ref,
         )
 

@@ -39,9 +39,11 @@ This module keeps every piece of loop state 2-D ``(B, flat)`` (pad ~1.2x):
 
 Entered from :func:`hpmpc_tpu.parallel.batch.solve_batched` when
 ``cfg.use_pallas``, the batch is a multiple of 1024, ``dims.idxb`` is
-static, and neither ``warm_start`` nor ``iter_ref`` is requested (those
-take the vmapped structured path); cross-checked against the structured
-path by tests/test_stage_kernel.py.
+static, and ``warm_start`` is not requested (that takes the vmapped
+structured path).  ``cfg.iter_ref`` is supported: full-precision Newton
+residuals are assembled term-by-term and re-solved through
+``stage_kernel.solve_flat_pb`` (Pb recomputed in-kernel).  Cross-checked
+against the structured path by tests/test_stage_kernel.py.
 """
 
 from __future__ import annotations
@@ -209,6 +211,31 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     mu0 = jnp.asarray(cfg.mu0, dt)
     reg = jnp.asarray(cfg.reg_eps, dt)
 
+    iter_ref = int(getattr(cfg, "iter_ref", 0))
+
+    def newton_refine(L_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF):
+        """Iterative refinement on the Newton system (reference ITER_REF,
+        ``d_ip2_res_hard.c:48,1086-1163``): full-precision KKT residuals of
+        the CURRENT effective system (H_eff = H + diag(dvecF) + ng barrier
+        term, assembled term-by-term — H_eff itself never exists in HBM),
+        then a correction re-solve with the retained lanes factor.  Pb is
+        recomputed in-kernel (``solve_flat_pb``) because the factor's Pb
+        cache is keyed to the original rhs, not the residual ``rb``."""
+        for _ in range(iter_ref):
+            hzF, fzF, fpiF = sk.resid_terms_flat(Hl, Fl, zF, piF, NZ, NX)
+            rq = g_eff + hzF + dvecF * zF
+            if n_ng:
+                rq = rq + jnp.einsum(
+                    "bg,bgz->bz", Qx_g * mgF * cz_of(zF), C_ngF
+                )
+            rq = rq.at[:, : N * NZ].add(fpiF[:, : N * NZ])
+            rq = rq - jnp.dot(piF, Mpi, precision=HI)
+            rb = rhs_bF + fzF - jnp.dot(zF, Mx, precision=HI)
+            dzF, dpiF = sk.solve_flat_pb(L_l, rq, Fl, rb, NU, NZ, NX)
+            zF = zF + dzF
+            piF = piF + dpiF
+        return zF, piF
+
     def kkt_factor_solve(Qx_b, Qx_g, g_eff, rhs_bF):
         """Qx_b (B, NBF) masked barrier diag for box vars; Qx_g (B, NGF)."""
         dvecF = scatter_box(Qx_b) + pad_diagF + reg
@@ -223,13 +250,19 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             ngl = sk._to_lanes(ngterm, B)
         else:
             ngl = jnp.zeros((nb_blk, 1, NZ, NZ, sk.SUBS, sk.LANES), dt)
-        return sk.factor_solve_folded_flat(
+        zF, piF, (L_l, Pb_l) = sk.factor_solve_folded_flat(
             Hl, dvecF, ngl, ng_stages, g_eff, Fl, rhs_bF, NU, NZ, NX
         )
+        if iter_ref:
+            zF, piF = newton_refine(L_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF)
+        return zF, piF, (L_l, Pb_l, dvecF, Qx_g)
 
     def kkt_resolve(fstate, g_eff, rhs_bF):
-        L_l, Pb_l = fstate
-        return sk.solve_flat(L_l, Pb_l, g_eff, Fl, rhs_bF, NU, NZ, NX)
+        L_l, Pb_l, dvecF, Qx_g = fstate
+        zF, piF = sk.solve_flat(L_l, Pb_l, g_eff, Fl, rhs_bF, NU, NZ, NX)
+        if iter_ref:
+            zF, piF = newton_refine(L_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF)
+        return zF, piF
 
     def build_geff(base, qx_b, qx_g):
         out = base + scatter_box(qx_b)

@@ -895,6 +895,109 @@ def _forward_from_lanes(L_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX):
     return zF, piF
 
 
+def _bwd_trs_pb_kernel(NU, NX, NZ, N,
+                       L_ref, g_ref, F_ref, b_ref,
+                       eu_ref, px_ref,
+                       Lxx_c, px_c):
+    """trs variant that RECOMPUTES Pb in-kernel from the retained factor
+    (the reference ``compute_Pb=1`` path, ``d_back_ric_rec.c:564``):
+    needed when the rhs ``b`` differs from the one the factor's Pb cache
+    was built for — iterative refinement (``ITER_REF``) re-solves the
+    Newton system against the refinement residual ``rb``.  Carries
+    Lxx_{n+1} across grid steps like the sv kernel."""
+    s = pl.program_id(1)
+
+    Lf = _mat(L_ref, NZ, NZ)
+    g = _vec(g_ref, NZ)
+    Dinv_u = [pl.reciprocal(jnp.maximum(Lf[i][i], 1e-30), approx=False) for i in range(NU)]
+
+    # interior: Pb = Lxx_{n+1} (Lxx_{n+1}' b_n) from the carried factor
+    F = _mat(F_ref, NZ, NX)
+    bb = _vec(b_ref, NX)
+    Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
+    t1 = [None] * NX
+    for i in range(NX):
+        acc = None
+        for k in range(i, NX):
+            t = Lxx[k][i] * bb[k]
+            acc = t if acc is None else acc + t
+        t1[i] = acc
+    Pb = [None] * NX
+    for i in range(NX):
+        acc = None
+        for k in range(i + 1):
+            t = Lxx[i][k] * t1[k]
+            acc = t if acc is None else acc + t
+        Pb[i] = acc
+    m_i = []
+    for i in range(NZ):
+        acc = g[i]
+        for k in range(NX):
+            acc = acc + F[i][k] * (Pb[k] + px_c[k])
+        m_i.append(acc)
+    is_t = s == 0
+    m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
+
+    eu = _tril_solve(
+        [[Lf[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, m[:NU], NU
+    )
+    px = []
+    for i in range(NX):
+        acc = m[NU + i]
+        for k in range(NU):
+            acc = acc - Lf[NU + i][k] * eu[k]
+        px.append(acc)
+
+    zero = Lf[0][0] * 0.0
+    _store_vec(eu_ref, eu + [zero] * (NZ - NU))
+    _store_vec(px_ref, px)
+    for i in range(NX):
+        px_c[i] = px[i]
+        for j in range(NX):
+            Lxx_c[i, j] = Lf[NU + i][NU + j]
+
+
+@functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
+def solve_flat_pb(L_l, gF, Fl, bF, NU, NZ, NX):
+    """Flat-state fused trs recomputing Pb in-kernel (new-rhs path: used by
+    iterative refinement, where ``bF`` is the refinement residual, not the
+    rhs the retained factor's Pb cache belongs to)."""
+    nb = L_l.shape[0]
+    B = nb * BI
+    Np1 = L_l.shape[1]
+    N = Np1 - 1
+    dt = L_l.dtype
+
+    gl = _to_lanes_flat(gF, B, (Np1, NZ))
+    bl = _to_lanes_flat(bF, B, (N, NX))
+
+    kernel = functools.partial(_bwd_trs_pb_kernel, NU, NX, NZ, N)
+    eu_l, px_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NX, NX, SUBS, LANES), dt),
+            pltpu.VMEM((NX, SUBS, LANES), dt),
+        ],
+    )(L_l, gl, Fl, bl)
+
+    return _forward_from_lanes(L_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
+
+
 @functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
 def solve_flat(L_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
     """Flat-state fused trs with the LANES-form retained factor."""

@@ -45,7 +45,6 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
     if (
         cfg.use_pallas
         and not cfg.warm_start
-        and cfg.iter_ref == 0
         and dims.n_constr > 0
         and dims.idxb is not None
         and B % 1024 == 0

@@ -347,3 +347,81 @@ def test_schur_golden_parity_vs_panel_reference(name):
     pi_ref = np.stack([np.array(x) for x in d["pi"]])
     np.testing.assert_allclose(np.asarray(v), v_ref, atol=1e-10)
     np.testing.assert_allclose(np.asarray(pi), pi_ref, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Golden parity vs the reference's own MHE-if oracle.
+#
+# Finding (documented in tools/golden_gen/mhe_blas_main.c): the reference's
+# PANEL solvers d_ric_trf/trs_mhe_if (d_ric_sv.c:1298,1629) are unbuildable
+# in every shipped configuration — d_ric_sv.o is absent from
+# lqcp_solvers/Makefile and the functions call panel-BLAS routines declared
+# in blas_d.h but defined nowhere in the tree.  The oracle here is the
+# reference's own LAPACK twin pair d_ric_trf/trs_mhe_if_blas
+# (reference_code/d_ric_sv_blas.c:47,175 — what test_d_ric_mhe.c:837-840
+# cross-checks the panel path against), un-gated and compiled by
+# tools/golden_gen/build_ref.sh.  The N=15 fixture runs the driver's own
+# mhe_measure.dat record (test_d_ric_mhe.c:299-320).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["mhe_if_nx12_nw5_ny3_N15", "mhe_if_nx8_nw3_ny4_ndN2_N10"],
+)
+def test_mhe_if_golden_parity_vs_reference(name):
+    from conftest import load_golden
+
+    g = load_golden(name)
+    cfg = g["config"]
+    nx, nw, ny, ndN, N = (
+        cfg["nx"], cfg["nw"], cfg["ny"], cfg["ndN"], cfg["N"]
+    )
+    A = np.array(g["A_colmajor"]).reshape(nx, nx, order="F")
+    G = np.array(g["G_colmajor"]).reshape(nx, nw, order="F")
+    R = np.array(g["R_colmajor"]).reshape(nw, nw, order="F")
+    C = np.array(g["C_colmajor"]).reshape(ny, nx, order="F")
+    Qy = np.array(g["Qy_colmajor"]).reshape(ny, ny, order="F")
+    Qx = C.T @ Qy @ C
+    qq = np.array(g["qq"])  # (N+1, nx) = -C' Qy y (generator convention)
+    r = np.array(g["r"])
+    f = np.array(g["f"])
+    if ndN > 0:
+        D = np.array(g["D_colmajor"]).reshape(ndN, nx, order="F")
+        dN = np.array(g["d"])
+    else:
+        D = np.zeros((0, nx))
+        dN = np.zeros((0,))
+
+    data = mhe.MHEData(
+        A=jnp.asarray(np.broadcast_to(A, (N, nx, nx))),
+        G=jnp.asarray(np.broadcast_to(G, (N, nx, nw))),
+        f=jnp.asarray(np.broadcast_to(f, (N, nx))),
+        Q=jnp.asarray(np.broadcast_to(Qx, (N + 1, nx, nx))),
+        q=jnp.asarray(qq),
+        R=jnp.asarray(np.broadcast_to(R, (N, nw, nw))),
+        r=jnp.asarray(np.broadcast_to(r, (N, nw))),
+        Up0=jnp.eye(nx),  # generator prior: Up0 = I
+        xp0=jnp.zeros(nx),
+        D=jnp.asarray(D),
+        dN=jnp.asarray(dN),
+    )
+    sol, _ = mhe.factor_solve(data)
+
+    np.testing.assert_allclose(
+        np.asarray(sol.x), np.array(g["xe"]), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.xp), np.array(g["xp"]), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.w), np.array(g["w"]), rtol=1e-9, atol=1e-9
+    )
+    lam_ref = np.array(g["lam"])  # (N+1, nx); rows 0..N-1 = costates
+    np.testing.assert_allclose(
+        np.asarray(sol.lam), lam_ref[:N], rtol=1e-9, atol=1e-9
+    )
+    if ndN > 0:
+        np.testing.assert_allclose(
+            np.asarray(sol.lamN), lam_ref[N][:ndN], rtol=1e-9, atol=1e-9
+        )

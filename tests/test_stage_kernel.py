@@ -117,3 +117,82 @@ def test_structured_pallas_path_via_direct_vmap(interpret_pallas):
     np.testing.assert_allclose(
         np.asarray(sol_p.z), np.asarray(sol_x.z), atol=5e-4
     )
+
+
+def test_solve_flat_pb_matches_recompute_path(interpret_pallas):
+    """solve_flat_pb (in-kernel Pb recompute, the reference compute_Pb=1
+    trs) must match the XLA retained-factor solve for a NEW rhs b' that the
+    factor's Pb cache does not belong to."""
+    from hpmpc_tpu.ops import stage_kernel as sk
+    from hpmpc_tpu.models import riccati
+
+    dims, qpb = _batch_qp()
+    B = qpb.b.shape[0]
+    H_eff = qpb.H + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(qpb.pad_diag)
+    g_eff = qpb.g * qpb.z_mask
+    with jax.default_matmul_precision("float32"):
+        _, L, *_ = jax.vmap(
+            lambda H, g, F, b: riccati.factor_solve(H, g, F, b, dims.NU)
+        )(H_eff, g_eff, qpb.F, qpb.b)
+    b_new = qpb.b * 1.37 + 0.01
+    with jax.default_matmul_precision("float32"):
+        ref, _ = jax.vmap(
+            lambda L_, g, F, b: riccati.solve(L_, g, F, b, dims.NU, Pb=None)
+        )(L, g_eff, qpb.F, b_new)
+
+    L_l = sk._to_lanes(L, B)
+    Fl = sk._to_lanes(qpb.F, B)
+    gF = g_eff.reshape(B, -1)
+    bF = b_new.reshape(B, -1)
+    zF, piF = sk.solve_flat_pb(L_l, gF, Fl, bF, dims.NU, dims.NZ, dims.NX)
+    np.testing.assert_allclose(
+        np.asarray(zF), np.asarray(ref.z.reshape(B, -1)), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(piF), np.asarray(ref.pi.reshape(B, -1)), atol=5e-4
+    )
+
+
+def test_flat_ipm_iter_ref_matches_xla_iter_ref(interpret_pallas):
+    """cfg.iter_ref through the flat engine == the XLA structured path's
+    golden-parity ITER_REF implementation, iterate for iterate."""
+    dims, qpb = _batch_qp(ngN=4)
+    cfg_x = ipm.IPMConfig(k_max=3, mu_tol=1e-4, iter_ref=2)
+    cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
+    sol_x = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_x))(qpb)
+    sol_p = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_p))(qpb)
+    assert bool(jnp.all(sol_x.kk == sol_p.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_p.z), np.asarray(sol_x.z), atol=5e-4
+    )
+
+
+def test_flat_ipm_iter_ref_reaches_f64_parity(interpret_pallas):
+    """BASELINE north star: f32 + ITER_REF on the flat/Pallas path reaches
+    <=1e-6 control parity with the f64 solver at MATCHED iteration count —
+    without refinement, f32 stalls at mu ~1e-4 and misses this by orders
+    of magnitude (the reference's own mixed-precision argument,
+    d_ip2_res_hard.c:48)."""
+    K = 6
+    dims, qpb = _batch_qp()
+    qpb64 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64)
+        if x.dtype == jnp.float32 else x, qpb
+    )
+    cfg64 = ipm.IPMConfig(k_max=K, mu_tol=0.0)
+    sol64 = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg64))(qpb64)
+
+    cfg_ref = ipm.IPMConfig(k_max=K, mu_tol=0.0, iter_ref=2, use_pallas=True)
+    sol_ref = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_ref))(qpb)
+
+    cfg_raw = ipm.IPMConfig(k_max=K, mu_tol=0.0, use_pallas=True)
+    sol_raw = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_raw))(qpb)
+
+    z64 = np.asarray(sol64.z, np.float64)
+    u_cols = slice(0, dims.NU)
+    err_ref = np.max(np.abs(np.asarray(sol_ref.z, np.float64)[:, :, u_cols]
+                            - z64[:, :, u_cols]))
+    err_raw = np.max(np.abs(np.asarray(sol_raw.z, np.float64)[:, :, u_cols]
+                            - z64[:, :, u_cols]))
+    assert err_ref <= 1e-6, f"refined control error {err_ref:.2e} > 1e-6"
+    assert err_ref < err_raw, (err_ref, err_raw)
