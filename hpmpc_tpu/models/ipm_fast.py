@@ -184,9 +184,21 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     x_maskF = qp.x_mask[:, 1:].reshape(B, NXF)
     pad_diagF = qp.pad_diag.reshape(B, NZF)
 
+    # MIXED PRECISION: the Pallas stage kernels always run f32 (the TPU
+    # VPU/MXU native precision); the loop state, step math and residuals
+    # run in the QP's dtype.  Passing an f64 QP therefore gives the
+    # mixed-precision IPM (f64 outer loop + f32 KKT solves) — the
+    # reference's own single/double idea (d_ip2_res_hard.c:48).  Measured
+    # (flat engine, B=1024, N=5, ng active): tracks the full-f64
+    # structured solver iteration-for-iteration to mu ~1e-13 with max |z|
+    # error ~1e-9 (tests/test_stage_kernel.py) — the f32 factorization is
+    # only a direction oracle; accuracy is set by the residual precision.
+    kdt = jnp.float32
+    mixed = dt != kdt
+
     # loop-invariant lanes transposes (once, outside the IPM loop)
-    Hl = sk._to_lanes(qp.H, B)
-    Fl = sk._to_lanes(qp.F, B)
+    Hl = sk._to_lanes(qp.H.astype(kdt), B)
+    Fl = sk._to_lanes(qp.F.astype(kdt), B)
     nb_blk = B // sk.BI
 
     # static selection matmuls for the residual's pi / x-shift terms
@@ -213,6 +225,20 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
 
     iter_ref = int(getattr(cfg, "iter_ref", 0))
 
+    def resid_terms(zF, piF):
+        """(H_n z_n, F_n' z_n, F_n pi_n) in the state dtype: the lanes
+        Pallas kernel when f32, full-precision XLA einsums when mixed
+        (residual precision is what sets the mixed-mode accuracy)."""
+        if not mixed:
+            return sk.resid_terms_flat(Hl, Fl, zF, piF, NZ, NX)
+        z = zF.reshape(B, N + 1, NZ)
+        pi = piF.reshape(B, N, NX)
+        hzF = jnp.einsum("bnzw,bnw->bnz", qp.H, z).reshape(B, NZF)
+        fzF = jnp.einsum("bnzx,bnz->bnx", qp.F, z[:, :N]).reshape(B, NXF)
+        fpiF = jnp.einsum("bnzx,bnx->bnz", qp.F, pi).reshape(B, N * NZ)
+        fpiF = jnp.concatenate([fpiF, jnp.zeros((B, NZ), dt)], axis=1)
+        return hzF, fzF, fpiF
+
     def newton_refine(L_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF):
         """Iterative refinement on the Newton system (reference ITER_REF,
         ``d_ip2_res_hard.c:48,1086-1163``): full-precision KKT residuals of
@@ -222,7 +248,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         recomputed in-kernel (``solve_flat_pb``) because the factor's Pb
         cache is keyed to the original rhs, not the residual ``rb``."""
         for _ in range(iter_ref):
-            hzF, fzF, fpiF = sk.resid_terms_flat(Hl, Fl, zF, piF, NZ, NX)
+            hzF, fzF, fpiF = resid_terms(zF, piF)
             rq = g_eff + hzF + dvecF * zF
             if n_ng:
                 rq = rq + jnp.einsum(
@@ -231,9 +257,11 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             rq = rq.at[:, : N * NZ].add(fpiF[:, : N * NZ])
             rq = rq - jnp.dot(piF, Mpi, precision=HI)
             rb = rhs_bF + fzF - jnp.dot(zF, Mx, precision=HI)
-            dzF, dpiF = sk.solve_flat_pb(L_l, rq, Fl, rb, NU, NZ, NX)
-            zF = zF + dzF
-            piF = piF + dpiF
+            dzF, dpiF = sk.solve_flat_pb(
+                L_l, rq.astype(kdt), Fl, rb.astype(kdt), NU, NZ, NX
+            )
+            zF = zF + dzF.astype(dt)
+            piF = piF + dpiF.astype(dt)
         return zF, piF
 
     def kkt_factor_solve(Qx_b, Qx_g, g_eff, rhs_bF):
@@ -247,19 +275,24 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             ngterm = jnp.einsum(
                 "bngz,bng,bngw->bnzw", qp.C[:, idx], Qg, qp.C[:, idx]
             )
-            ngl = sk._to_lanes(ngterm, B)
+            ngl = sk._to_lanes(ngterm.astype(kdt), B)
         else:
-            ngl = jnp.zeros((nb_blk, 1, NZ, NZ, sk.SUBS, sk.LANES), dt)
+            ngl = jnp.zeros((nb_blk, 1, NZ, NZ, sk.SUBS, sk.LANES), kdt)
         zF, piF, (L_l, Pb_l) = sk.factor_solve_folded_flat(
-            Hl, dvecF, ngl, ng_stages, g_eff, Fl, rhs_bF, NU, NZ, NX
+            Hl, dvecF.astype(kdt), ngl, ng_stages,
+            g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX
         )
+        zF, piF = zF.astype(dt), piF.astype(dt)
         if iter_ref:
             zF, piF = newton_refine(L_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF)
         return zF, piF, (L_l, Pb_l, dvecF, Qx_g)
 
     def kkt_resolve(fstate, g_eff, rhs_bF):
         L_l, Pb_l, dvecF, Qx_g = fstate
-        zF, piF = sk.solve_flat(L_l, Pb_l, g_eff, Fl, rhs_bF, NU, NZ, NX)
+        zF, piF = sk.solve_flat(
+            L_l, Pb_l, g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX
+        )
+        zF, piF = zF.astype(dt), piF.astype(dt)
         if iter_ref:
             zF, piF = newton_refine(L_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF)
         return zF, piF
@@ -437,7 +470,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
 
     # ---- residuals (flat port of ipm.compute_residuals) -----------------
     def residuals(zF, piF, lam_b, t_b, lam_g, t_g):
-        hzF, fzF, fpiF = sk.resid_terms_flat(Hl, Fl, zF, piF, NZ, NX)
+        hzF, fzF, fpiF = resid_terms(zF, piF)
         rq = gF + hzF
         rq = rq.at[:, : N * NZ].add(fpiF[:, : N * NZ])
         rq = rq - jnp.dot(piF, Mpi, precision=HI)

@@ -196,3 +196,40 @@ def test_flat_ipm_iter_ref_reaches_f64_parity(interpret_pallas):
                             - z64[:, :, u_cols]))
     assert err_ref <= 1e-6, f"refined control error {err_ref:.2e} > 1e-6"
     assert err_ref < err_raw, (err_ref, err_raw)
+
+
+def test_flat_mixed_precision_f64_state_f32_kernels(interpret_pallas):
+    """Mixed-precision mode: an f64 QP through the flat engine keeps the
+    outer loop/residuals in f64 while the Pallas KKT solves run f32 — and
+    must track the full-f64 structured solver to near-f64 accuracy (the
+    f32 factorization is only a direction oracle; residual precision sets
+    the attainable accuracy).  This is the accuracy-mode answer to the f32
+    barrier floor (reference mixed-precision idea, d_ip2_res_hard.c:48).
+
+    Note: the QP must be FEASIBLE — ``ngN=4`` at N=4 imposes a terminal
+    equality x_N[0:4]==0 that is unreachable with |u|<=0.5 from
+    x0=(2.5,2.5,...), and on that infeasible QP mu diverges even in pure
+    f64 (verified: the mixed path tracks the diverging f64 trajectory to
+    ~7 digits, so the engine is still faithful).  Interior ng stages with
+    the +-100 bounds keep the general-constraint machinery exercised."""
+    dims, qpb = _batch_qp(N=5, ng=2)
+    qpb64 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64)
+        if x.dtype == jnp.float32 else x, qpb
+    )
+    K = 12
+    cfg64 = ipm.IPMConfig(k_max=K, mu_tol=1e-12)
+    sol64 = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg64))(qpb64)
+    cfg_mx = dataclasses.replace(cfg64, use_pallas=True)
+    solmx = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_mx))(qpb64)
+
+    assert solmx.z.dtype == jnp.float64
+    kk64 = np.asarray(sol64.kk); kkmx = np.asarray(solmx.kk)
+    assert (kk64 == kkmx).mean() > 0.95  # same iteration paths
+    z64 = np.asarray(sol64.z); zmx = np.asarray(solmx.z)
+    err = np.abs(zmx - z64).max()
+    assert err < 1e-8, f"mixed-mode error {err:.2e}"
+    # final duality measure reaches deep f64 territory (measured ~1e-13)
+    stat = np.asarray(solmx.stat)
+    mu_fin = np.array([stat[b, kkmx[b]-1, 4] for b in range(len(kkmx))])
+    assert np.median(mu_fin) < 1e-10
