@@ -98,6 +98,54 @@ def test_batched_soft_and_admm_and_tree():
     assert int(jnp.sum(tsols.status == 0)) == B
 
 
+def test_multihost_two_process_cpu():
+    """Structural multi-host validation (VERDICT #6): two REAL processes
+    under jax.distributed (coordinator + worker), 4 virtual CPU devices
+    each -> an 8-device global mesh; each process feeds its own half of
+    the batch through multihost.shard_local_batch and both assert their
+    addressable shards of the sharded solve against an independently
+    computed full-batch reference.  Per-instance solves need no
+    collectives, so the DCN-scaling argument is input distribution only —
+    this test proves the initialization/mesh/feed path end-to-end."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    # bypass this machine's sitecustomize (pins the axon TPU plugin) and
+    # the parent's 8-device flag; the worker sets its own env
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"MULTIHOST_OK {i} checked=8" in out, out
+
+
 def test_multihost_helpers_single_process():
     """multihost helpers degrade gracefully in a single-process run and
     build a mesh/global array over all local devices."""
