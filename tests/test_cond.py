@@ -232,3 +232,108 @@ def test_condense_golden_matrix_parity(name):
         np.testing.assert_allclose(
             got, np.array(d["d2"][g]), atol=1e-12, err_msg=f"d2 {g}"
         )
+
+
+@pytest.mark.parametrize(
+    "name", ["condlqcp_nx6_nu2_N8", "condlqcp_nx8_nu3_N12"]
+)
+def test_full_condensing_golden_lqcp(name):
+    """FULL-condensing (N->1) golden parity vs the reference's dedicated
+    d_cond_lqcp driver (d_cond.c:3617) at N2=1, which eliminates the
+    initial state (nx2[0]=0, d_cond.c:3733) and keeps the terminal state:
+    R2/B2/b2 must match alg=0 (N^3 nx^2) and r2 must match alg=2
+    (N^2 nx^3).
+
+    TWO REFERENCE BUGS are documented by this test (each confirmed
+    against an independent dense numpy condensing oracle, which agrees
+    with the trusted reference values to 1e-14):
+      * alg=1 (d_cond_R_N2_nx2, d_cond.c:239) computes the LAST block
+        row of R2 wrong (boundary bug in the N^2-flops recursion);
+      * the alg=0/1 driver path omits the S @ Gamma_b gradient term from
+        r2 (the coupling of the affine state response into the input
+        gradient; invisible when S=0, which is all the reference's own
+        tests use).  alg=2's inline path includes it.
+    Our condensing includes the S term and matches the correct values."""
+    import json
+    import pathlib
+
+    from hpmpc_tpu.ocp import OCPDims, pack_ocp
+
+    d = json.loads(
+        (pathlib.Path(__file__).parent / "golden" / f"{name}.json").read_text()
+    )
+    c = d["config"]
+    nx, nu, N = c["nx"], c["nu"], c["N"]
+    Nnu = N * nu
+    A = np.array(d["A_colmajor"]).reshape(nx, nx, order="F")
+    B = np.array(d["B_colmajor"]).reshape(nx, nu, order="F")
+    Q = np.array(d["Q_colmajor"]).reshape(nx, nx, order="F")
+    R = np.array(d["R_colmajor"]).reshape(nu, nu, order="F")
+    S = np.array(d["S_colmajor"]).reshape(nu, nx, order="F")
+    q, r = np.array(d["q"]), np.array(d["r"])
+    b, b0 = np.array(d["b"]), np.array(d["b0"])
+
+    # x0-eliminated chain exactly like the oracle driver (hb[0] = b0)
+    dims = OCPDims.create(
+        N, nx=(0,) + (nx,) * N, nu=(nu,) * N + (0,), nb=0, ng=0,
+        idxb=[[] for _ in range(N + 1)],
+    )
+    qp = pack_ocp(
+        dims,
+        A=[np.zeros((nx, 0))] + [A] * (N - 1),
+        B=[B] * N,
+        b=[b0] + [b] * (N - 1),
+        Q=[np.zeros((0, 0))] + [Q] * N,
+        S=[np.zeros((nu, 0))] + [S] * (N - 1) + [np.zeros((0, nx))],
+        R=[R] * N + [np.zeros((0, 0))],
+        q=[np.zeros(0)] + [q] * N,
+        r=[r] * N + [np.zeros(0)],
+    )
+    pl = cond.plan(dims, 1)
+    qp2 = cond.condense(qp, pl)
+    d2 = pl.dims2
+    assert d2.nu[0] == Nnu and d2.nx[0] == 0 and d2.nx[1] == nx
+
+    # reference values: lower triangle only is valid (panel storage)
+    R2_ref = np.array(d["R2_colmajor_alg0"]).reshape(Nnu, Nnu, order="F")
+    R2_ref = np.tril(R2_ref) + np.tril(R2_ref, -1).T
+    B2_ref = np.array(d["B2_colmajor_alg0"]).reshape(nx, Nnu, order="F")
+    b2_ref = np.array(d["b2_alg0"])
+    r2_ref = np.array(d["r2_alg2"])  # alg0/1 omit the S term (see above)
+
+    # ORDERING: our condensed group stacks inputs stage-REVERSED
+    # (u_{T-1} first) — the convention of the SHIPPING d_part_cond (which
+    # the matrix-level partial-condensing golden validates directly, and
+    # which makes the condensed Hessian factorizable stage-wise,
+    # d_cond_fact_R_N2_nx2_permute, d_cond.c:918).  d_cond_lqcp uses
+    # natural order (u_0 first, via Gamma_u, d_cond.c:2950); P converts.
+    P = np.zeros((Nnu, Nnu))
+    for i in range(N):
+        P[i * nu : (i + 1) * nu, (N - 1 - i) * nu : (N - i) * nu] = np.eye(nu)
+
+    R2 = P @ np.asarray(qp2.H[0])[:Nnu, :Nnu] @ P.T
+    np.testing.assert_allclose(R2, R2_ref, atol=1e-10)
+    np.testing.assert_allclose(
+        P @ np.asarray(qp2.F[0])[:Nnu, :nx], B2_ref.T, atol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(qp2.b[0])[:nx], b2_ref, atol=1e-10)
+    np.testing.assert_allclose(
+        P @ np.asarray(qp2.g[0])[:Nnu], r2_ref, atol=1e-10
+    )
+
+    # the documented reference bugs really are present in the fixture
+    R2_alg1 = np.array(d["R2_colmajor_alg1"]).reshape(Nnu, Nnu, order="F")
+    R2_alg1 = np.tril(R2_alg1) + np.tril(R2_alg1, -1).T
+    last = slice((N - 1) * nu, Nnu)
+    assert np.abs((R2_alg1 - R2_ref)[last, :]).max() > 1e-3
+    assert np.abs(R2_alg1[: (N - 1) * nu, : (N - 1) * nu]
+                  - R2_ref[: (N - 1) * nu, : (N - 1) * nu]).max() < 1e-10
+    r2_alg0 = np.array(d["r2_alg0"])
+    # r2_alg0 = r2_correct - S @ Gamma_b (recompute the omitted term)
+    cvec = np.zeros(nx)
+    omitted = np.zeros(Nnu)
+    for k in range(N):
+        cvec = A @ cvec + (b0 if k == 0 else b)
+        if k + 1 < N:
+            omitted[(k + 1) * nu : (k + 2) * nu] = S @ cvec
+    np.testing.assert_allclose(r2_alg0, r2_ref - omitted, atol=1e-10)
