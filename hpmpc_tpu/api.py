@@ -32,11 +32,20 @@ from .models import cond as _cond
 from .models import ipm as _ipm
 from .ocp import OCPDims, pack_ocp
 
-_NATIVE_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "native",
-    "lib",
-    "libhpmpc_tpu_native.so",
+# installed-package location first (built by setup.py), then the
+# repo-checkout location (native/build.sh)
+_NATIVE_PATHS = [
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "lib", "libhpmpc_tpu_native.so",
+    ),
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native", "lib", "libhpmpc_tpu_native.so",
+    ),
+]
+_NATIVE_PATH = next(
+    (p for p in _NATIVE_PATHS if os.path.exists(p)), _NATIVE_PATHS[1]
 )
 
 

@@ -82,6 +82,16 @@ def plan(dims: OCPDims, N2: int) -> CondPlan:
     assert dims.idxb is not None, "condensing needs static idxb on OCPDims"
     assert 1 <= N2 <= dims.N
     N = dims.N
+    # condense/expand copy group-boundary states and terminal cost at the
+    # full padded width; non-uniform state sizes across the kept stages
+    # would silently mispack (the reference's condensing is fixed-size
+    # only, d_part_cond.c).  nx[0] < NX is fine (eliminated x0).
+    if any(nxn != dims.NX for nxn in dims.nx[1:]):
+        raise ValueError(
+            "partial/full condensing requires a uniform state size on "
+            f"stages 1..N (got nx={dims.nx}); pad the model or solve "
+            "without condensing (N2=None)"
+        )
     start, Ts = _groups(N, N2)
 
     nx2, nu2, nb2, ng2 = [], [], [], []
