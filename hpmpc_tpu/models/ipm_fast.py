@@ -27,7 +27,9 @@ This module keeps every piece of loop state 2-D ``(B, flat)`` (pad ~1.2x):
     converted to a gather through a precomputed inverse index map (TPU
     scatters serialize, gathers vectorize);
   * general-constraint rows live only on the statically ng-active stages,
-    as a dense flat row matrix ``C_ngF (B, n_ng*NG, (N+1)*NZ)``;
+    as per-stage ``(B, NG, NZ)`` slices applied with static-slice
+    gathers/scatter-adds (a dense flat row matrix would re-read
+    ``B*NGF*NZF`` floats of structural zeros on every product);
   * the Riccati sweeps run in the fused Pallas stage kernels with H/F
     pre-transposed to tile-dense lanes form ONCE outside the loop and the
     retained factor kept in lanes form between sv and trs
@@ -149,18 +151,17 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         return v[:, :NBF] + v[:, NBF:]
 
     # general constraints (static ng-stage restriction, like the structured
-    # backend's ng_stages — cost scales with the active stages only)
+    # backend's ng_stages — cost scales with the active stages only).
+    # The C rows are kept PER ACTIVE STAGE as (B, NG, NZ) slices with
+    # static-slice gathers/scatter-adds into the flat z vector: a dense
+    # (B, NGF, NZF) row matrix costs B*NGF*NZF*4 bytes of HBM traffic on
+    # EVERY einsum (44.7 MB at the bench shapes, read ~6x per iteration)
+    # when all but n_ng*NG*NZ of it is structural zeros.
     if n_ng:
-        C_ngF = jnp.zeros((B, NGF, NZF), dt)
-        mgF = jnp.zeros((B, NGF), dt)
-        dg_lo = jnp.zeros((B, NGF), dt)
-        dg_up = jnp.zeros((B, NGF), dt)
-        for k, n in enumerate(ng_stages):
-            sl = slice(k * NG, (k + 1) * NG)
-            C_ngF = C_ngF.at[:, sl, n * NZ : (n + 1) * NZ].set(qp.C[:, n])
-            mgF = mgF.at[:, sl].set(qp.ng_mask[:, n])
-            dg_lo = dg_lo.at[:, sl].set(qp.d_lg[:, n])
-            dg_up = dg_up.at[:, sl].set(qp.d_ug[:, n])
+        C_act = [qp.C[:, n] for n in ng_stages]          # each (B, NG, NZ)
+        mgF = jnp.concatenate([qp.ng_mask[:, n] for n in ng_stages], 1)
+        dg_lo = jnp.concatenate([qp.d_lg[:, n] for n in ng_stages], 1)
+        dg_up = jnp.concatenate([qp.d_ug[:, n] for n in ng_stages], 1)
         dg_cat = jnp.concatenate([dg_lo, dg_up], 1)
         mg2 = jnp.concatenate([mgF, mgF], 1)
         sgn_g = jnp.concatenate(
@@ -168,7 +169,25 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         )
 
         def cz_of(zF):
-            return jnp.einsum("bgz,bz->bg", C_ngF, zF)
+            """(B, NZF) -> (B, NGF): C_n z_n on the active stages."""
+            outs = [
+                jnp.einsum(
+                    "bgz,bz->bg", C_act[k],
+                    lax.slice_in_dim(zF, n * NZ, (n + 1) * NZ, axis=1),
+                )
+                for k, n in enumerate(ng_stages)
+            ]
+            return jnp.concatenate(outs, 1)
+
+        def ct_apply(out, v):
+            """out (B, NZF) += C' v for v (B, NGF) (scatter-add with
+            static stage slices)."""
+            for k, n in enumerate(ng_stages):
+                contrib = jnp.einsum(
+                    "bg,bgz->bz", v[:, k * NG : (k + 1) * NG], C_act[k]
+                )
+                out = out.at[:, n * NZ : (n + 1) * NZ].add(contrib)
+            return out
 
         def fold_g(v):
             return v[:, :NGF] + v[:, NGF:]
@@ -177,6 +196,9 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
 
         def cz_of(zF):
             return jnp.zeros((B, 0), dt)
+
+        def ct_apply(out, v):
+            return out
 
     gF = (qp.g * qp.z_mask).reshape(B, NZF)
     bF = qp.b.reshape(B, NXF)
@@ -239,7 +261,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         fpiF = jnp.concatenate([fpiF, jnp.zeros((B, NZ), dt)], axis=1)
         return hzF, fzF, fpiF
 
-    def newton_refine(L_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF):
+    def newton_refine(Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF):
         """Iterative refinement on the Newton system (reference ITER_REF,
         ``d_ip2_res_hard.c:48,1086-1163``): full-precision KKT residuals of
         the CURRENT effective system (H_eff = H + diag(dvecF) + ng barrier
@@ -251,14 +273,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             hzF, fzF, fpiF = resid_terms(zF, piF)
             rq = g_eff + hzF + dvecF * zF
             if n_ng:
-                rq = rq + jnp.einsum(
-                    "bg,bgz->bz", Qx_g * mgF * cz_of(zF), C_ngF
-                )
+                rq = ct_apply(rq, Qx_g * mgF * cz_of(zF))
             rq = rq.at[:, : N * NZ].add(fpiF[:, : N * NZ])
             rq = rq - jnp.dot(piF, Mpi, precision=HI)
             rb = rhs_bF + fzF - jnp.dot(zF, Mx, precision=HI)
             dzF, dpiF = sk.solve_flat_pb(
-                L_l, rq.astype(kdt), Fl, rb.astype(kdt), NU, NZ, NX
+                Ll_l, Lxx_l, rq.astype(kdt), Fl, rb.astype(kdt), NU, NZ, NX
             )
             zF = zF + dzF.astype(dt)
             piF = piF + dpiF.astype(dt)
@@ -278,29 +298,34 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             ngl = sk._to_lanes(ngterm.astype(kdt), B)
         else:
             ngl = jnp.zeros((nb_blk, 1, NZ, NZ, sk.SUBS, sk.LANES), kdt)
-        zF, piF, (L_l, Pb_l) = sk.factor_solve_folded_flat(
+        zF, piF, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat(
             Hl, dvecF.astype(kdt), ngl, ng_stages,
             g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX
         )
         zF, piF = zF.astype(dt), piF.astype(dt)
         if iter_ref:
-            zF, piF = newton_refine(L_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF)
-        return zF, piF, (L_l, Pb_l, dvecF, Qx_g)
+            zF, piF = newton_refine(
+                Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF
+            )
+        return zF, piF, (Ll_l, Lxx_l, Pb_l, dvecF, Qx_g)
 
     def kkt_resolve(fstate, g_eff, rhs_bF):
-        L_l, Pb_l, dvecF, Qx_g = fstate
+        Ll_l, Lxx_l, Pb_l, dvecF, Qx_g = fstate
         zF, piF = sk.solve_flat(
-            L_l, Pb_l, g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX
+            Ll_l, Lxx_l, Pb_l, g_eff.astype(kdt), Fl, rhs_bF.astype(kdt),
+            NU, NZ, NX
         )
         zF, piF = zF.astype(dt), piF.astype(dt)
         if iter_ref:
-            zF, piF = newton_refine(L_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF)
+            zF, piF = newton_refine(
+                Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF
+            )
         return zF, piF
 
     def build_geff(base, qx_b, qx_g):
         out = base + scatter_box(qx_b)
         if n_ng:
-            out = out + jnp.einsum("bg,bgz->bz", qx_g, C_ngF)
+            out = ct_apply(out, qx_g)
         return out
 
     def min_ratio(a, v, dv, m):
@@ -476,9 +501,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         rq = rq - jnp.dot(piF, Mpi, precision=HI)
         rq = rq + scatter_box(fold(-sgn * lam_b) * mbF)
         if n_ng:
-            rq = rq + jnp.einsum(
-                "bg,bgz->bz", fold_g(-sgn_g * lam_g) * mgF, C_ngF
-            )
+            rq = ct_apply(rq, fold_g(-sgn_g * lam_g) * mgF)
         rq = rq * z_maskF
 
         rb = (bF + fzF - jnp.dot(zF, Mx, precision=HI)) * x_maskF

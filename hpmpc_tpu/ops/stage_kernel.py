@@ -275,6 +275,77 @@ def _fwd_kernel(NU, NX, NZ, N,
         x_c[i] = x_next[i]
 
 
+def _fwd_kernel_split(NU, NX, NZ, N,
+                      Ll_ref, Lxx_ref, eu_ref, px_ref, F_ref, b_ref,
+                      z_ref, pi_ref, x_c):
+    """Forward recovery on the SPLIT factor streams, one L fetch per stage
+    (the full-L variant fetches both L_s and L_{s+1} every step — 242
+    subtiles/stage vs this kernel's 33+64).  Grid (nb, N+1): step s reads
+    Ll_s + Lxx_s, computes x_s (carried), u_s, and pi_{s-1} (written to
+    block s-1; the s==0 write of that block is dead and overwritten in
+    VMEM before copy-out).  The terminal stage is handled IN-kernel (the
+    u_s formula is stage-uniform), removing the full-L XLA tail."""
+    s = pl.program_id(1)
+
+    Ll = _mat(Ll_ref, NZ, NU)
+    Lxx = _mat(Lxx_ref, NX, NX)
+    Dinv_u = [pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False) for i in range(NU)]
+    eu = _vec(eu_ref, NU)
+    px = _vec(px_ref, NX)
+
+    @pl.when(s == 0)
+    def _():
+        # x0 = -(Lxx Lxx')^{-1} px0
+        Dinv_x = [pl.reciprocal(jnp.maximum(Lxx[i][i], 1e-30), approx=False) for i in range(NX)]
+        t = _tril_solve(Lxx, Dinv_x, [-v for v in px], NX)
+        x0 = _triu_solve_t(Lxx, Dinv_x, t, NX)
+        for i in range(NX):
+            x_c[i] = x0[i]
+
+    x = [x_c[i] for i in range(NX)]
+
+    # pi_{s-1} = Lxx_s (Lxx_s' x_s) + px_s   (dead write at s==0)
+    t1 = [None] * NX
+    for i in range(NX):
+        acc = None
+        for k in range(i, NX):
+            t = Lxx[k][i] * x[k]
+            acc = t if acc is None else acc + t
+        t1[i] = acc
+    for i in range(NX):
+        acc = px[i]
+        for k in range(i + 1):
+            acc = acc + Lxx[i][k] * t1[k]
+        pi_ref[0, 0, i] = acc
+
+    # u_s = -Luu^{-T}(eu + Lxu' x)
+    rhs = []
+    for i in range(NU):
+        acc = eu[i]
+        for k in range(NX):
+            acc = acc + Ll[NU + k][i] * x[k]
+        rhs.append(acc)
+    u = _triu_solve_t(
+        [[Ll[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, rhs, NU
+    )
+    u = [-v for v in u]
+    for i in range(NU):
+        z_ref[0, 0, i] = u[i]
+    for i in range(NX):
+        z_ref[0, 0, NU + i] = x[i]
+
+    # x_{s+1} = b_s + F_s' z_s  (carry; the s==N update is dead)
+    F = _mat(F_ref, NZ, NX)
+    bb = _vec(b_ref, NX)
+    for j in range(NX):
+        acc = bb[j]
+        for i in range(NU):
+            acc = acc + F[i][j] * u[i]
+        for i in range(NX):
+            acc = acc + F[NU + i][j] * x[i]
+        x_c[j] = acc
+
+
 # ---------------------------------------------------------------------------
 # host-side wrappers
 # ---------------------------------------------------------------------------
@@ -523,16 +594,26 @@ def solve_batched(L, g_eff, F, b, Pb, NU):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel_folded(NU, NX, NZ, N, ng_stage_ids,
-                       H_ref, dvec_ref, ngterm_ref, g_ref, F_ref, b_ref,
-                       L_ref, eu_ref, px_ref, Pb_ref,
-                       Lxx_c, px_c):
+def _bwd_kernel_folded(NU, NX, NZ, N, ng_stage_ids, split, *refs):
     """Like _bwd_kernel but M is assembled in VMEM from the CONSTANT stage
     Hessian H plus the per-iteration diagonal barrier fold ``dvec`` and the
     (few) general-constraint stage terms — the (N+1, NZ, NZ) effective
     Hessians never exist in HBM (on TPU their tile padding costs ~17x the
     logical bytes, and rebuilding them per IPM iteration dominated the
-    solve time)."""
+    solve time).
+
+    ``split=True`` (the flat path) stores the factor as TWO streams —
+    Ll (NZ, NU) = [Luu; Lxu] and Lxx (NX, NX) — instead of the full
+    (NZ, NZ) block: downstream consumers never read the strictly-upper
+    part or the mixed corner, so the split saves 121-97=24 subtile
+    writes/stage here and, far more importantly, lets the trs/fwd kernels
+    fetch only the piece they need (trs: Ll only; fwd: Ll_s + Lxx_{s+1})."""
+    if split:
+        (H_ref, dvec_ref, ngterm_ref, g_ref, F_ref, b_ref,
+         Ll_ref, Lxx_ref, eu_ref, px_ref, Pb_ref, Lxx_c, px_c) = refs
+    else:
+        (H_ref, dvec_ref, ngterm_ref, g_ref, F_ref, b_ref,
+         L_ref, eu_ref, px_ref, Pb_ref, Lxx_c, px_c) = refs
     s = pl.program_id(1)
 
     Hc = _mat(H_ref, NZ, NZ)
@@ -613,9 +694,18 @@ def _bwd_kernel_folded(NU, NX, NZ, N, ng_stage_ids,
             acc = acc - Lf[NU + i][k] * eu[k]
         px.append(acc)
 
-    _store_mat(L_ref, Lf)
-    zero = Lf[0][0] * 0.0
-    _store_vec(eu_ref, eu + [zero] * (NZ - NU))
+    if split:
+        for i in range(NZ):
+            for j in range(NU):
+                Ll_ref[0, 0, i, j] = Lf[i][j]
+        for i in range(NX):
+            for j in range(NX):
+                Lxx_ref[0, 0, i, j] = Lf[NU + i][NU + j]
+        _store_vec(eu_ref, eu)  # (NU,) — no NZ zero-pad on the flat path
+    else:
+        _store_mat(L_ref, Lf)
+        zero = Lf[0][0] * 0.0
+        _store_vec(eu_ref, eu + [zero] * (NZ - NU))
     _store_vec(px_ref, px)
     for i in range(NX):
         px_c[i] = px[i]
@@ -682,7 +772,7 @@ def factor_solve_folded(H, dvec, ngterm, ng_stage_ids, g_eff, F, b, NU):
     ]
     args += [gl, Fl, bl]
 
-    kernel = functools.partial(_bwd_kernel_folded, NU, NX, NZ, N, tuple(ng_stage_ids))
+    kernel = functools.partial(_bwd_kernel_folded, NU, NX, NZ, N, tuple(ng_stage_ids), False)
     L_l, eu_l, px_l, Pb_l = pl.pallas_call(
         kernel,
         grid=(nb, Np1),
@@ -822,20 +912,22 @@ def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF, NU, NZ, N
     ]
     args += [gl, Fl, bl]
 
-    kernel = functools.partial(_bwd_kernel_folded, NU, NX, NZ, N, tuple(ng_stage_ids))
-    L_l, eu_l, px_l, Pb_l = pl.pallas_call(
+    kernel = functools.partial(_bwd_kernel_folded, NU, NX, NZ, N, tuple(ng_stage_ids), True)
+    Ll_l, Lxx_l, eu_l, px_l, Pb_l = pl.pallas_call(
         kernel,
         grid=(nb, Np1),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NU, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NU, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, Np1, NZ, NZ, SUBS, LANES), dt),
-            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NZ, NU, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, NX, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NU, SUBS, LANES), dt),
             jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
             jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
         ],
@@ -845,58 +937,85 @@ def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF, NU, NZ, N
         ],
     )(*args)
 
-    zF, piF = _forward_from_lanes(L_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
-    return zF, piF, (L_l, Pb_l)
+    zF, piF = _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
+    return zF, piF, (Ll_l, Lxx_l, Pb_l)
 
 
-def _forward_from_lanes(L_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX):
+def _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX):
     nb = B // BI
-    dt = L_l.dtype
-    fkernel = functools.partial(_fwd_kernel, NU, NX, NZ, N)
+    dt = Ll_l.dtype
+    fkernel = functools.partial(_fwd_kernel_split, NU, NX, NZ, N)
     z_l, pi_l = pl.pallas_call(
         fkernel,
-        grid=(nb, N),
+        grid=(nb, N + 1),
         in_specs=[
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NU, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NU, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s + 1, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s - 1, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, N + 1, NZ, SUBS, LANES), dt),
             jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
         ],
         scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
-    )(L_l, L_l, eu_l, px_l, px_l, Fl, bl)
+    )(Ll_l, Lxx_l, eu_l, px_l, Fl, bl)
 
-    zF = _from_lanes_flat(z_l, B)  # (B, (N+1)*NZ); stage N entries fixed below
+    zF = _from_lanes_flat(z_l, B)  # (B, (N+1)*NZ), terminal stage in-kernel
     piF = _from_lanes_flat(pi_l, B)
-
-    # terminal stage tail: x_N = b_{N-1} + F' z_{N-1}; u_N via L_N blocks
-    from .tri import solve_triu
-
-    L_N = _from_lanes(L_l[:, N : N + 1], B)[:, 0]  # (B, NZ, NZ), tiny slice
-    eu_N = _from_lanes(eu_l[:, N : N + 1], B)[:, 0][:, :NU]
-    F_last = _from_lanes(Fl[:, N - 1 : N], B)[:, 0]
-    b_last = _from_lanes(bl[:, N - 1 : N], B)[:, 0]
-    z_prev = zF[:, (N - 1) * NZ : N * NZ]
-    x_N = b_last + jnp.einsum("bzx,bz->bx", F_last, z_prev)
-    rhs = eu_N + jnp.einsum("bxu,bx->bu", L_N[:, NU:, :NU], x_N)
-    u_N = -jax.vmap(lambda A_, r_: solve_triu(A_.T, r_))(L_N[:, :NU, :NU], rhs)
-    zF = zF.at[:, N * NZ : N * NZ + NU].set(u_N)
-    zF = zF.at[:, N * NZ + NU :].set(x_N)
     return zF, piF
 
 
+def _bwd_trs_kernel_ll(NU, NX, NZ, N,
+                       Ll_ref, g_ref, F_ref, Pb_ref,
+                       eu_ref, px_ref,
+                       px_c):
+    """Flat trs on the SPLIT factor: the backward substitution only ever
+    touches the left (NZ, NU) block of L (Luu for the triangular solve,
+    Lxu for the gradient fold) — 33 subtiles/stage instead of the full
+    block's 121."""
+    s = pl.program_id(1)
+
+    Ll = _mat(Ll_ref, NZ, NU)
+    g = _vec(g_ref, NZ)
+    Dinv_u = [pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False) for i in range(NU)]
+
+    # m: terminal = g; interior = g + F (Pb + px_next)
+    F = _mat(F_ref, NZ, NX)
+    Pb = _vec(Pb_ref, NX)
+    m_i = []
+    for i in range(NZ):
+        acc = g[i]
+        for k in range(NX):
+            acc = acc + F[i][k] * (Pb[k] + px_c[k])
+        m_i.append(acc)
+    is_t = s == 0
+    m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
+
+    eu = _tril_solve(
+        [[Ll[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, m[:NU], NU
+    )
+    px = []
+    for i in range(NX):
+        acc = m[NU + i]
+        for k in range(NU):
+            acc = acc - Ll[NU + i][k] * eu[k]
+        px.append(acc)
+
+    _store_vec(eu_ref, eu)
+    _store_vec(px_ref, px)
+    for i in range(NX):
+        px_c[i] = px[i]
+
+
 def _bwd_trs_pb_kernel(NU, NX, NZ, N,
-                       L_ref, g_ref, F_ref, b_ref,
+                       Ll_ref, Lxx_ref, g_ref, F_ref, b_ref,
                        eu_ref, px_ref,
                        Lxx_c, px_c):
     """trs variant that RECOMPUTES Pb in-kernel from the retained factor
@@ -904,12 +1023,13 @@ def _bwd_trs_pb_kernel(NU, NX, NZ, N,
     needed when the rhs ``b`` differs from the one the factor's Pb cache
     was built for — iterative refinement (``ITER_REF``) re-solves the
     Newton system against the refinement residual ``rb``.  Carries
-    Lxx_{n+1} across grid steps like the sv kernel."""
+    Lxx_{n+1} across grid steps like the sv kernel; reads the split
+    Ll/Lxx streams."""
     s = pl.program_id(1)
 
-    Lf = _mat(L_ref, NZ, NZ)
+    Ll = _mat(Ll_ref, NZ, NU)
     g = _vec(g_ref, NZ)
-    Dinv_u = [pl.reciprocal(jnp.maximum(Lf[i][i], 1e-30), approx=False) for i in range(NU)]
+    Dinv_u = [pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False) for i in range(NU)]
 
     # interior: Pb = Lxx_{n+1} (Lxx_{n+1}' b_n) from the carried factor
     F = _mat(F_ref, NZ, NX)
@@ -939,34 +1059,34 @@ def _bwd_trs_pb_kernel(NU, NX, NZ, N,
     m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
 
     eu = _tril_solve(
-        [[Lf[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, m[:NU], NU
+        [[Ll[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, m[:NU], NU
     )
     px = []
     for i in range(NX):
         acc = m[NU + i]
         for k in range(NU):
-            acc = acc - Lf[NU + i][k] * eu[k]
+            acc = acc - Ll[NU + i][k] * eu[k]
         px.append(acc)
 
-    zero = Lf[0][0] * 0.0
-    _store_vec(eu_ref, eu + [zero] * (NZ - NU))
+    _store_vec(eu_ref, eu)
     _store_vec(px_ref, px)
+    Lxx_new = _mat(Lxx_ref, NX, NX)
     for i in range(NX):
         px_c[i] = px[i]
         for j in range(NX):
-            Lxx_c[i, j] = Lf[NU + i][NU + j]
+            Lxx_c[i, j] = Lxx_new[i][j]
 
 
 @functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
-def solve_flat_pb(L_l, gF, Fl, bF, NU, NZ, NX):
+def solve_flat_pb(Ll_l, Lxx_l, gF, Fl, bF, NU, NZ, NX):
     """Flat-state fused trs recomputing Pb in-kernel (new-rhs path: used by
     iterative refinement, where ``bF`` is the refinement residual, not the
     rhs the retained factor's Pb cache belongs to)."""
-    nb = L_l.shape[0]
+    nb = Ll_l.shape[0]
     B = nb * BI
-    Np1 = L_l.shape[1]
+    Np1 = Ll_l.shape[1]
     N = Np1 - 1
-    dt = L_l.dtype
+    dt = Ll_l.dtype
 
     gl = _to_lanes_flat(gF, B, (Np1, NZ))
     bl = _to_lanes_flat(bF, B, (N, NX))
@@ -976,62 +1096,63 @@ def solve_flat_pb(L_l, gF, Fl, bF, NU, NZ, NX):
         kernel,
         grid=(nb, Np1),
         in_specs=[
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NU, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NU, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NU, SUBS, LANES), dt),
             jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((NX, NX, SUBS, LANES), dt),
             pltpu.VMEM((NX, SUBS, LANES), dt),
         ],
-    )(L_l, gl, Fl, bl)
+    )(Ll_l, Lxx_l, gl, Fl, bl)
 
-    return _forward_from_lanes(L_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
+    return _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
 
 
 @functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
-def solve_flat(L_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
-    """Flat-state fused trs with the LANES-form retained factor."""
-    nb = L_l.shape[0]
+def solve_flat(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
+    """Flat-state fused trs with the LANES-form retained split factor."""
+    nb = Ll_l.shape[0]
     B = nb * BI
-    Np1 = L_l.shape[1]
+    Np1 = Ll_l.shape[1]
     N = Np1 - 1
-    dt = L_l.dtype
+    dt = Ll_l.dtype
 
     gl = _to_lanes_flat(gF, B, (Np1, NZ))
     bl = _to_lanes_flat(bF, B, (N, NX))
 
-    kernel = functools.partial(_bwd_trs_kernel, NU, NX, NZ, N)
+    kernel = functools.partial(_bwd_trs_kernel_ll, NU, NX, NZ, N)
     eu_l, px_l = pl.pallas_call(
         kernel,
         grid=(nb, Np1),
         in_specs=[
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NU, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(N - s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NU, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NU, SUBS, LANES), dt),
             jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
         ],
         scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
-    )(L_l, gl, Fl, Pb_l)
+    )(Ll_l, gl, Fl, Pb_l)
 
-    return _forward_from_lanes(L_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
+    return _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
 
 
 # ---------------------------------------------------------------------------

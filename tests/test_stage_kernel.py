@@ -140,11 +140,15 @@ def test_solve_flat_pb_matches_recompute_path(interpret_pallas):
             lambda L_, g, F, b: riccati.solve(L_, g, F, b, dims.NU, Pb=None)
         )(L, g_eff, qpb.F, b_new)
 
-    L_l = sk._to_lanes(L, B)
+    # split factor streams (the flat path's retained-factor format)
+    Ll_l = sk._to_lanes(L[:, :, :, : dims.NU], B)
+    Lxx_l = sk._to_lanes(L[:, :, dims.NU :, dims.NU :], B)
     Fl = sk._to_lanes(qpb.F, B)
     gF = g_eff.reshape(B, -1)
     bF = b_new.reshape(B, -1)
-    zF, piF = sk.solve_flat_pb(L_l, gF, Fl, bF, dims.NU, dims.NZ, dims.NX)
+    zF, piF = sk.solve_flat_pb(
+        Ll_l, Lxx_l, gF, Fl, bF, dims.NU, dims.NZ, dims.NX
+    )
     np.testing.assert_allclose(
         np.asarray(zF), np.asarray(ref.z.reshape(B, -1)), atol=5e-5
     )

@@ -68,19 +68,20 @@ def main():
         + Np1 * NZ         # g in
         + Np1 * NZ * NX    # F in (clipped index still streams per stage)
         + Np1 * NX         # b in
-        + Np1 * NZ * NZ    # L out
-        + Np1 * NZ         # eu out
+        + Np1 * NZ * NU    # Ll out (split factor)
+        + Np1 * NX * NX    # Lxx out
+        + Np1 * NU         # eu out
         + Np1 * NX         # px out
         + N * NX           # Pb out
     )
     bytes_fwd = f4 * B * (
-        2 * N * NZ * NZ    # L at s and s+1
-        + N * NZ + 2 * N * NX + N * NZ * NX + N * NX  # eu, px x2, F, b
+        Np1 * NZ * NU + Np1 * NX * NX  # Ll + Lxx, ONE fetch each
+        + Np1 * NU + Np1 * NX + Np1 * NZ * NX + Np1 * NX  # eu, px, F, b
         + Np1 * NZ + N * NX  # z, pi out
     )
     bytes_trs = f4 * B * (
-        Np1 * NZ * NZ + Np1 * NZ + Np1 * NZ * NX + Np1 * NX  # L, g, F, Pb
-        + Np1 * NZ + Np1 * NX  # eu, px out
+        Np1 * NZ * NU + Np1 * NZ + Np1 * NZ * NX + Np1 * NX  # Ll, g, F, Pb
+        + Np1 * NU + Np1 * NX  # eu, px out
     )
     bytes_resid = f4 * B * (
         Np1 * NZ * NZ + Np1 * NZ * NX + Np1 * NZ + Np1 * NX  # H, F, z, pi
@@ -98,7 +99,9 @@ def main():
             @jax.jit
             def run(seed):
                 def body(acc, i):
-                    return acc + fn(1.0 + 1e-5 * (i + seed)), None
+                    # acc feeds the next input: forces true serial deps
+                    return acc + fn(1.0 + 1e-5 * (i + seed)
+                                    + 1e-30 * acc), None
                 acc, _ = lax.scan(
                     body, jnp.asarray(0.0, dtype), jnp.arange(K, dtype=dtype)
                 )
@@ -116,21 +119,21 @@ def main():
         return max((ts[K_hi] - ts[K_lo]) / (K_hi - K_lo), 1e-9)
 
     def k_factor(s):
-        z, pi, (L, Pb) = sk.factor_solve_folded_flat(
+        z, pi, (Ll, Lxx, Pb) = sk.factor_solve_folded_flat(
             Hl, pad_diagF + s, ngt_l, (), gF * s, Fl, bF, NU, NZ, NX
         )
         return jnp.sum(z) + jnp.sum(pi)
 
-    L0 = Pb0 = None
+    Ll0 = Lxx0 = Pb0 = None
     if args.only in (None, "trs"):
-        _, _, (L0, Pb0) = jax.jit(
+        _, _, (Ll0, Lxx0, Pb0) = jax.jit(
             lambda: sk.factor_solve_folded_flat(
                 Hl, pad_diagF + 1.0, ngt_l, (), gF, Fl, bF, NU, NZ, NX
             )
         )()
 
     def k_trs(s):
-        z, pi = sk.solve_flat(L0, Pb0, gF * s, Fl, bF, NU, NZ, NX)
+        z, pi = sk.solve_flat(Ll0, Lxx0, Pb0, gF * s, Fl, bF, NU, NZ, NX)
         return jnp.sum(z) + jnp.sum(pi)
 
     zF = gF * 0.1
