@@ -389,6 +389,74 @@ def compute_residuals(qp: OCPQP, oh, mu_scal, z, pi, lam_b, t_b, lam_g, t_g):
 # --------------------------------------------------------------------------
 
 
+def make_pallas_chain_kkt(ng_stages: tuple, NU: int):
+    """A ``custom_vmap`` (factor_solve, trs) pair for the chain KKT system.
+
+    Un-vmapped (or with a batch that is not a 1024-multiple) the pair runs
+    the per-instance XLA Riccati; vmapped over a ``stage_kernel.BI``-
+    multiple batch it dispatches to the fused Pallas stage kernels.  The
+    effective Hessian is passed DECOMPOSED (constant ``H`` + diagonal
+    ``dvec`` + ng-stage barrier term) so the Pallas route can assemble it
+    in VMEM (``factor_solve_folded``) instead of materializing the 17x
+    tile-padded ``(B, N+1, NZ, NZ)`` stack in HBM.
+
+    Shared by the hard-IPM structured route (:func:`chain_backend`) and
+    the soft IPM (:mod:`.ipm_soft`) — the soft barrier's Schur-eliminated
+    slack terms fold into ``dvec`` (pure diagonal), so the same kernels
+    serve both (reference twin: ``d_ip2_soft.c`` reusing the hard Riccati,
+    SURVEY.md §2)."""
+    from ..ops import stage_kernel
+
+    @jax.custom_batching.custom_vmap
+    def _fs(dvec, Qx_g, g_eff, H, C, F, rhs_b):
+        H_eff = H + jnp.eye(H.shape[-1], dtype=H.dtype)[None] * dvec[:, None, :]
+        if len(ng_stages) > 0:
+            idx = np.asarray(ng_stages)
+            H_eff = H_eff.at[idx].add(
+                jnp.einsum("ngz,ng,ngw->nzw", C[idx], Qx_g[idx], C[idx])
+            )
+        sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, F, rhs_b, NU)
+        return sol.z, sol.pi, L, Pb
+
+    @_fs.def_vmap
+    def _fs_vmap(axis_size, in_batched, dvec, Qx_g, g, H, C, F, rhs_b):
+        assert all(in_batched), "pallas path expects fully batched data"
+        if axis_size % stage_kernel.BI == 0:
+            if len(ng_stages) > 0:
+                idx = np.asarray(ng_stages)
+                ngterm = jnp.einsum(
+                    "bngz,bng,bngw->bnzw", C[:, idx], Qx_g[:, idx], C[:, idx]
+                )
+            else:
+                ngterm = jnp.zeros(
+                    (axis_size, 0, H.shape[-1], H.shape[-1]), H.dtype
+                )
+            z, pi, L, eu, px, Pb = stage_kernel.factor_solve_folded(
+                H, dvec, ngterm, ng_stages, g, F, rhs_b, NU
+            )
+        else:
+            z, pi, L, Pb = jax.vmap(
+                lambda *a: _fs.fun(*a)
+            )(dvec, Qx_g, g, H, C, F, rhs_b)
+        return (z, pi, L, Pb), (True, True, True, True)
+
+    @jax.custom_batching.custom_vmap
+    def _trs(L, g_eff, F, rhs_b, Pb):
+        sol, _ = riccati.solve(L, g_eff, F, rhs_b, NU, Pb=Pb)
+        return sol.z, sol.pi
+
+    @_trs.def_vmap
+    def _trs_vmap(axis_size, in_batched, L, g, F, rhs_b, Pb):
+        assert all(in_batched)
+        if axis_size % stage_kernel.BI == 0:
+            z, pi = stage_kernel.solve_batched(L, g, F, rhs_b, Pb, NU)
+        else:
+            z, pi = jax.vmap(lambda *a: _trs.fun(*a))(L, g, F, rhs_b, Pb)
+        return (z, pi), (True, True)
+
+    return _fs, _trs
+
+
 def chain_backend(
     dims: OCPDims, qp: OCPQP, oh, mu_scal, use_pallas: bool = False,
     reg_eps: float = 0.0, iter_ref: int = 0,
@@ -406,54 +474,7 @@ def chain_backend(
     reg = reg_eps
 
     if use_pallas:
-        from ..ops import stage_kernel
-
-        @jax.custom_batching.custom_vmap
-        def _fs(dvec, Qx_g, g_eff, H, C, F, rhs_b):
-            H_eff = H + jnp.eye(H.shape[-1], dtype=H.dtype)[None] * dvec[:, None, :]
-            if len(ng_stages) > 0:
-                idx = np.asarray(ng_stages)
-                H_eff = H_eff.at[idx].add(
-                    jnp.einsum("ngz,ng,ngw->nzw", C[idx], Qx_g[idx], C[idx])
-                )
-            sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, F, rhs_b, NU)
-            return sol.z, sol.pi, L, Pb
-
-        @_fs.def_vmap
-        def _fs_vmap(axis_size, in_batched, dvec, Qx_g, g, H, C, F, rhs_b):
-            assert all(in_batched), "pallas path expects fully batched data"
-            if axis_size % stage_kernel.BI == 0:
-                if len(ng_stages) > 0:
-                    idx = np.asarray(ng_stages)
-                    ngterm = jnp.einsum(
-                        "bngz,bng,bngw->bnzw", C[:, idx], Qx_g[:, idx], C[:, idx]
-                    )
-                else:
-                    ngterm = jnp.zeros(
-                        (axis_size, 0, H.shape[-1], H.shape[-1]), H.dtype
-                    )
-                z, pi, L, eu, px, Pb = stage_kernel.factor_solve_folded(
-                    H, dvec, ngterm, ng_stages, g, F, rhs_b, NU
-                )
-            else:
-                z, pi, L, Pb = jax.vmap(
-                    lambda *a: _fs.fun(*a)
-                )(dvec, Qx_g, g, H, C, F, rhs_b)
-            return (z, pi, L, Pb), (True, True, True, True)
-
-        @jax.custom_batching.custom_vmap
-        def _trs(L, g_eff, F, rhs_b, Pb):
-            sol, _ = riccati.solve(L, g_eff, F, rhs_b, NU, Pb=Pb)
-            return sol.z, sol.pi
-
-        @_trs.def_vmap
-        def _trs_vmap(axis_size, in_batched, L, g, F, rhs_b, Pb):
-            assert all(in_batched)
-            if axis_size % stage_kernel.BI == 0:
-                z, pi = stage_kernel.solve_batched(L, g, F, rhs_b, Pb, NU)
-            else:
-                z, pi = jax.vmap(lambda *a: _trs.fun(*a))(L, g, F, rhs_b, Pb)
-            return (z, pi), (True, True)
+        _fs, _trs = make_pallas_chain_kkt(ng_stages, NU)
 
         def factor_solve(Qx_b, Qx_g, g_eff, rhs_b):
             dvec = (
@@ -708,7 +729,9 @@ def _solve_impl(
         dlam2_g = t_inv_g * (sm - dlam_g * dtg) * mg2
         qx_b2 = qx_b + (dlam2_b[:, 1] - dlam2_b[:, 0]) * mb
         qx_g2 = qx_g + (dlam2_g[:, 1] - dlam2_g[:, 0]) * mg
-        g_eff2 = _build_geff(qp, oh, qp.g * qp.z_mask, qx_b2, qx_g2)
+        g_eff2 = _build_geff(
+            qp, oh, qp.g * qp.z_mask, qx_b2, qx_g2, ng_stages=ng_stages
+        )
 
         dz2, dpi2 = backend.resolve(fstate, g_eff2, qp.b)
 
@@ -979,7 +1002,8 @@ def _kkt_solve_new_rhs_impl(dims, qp_new, carry):
         - t_inv_g[:, 1] * (res.rm_g[:, 1] + lam_g[:, 1] * res.rd_g[:, 1])
     ) * qp.ng_mask
 
-    g_eff = _build_geff(qp, oh, res.rq, qx_b, qx_g)
+    ng_stages = tuple(n for n in range(dims.N + 1) if dims.ng[n] > 0)
+    g_eff = _build_geff(qp, oh, res.rq, qx_b, qx_g, ng_stages=ng_stages)
     sol, _ = riccati.solve(carry.L, g_eff, qp.F, res.rb, NU)
     dz, dpi = sol.z, sol.pi
 

@@ -40,6 +40,7 @@ from .ipm import (
     _gather_box,
     _min_ratio,
     _scatter_box,
+    make_pallas_chain_kkt,
 )
 
 
@@ -132,6 +133,40 @@ def _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft=True):
 
     oh_b = _box_onehot(qp)
     oh_s = _soft_onehot(qp, soft)
+
+    # KKT backend: with cfg.use_pallas the factor/solve pair dispatches to
+    # the fused Pallas stage kernels when vmapped over a 1024-multiple
+    # batch (the soft barrier's Schur-eliminated slack terms are pure
+    # diagonal, so the hard chain kernels serve unchanged — the reference's
+    # own structure, d_ip2_soft.c:94-96 merging nbs = nb + ns)
+    use_pallas = bool(getattr(cfg, "use_pallas", False))
+    if use_pallas:
+        ng_stages = tuple(n for n in range(N + 1) if dims.ng[n] > 0)
+        _fs, _trs = make_pallas_chain_kkt(ng_stages, NU)
+        reg = jnp.asarray(cfg.reg_eps, dt)
+
+    def kkt_factor_solve(Qx_b, Qx_s, Qx_g, g_eff):
+        if use_pallas:
+            dvec = (
+                _scatter_box(oh_b, Qx_b) + _scatter_box(oh_s, Qx_s)
+                + qp.pad_diag + reg
+            )
+            z, pi, L, Pb = _fs(
+                dvec, Qx_g * qp.ng_mask, g_eff, qp.H, qp.C, qp.F, qp.b
+            )
+            return z, pi, (L, Pb)
+        NZ = qp.H.shape[-1]
+        H_eff = _build_Heff(qp, oh_b, Qx_b, Qx_g, reg=cfg.reg_eps)
+        H_eff = H_eff + jnp.eye(NZ, dtype=dt)[None] * _scatter_box(oh_s, Qx_s)[:, None, :]
+        sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, qp.F, qp.b, NU)
+        return sol.z, sol.pi, (L, Pb)
+
+    def kkt_resolve(fstate, g_eff2):
+        L, Pb = fstate
+        if use_pallas:
+            return _trs(L, g_eff2, qp.F, qp.b, Pb)
+        sol2, _ = riccati.solve(L, g_eff2, qp.F, qp.b, NU, Pb=Pb)
+        return sol2.z, sol2.pi
 
     # mu scaling: 2 nb + 2 ng + 4 ns (d_ip2_soft.c:268-271); the ns count
     # comes from the mask sum (a constant under jit for fixed problem data)
@@ -237,14 +272,10 @@ def _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft=True):
         qx_s = (rqx1e - rqx0e) * ms
 
         # --- KKT factor+solve (merged hard+soft box scatter) ---
-        H_eff = _build_Heff(qp, oh_b, Qx_b, Qx_g, reg=cfg.reg_eps)
-        NZ = qp.H.shape[-1]
-        H_eff = H_eff + jnp.eye(NZ, dtype=dt)[None] * _scatter_box(oh_s, Qx_s)[:, None, :]
         g_eff = _build_geff(qp, oh_b, qp.g * qp.z_mask, qx_b, qx_g)
         g_eff = g_eff + _scatter_box(oh_s, qx_s)
 
-        sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, qp.F, qp.b, NU)
-        dz, dpi = sol.z, sol.pi
+        dz, dpi, fstate = kkt_factor_solve(Qx_b, Qx_s, Qx_g, g_eff)
 
         # --- affine dt/dlam + alpha (compute_alpha :611) ---
         def dt_dlam(dz, dlam0_b, dlam0_g, dlam0_s, zl0, zl1):
@@ -320,8 +351,7 @@ def _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft=True):
 
         g_eff2 = _build_geff(qp, oh_b, qp.g * qp.z_mask, qx_b2, qx_g2)
         g_eff2 = g_eff2 + _scatter_box(oh_s, qx_s2)
-        sol2, _ = riccati.solve(L, g_eff2, qp.F, qp.b, NU, Pb=Pb)
-        dz2, dpi2 = sol2.z, sol2.pi
+        dz2, dpi2 = kkt_resolve(fstate, g_eff2)
 
         dtb, dtg, dts, dlam_b, dlam_g, dlam_s = dt_dlam(
             dz2, dlam2_b, dlam2_g, dlam2_s, zl0c, zl1c

@@ -237,3 +237,44 @@ def test_flat_mixed_precision_f64_state_f32_kernels(interpret_pallas):
     stat = np.asarray(solmx.stat)
     mu_fin = np.array([stat[b, kkmx[b]-1, 4] for b in range(len(kkmx))])
     assert np.median(mu_fin) < 1e-10
+
+
+def test_soft_ipm_pallas_route_matches_xla(interpret_pallas):
+    """cfg.use_pallas on the SOFT IPM routes its KKT factor/solve through
+    the fused Pallas stage kernels (the soft barrier's Schur-eliminated
+    slack terms are pure diagonal, so the hard chain kernels serve
+    unchanged) — must reproduce the XLA route iterate-for-iterate."""
+    import jax.numpy as jnp
+
+    from hpmpc_tpu.models import ipm_soft
+    from hpmpc_tpu.utils.mass_spring import mass_spring_soft_qp
+
+    B = 1024
+    dims, qp, soft = mass_spring_soft_qp(8, 3, 5, Z=10.0, dtype=jnp.float32)
+    qps = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), qp
+    )
+    softs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), soft
+    )
+    rng = np.random.default_rng(3)
+    qps = dataclasses.replace(
+        qps,
+        g=qps.g * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(B), jnp.float32
+        )[:, None, None],
+    )
+    cfg_x = ipm.IPMConfig(k_max=4, mu0=100.0, mu_tol=1e-5)
+    cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
+    run = lambda cfg: jax.jit(
+        jax.vmap(lambda q, s: ipm_soft.solve(dims, q, s, cfg))
+    )(qps, softs)
+    sol_x = run(cfg_x)
+    sol_p = run(cfg_p)
+    assert bool(jnp.all(sol_x.kk == sol_p.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_p.z), np.asarray(sol_x.z), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_p.stat), np.asarray(sol_x.stat), atol=1e-3
+    )
