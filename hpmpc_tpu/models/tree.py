@@ -308,3 +308,46 @@ def solve_tree_ipm(tdef: TreeDef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
     return ipm.solve(
         dims, qp, cfg, backend=tree_backend(tdef, dims, qp, reg_eps=cfg.reg_eps)
     )
+
+
+def solve_tree_ipm_sharded(
+    tdef: TreeDef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig, mesh,
+    axis: str = "node",
+):
+    """Shard ONE large tree's NODE axis across a device mesh (SURVEY §2.10
+    tree axis — the third sharding axis, beyond batch and horizon).
+
+    Every per-level operation of the tree Riccati and of the IPM's
+    barrier/step math is data-parallel over the nodes of that level (the
+    reference's own observation — ``d_tree_back_ric_rec_libstr.c`` nodes
+    within a level are independent; it exploits it with OpenMP threads,
+    we exploit it with a ``NamedSharding`` over the node axis), so a
+    sharding constraint on the node-stacked arrays partitions the level
+    work across devices and XLA inserts the parent-child combine
+    collectives (the ``dad[lev]`` scatter-adds become cross-device
+    reductions on ICI).
+
+    Most effective for trees whose levels are wide (md^Nr scenarios wide
+    after the robust horizon): the deepest levels — where almost all
+    nodes live — split evenly; the thin levels near the root execute
+    mostly on one device, which is the same critical path the reference
+    has.  Returns the ordinary :class:`~.ipm.IPMSolution` over nodes.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = tdef.n_nodes
+
+    def constrain(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] in (n, n - 1):
+            spec = P(axis, *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec)
+            )
+        return x
+
+    @jax.jit
+    def run(q):
+        q = jax.tree_util.tree_map(constrain, q)
+        return solve_tree_ipm(tdef, dims, q, cfg)
+
+    return run(qp)

@@ -55,6 +55,43 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
     return jax.vmap(lambda q: ipm.solve(dims, q, cfg))(qp)
 
 
+def solve_batched_soft(
+    dims: OCPDims, qp: OCPQP, soft, cfg: ipm.IPMConfig,
+    idxbs=None, exact_mehrotra_soft: bool = True,
+):
+    """Soft-IPM twin of :func:`solve_batched`.
+
+    ``idxbs``: static (N+1, NS) tuple-of-tuples of padded-z soft
+    coordinates shared by every instance (the soft analogue of
+    ``dims.idxb``) — required for the flat engine's selection-matrix
+    gathers.  With ``cfg.use_pallas``, a 1024-multiple batch and static
+    ``idxbs``, dispatches to the flat-state soft engine
+    (:mod:`..models.ipm_soft_fast`); otherwise the vmapped structured
+    path (which still Pallas-dispatches its KKT solves via custom_vmap
+    when the batch allows)."""
+    from ..models import ipm_soft
+
+    B = qp.b.shape[0]
+    if (
+        cfg.use_pallas
+        and dims.idxb is not None
+        and idxbs is not None
+        and B % 1024 == 0
+    ):
+        from ..models import ipm_soft_fast
+
+        idxbs_t = tuple(tuple(int(i) for i in row) for row in idxbs)
+        return ipm_soft_fast.solve_batched_flat(
+            dims, qp, soft, cfg, idxbs_t,
+            exact_mehrotra_soft=exact_mehrotra_soft,
+        )
+    return jax.vmap(
+        lambda q, s: ipm_soft.solve(
+            dims, q, s, cfg, exact_mehrotra_soft=exact_mehrotra_soft
+        )
+    )(qp, soft)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

@@ -278,3 +278,54 @@ def test_soft_ipm_pallas_route_matches_xla(interpret_pallas):
     np.testing.assert_allclose(
         np.asarray(sol_p.stat), np.asarray(sol_x.stat), atol=1e-3
     )
+
+
+def test_soft_flat_engine_matches_structured(interpret_pallas):
+    """The flat-state soft engine (ipm_soft_fast, entered via
+    batch.solve_batched_soft) must reproduce the structured vmapped soft
+    IPM iterate-for-iterate: same iteration counts, same stat rows, same
+    solution."""
+    import jax.numpy as jnp
+
+    from hpmpc_tpu.models import ipm_soft
+    from hpmpc_tpu.utils.mass_spring import mass_spring_soft_qp
+
+    B = 1024
+    dims, qp, soft = mass_spring_soft_qp(8, 3, 5, Z=10.0, dtype=jnp.float32)
+    qps = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), qp
+    )
+    softs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), soft
+    )
+    rng = np.random.default_rng(5)
+    qps = dataclasses.replace(
+        qps,
+        g=qps.g * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(B), jnp.float32
+        )[:, None, None],
+    )
+    idxbs = np.asarray(soft.idxbs)
+    cfg = ipm.IPMConfig(k_max=4, mu0=100.0, mu_tol=1e-5)
+
+    sol_x = jax.jit(
+        jax.vmap(lambda q, s: ipm_soft.solve(dims, q, s, cfg))
+    )(qps, softs)
+    cfg_f = dataclasses.replace(cfg, use_pallas=True)
+    sol_f = jax.jit(
+        lambda q, s: pbatch.solve_batched_soft(dims, q, s, cfg_f, idxbs=idxbs)
+    )(qps, softs)
+
+    assert bool(jnp.all(sol_x.kk == sol_f.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_f.z), np.asarray(sol_x.z), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_f.stat), np.asarray(sol_x.stat), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_f.lam_s), np.asarray(sol_x.lam_s), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_f.t_s), np.asarray(sol_x.t_s), atol=5e-3
+    )

@@ -354,3 +354,33 @@ def test_tree_ipm_matches_enumerated_scenarios(md, Nr):
                 res.pi[s][off_x[c]:off_x[c] + dims.nx[c]],
                 atol=1e-6, err_msg=f"pi mismatch edge into node {c}",
             )
+
+
+def test_single_tree_node_axis_sharding():
+    """SURVEY §2.10 tree axis: ONE large tree sharded across the 8-device
+    mesh by its node axis must reproduce the unsharded solve exactly (the
+    level-batched node work partitions; parent combines become
+    collectives)."""
+    import jax
+    from jax.sharding import Mesh
+
+    tdef = tree.TreeDef.from_md_nr_nh(2, 3, 6)  # 8 scenarios, 39 nodes
+    assert tdef.n_nodes == 39
+    dims, qp = _tree_qp(tdef, nb=2)
+    cfg = ipm.IPMConfig(k_max=25, mu_tol=1e-9)
+
+    sol_ref = jax.jit(
+        lambda q: tree.solve_tree_ipm(tdef, dims, q, cfg)
+    )(qp)
+    assert int(sol_ref.status) == 0
+
+    mesh = Mesh(np.array(jax.devices()), ("node",))
+    sol_sh = tree.solve_tree_ipm_sharded(tdef, dims, qp, cfg, mesh)
+    assert int(sol_sh.status) == 0
+    assert int(sol_sh.kk) == int(sol_ref.kk)
+    np.testing.assert_allclose(
+        np.asarray(sol_sh.z), np.asarray(sol_ref.z), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_sh.pi), np.asarray(sol_ref.pi), atol=1e-10
+    )

@@ -36,6 +36,7 @@ def main():
     from jax import lax
 
     from hpmpc_tpu.models import ipm, ipm_soft
+    from hpmpc_tpu.parallel import batch as pbatch
     from hpmpc_tpu.utils.mass_spring import mass_spring_soft_qp
 
     B = 4096
@@ -52,26 +53,33 @@ def main():
     pert = jnp.asarray(1 + 0.02 * rng.standard_normal(B), dt)[:, None, None]
     qps = dataclasses.replace(qps, g=qps.g * pert)
 
-    def make_run(cfg, K):
+    idxbs = np.asarray(soft.idxbs)
+
+    def make_run(cfg, K, flat=False):
         @jax.jit
         def run(seed):
             def body(acc, i):
                 q = dataclasses.replace(
                     qps, g=qps.g * (1.0 + 1e-5 * (i + seed) + 1e-30 * acc)
                 )
-                sol = jax.vmap(
-                    lambda qq, ss: ipm_soft.solve(dims, qq, ss, cfg)
-                )(q, softs)
+                if flat:
+                    sol = pbatch.solve_batched_soft(
+                        dims, q, softs, cfg, idxbs=idxbs
+                    )
+                else:
+                    sol = jax.vmap(
+                        lambda qq, ss: ipm_soft.solve(dims, qq, ss, cfg)
+                    )(q, softs)
                 return jnp.sum(sol.z) + jnp.sum(sol.stat), None
             acc, _ = lax.scan(body, jnp.asarray(0.0, dt),
                               jnp.arange(K, dtype=dt))
             return acc
         return run
 
-    def slope(cfg, K_lo=2, K_hi=6, reps=2):
+    def slope(cfg, K_lo=2, K_hi=6, reps=2, flat=False):
         ts = {}
         for K in (K_lo, K_hi):
-            f = make_run(cfg, K)
+            f = make_run(cfg, K, flat=flat)
             float(f(jnp.asarray(0.0, dt)))
             t0 = time.perf_counter()
             for r in range(1, reps + 1):
@@ -82,9 +90,10 @@ def main():
     cfg_x = ipm.IPMConfig(k_max=K_ITERS, mu0=100.0, mu_tol=0.0)
     cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
 
+    t_f = slope(cfg_p, flat=True)
     t_p = slope(cfg_p)
     t_x = slope(cfg_x)
-    for name, t in (("pallas", t_p), ("xla", t_x)):
+    for name, t in (("flat", t_f), ("pallas", t_p), ("xla", t_x)):
         print(json.dumps({
             "metric": f"soft_ipm_solves_per_s_{name}",
             "value": round(B / t, 1),
