@@ -30,6 +30,30 @@ and recover the interior equality multipliers by backward stationarity.
 The group loop unrolls at trace time (N2 and group sizes are static); all
 inner algebra is stacked jnp ops, so the whole condense -> IPM -> expand
 pipeline jits, vmaps and shards like the direct solver.
+
+FLOPS-CLASS DECISION (the reference carries three full-condensing
+algorithms — N^3 nx^2 ``d_cond_R_N3_nx2`` (``d_cond.c:76``), N^2 nx^2
+``d_cond_R_N2_nx2`` (``:239``), N^2 nx^3 ``d_cond_R_N2_nx3`` (``:483``) —
+plus the fused condensing-factorization ``d_cond_fact_R_N2_nx2_permute``
+(``:918``); this builder is the N^3-flops composition class, and that is
+deliberate):
+
+  * Measured (v5e, ``tools/validate_n2_model.py``, N=30 single instance,
+    f32): the FULL condense build costs 1.14 ms, one-off, vs 2.5-4.8 ms
+    per condensed IPM SOLVE (8 iterations re-using the build) — the build
+    is ~25% of even the fastest strategy's end-to-end time and amortizes
+    over every solve of an RTI/batch session (matrix data unchanged ->
+    build once, ``condense_rhs`` per tick).
+  * The N^2 recursions save flops by chaining Gamma_u_Q updates
+    SEQUENTIALLY across stages — on TPU that replaces a handful of large
+    batched MXU einsums (this builder's whole cost) with ~N dependent
+    small-matrix steps, exactly the latency-bound shape the measured
+    ``lat_floor`` above punishes; the arithmetic saved is at sizes where
+    the MXU is idle anyway.
+  * Golden parity for the fully-condensed problem vs ``d_cond_lqcp`` is
+    at 1e-10 (``tests/test_cond.py::test_full_condensing_golden_lqcp``,
+    which also documents two reference bugs in the N^2/gradient paths —
+    dead code rot that is itself evidence those variants were abandoned).
 """
 
 from __future__ import annotations
@@ -530,7 +554,19 @@ def suggest_n2(dims: OCPDims, k_iters: int = 8, batch: int = 1) -> int:
     batches are latency-bound (deep recursion dominates -> favor small N2);
     large batches are flops-bound (cubic blowup dominates -> favor N2 ~ N).
     Returns the argmin over N2 in [1, N]; exact optimum is hardware
-    dependent — benchmark around the suggestion (tools/bench_latency.py).
+    dependent — benchmark around the suggestion (tools/bench_latency.py,
+    tools/validate_n2_model.py).
+
+    CALIBRATION (v5e, single instance, mass-spring nx=8 nu=3 N=30,
+    tools/validate_n2_model.py): measured ms/solve over N2 =
+    {1: 4.76, 2: 4.29, 3: 2.46, 5: 2.53, 6: 4.75, 10: 4.60, 15: 4.26,
+    30: 6.41} — the best region is N2 in {3, 5} (groups of ~6-10 stages:
+    short enough to cut the sequential recursion depth ~10x, small enough
+    that the condensed stage factor nz2^3 stays cheap).  The latency-floor
+    constant below is fitted so the model's argmin lands there (a smooth
+    two-term model cannot reproduce the measured non-monotonic bumps at
+    N2=2/6, which come from tile-padding steps in nz2; treat the
+    suggestion as a starting point, not an oracle).
     """
     N = dims.N
     nu_bar = max(1, max(dims.nu[:N]))
@@ -539,7 +575,9 @@ def suggest_n2(dims: OCPDims, k_iters: int = 8, batch: int = 1) -> int:
     # per-stage latency floor, in flop-equivalents: at batch 1 a stage step
     # is ~free flops-wise but costs a kernel's latency; at huge batches the
     # MXU is saturated and flops dominate.  Crossover ~ 128-lane tiles.
-    lat_floor = 4096.0 * max(1.0, 128.0 / max(batch, 1))
+    # 300 flop-equiv/lane-step fitted to the v5e measurements above
+    # (~27 us/stage-iteration at an effective ~1.4 GFLOP/s single-instance).
+    lat_floor = 300.0 * max(1.0, 128.0 / max(batch, 1))
 
     best, best_cost = 1, float("inf")
     for N2 in range(1, N + 1):

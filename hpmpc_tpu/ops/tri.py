@@ -115,3 +115,79 @@ def cholesky(M):
     top = jnp.concatenate([L11, z], axis=-1)
     bot = jnp.concatenate([L21, L22], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+def getrf(A):
+    """LU factorization with partial pivoting, precision-pinned.
+
+    The kernel-zoo member the reference dedicates ``dgetrf`` kernels to
+    (``kernel/avx/kernel_dgetrf_avx_lib4.c``, driver ``dgetrf_pivot_lib``,
+    ``blas/blas_d_lib4.c``); in the reference it backs the un-pivoted
+    condensing-factorization experiments — here it completes the
+    factorization surface for general (non-SPD) stage systems.
+
+    Returns ``(LU, piv)`` with unit-lower L and U packed in one matrix
+    and ``piv[k]`` the row swapped into position k at step k (LAPACK
+    ipiv convention, 0-based).  Batched over leading dims.  Right-looking
+    elimination with vectorized pivot selection; the row swap is a pair
+    of masked row updates (no data-dependent control flow — TPU-safe).
+    """
+    from jax import lax
+
+    n = A.shape[-1]
+    dt = A.dtype
+    batch = A.shape[:-2]
+    iota = jnp.arange(n)
+    rowax = A.ndim - 2
+
+    def body(k, carry):
+        LU, piv = carry
+        col = jnp.abs(lax.dynamic_index_in_dim(LU, k, LU.ndim - 1, False))
+        col = jnp.where(iota >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)
+        piv = piv.at[..., k].set(p.astype(jnp.int32))
+        # swap rows k <-> p (masked row updates)
+        row_k = lax.dynamic_index_in_dim(LU, k, rowax, keepdims=True)
+        row_p = jnp.take_along_axis(LU, p[..., None, None], axis=-2)
+        is_k = iota[:, None] == k
+        is_p = iota[:, None] == p[..., None, None]
+        LU = jnp.where(is_k, row_p, jnp.where(is_p, row_k, LU))
+        # eliminate below the pivot
+        pr = lax.dynamic_index_in_dim(LU, k, rowax, keepdims=True)
+        pivval = lax.dynamic_index_in_dim(pr, k, pr.ndim - 1, keepdims=True)
+        safe = jnp.where(jnp.abs(pivval) > 0, pivval, 1.0)
+        colk = lax.dynamic_index_in_dim(LU, k, LU.ndim - 1, keepdims=True)
+        mult = jnp.where(iota[:, None] > k, colk / safe, jnp.zeros((), dt))
+        # trailing-submatrix update only (columns > k): the stored L
+        # multipliers in earlier columns ride along with row swaps and
+        # must not be touched by the rank-1 update
+        LU = LU - mult * pr * (iota[None, :] > k)
+        LU = jnp.where((iota[:, None] > k) & (iota[None, :] == k), mult, LU)
+        return LU, piv
+
+    piv0 = jnp.zeros(batch + (n,), jnp.int32)
+    LU, piv = lax.fori_loop(0, n, body, (A, piv0))
+    return LU, piv
+
+
+def getrs(LU, piv, b):
+    """Solve ``A x = b`` with a :func:`getrf` factorization (the
+    reference's LU solve path).  Applies the recorded row swaps to ``b``,
+    then unit-lower/upper triangular solves."""
+    from jax import lax
+
+    n = LU.shape[-1]
+    iota = jnp.arange(n)
+
+    def swap(k, bb):
+        p = piv[..., k]
+        bk = lax.dynamic_index_in_dim(bb, k, bb.ndim - 1, keepdims=True)
+        bp = jnp.take_along_axis(bb, p[..., None], axis=-1)
+        is_k = iota == k
+        is_p = iota == p[..., None]
+        return jnp.where(is_k, bp, jnp.where(is_p, bk, bb))
+
+    b = lax.fori_loop(0, n, swap, b)
+    L = jnp.tril(LU, -1) + jnp.eye(n, dtype=LU.dtype)
+    y = solve_tril(L, b)
+    return solve_triu(jnp.triu(LU), y)

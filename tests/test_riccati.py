@@ -178,3 +178,33 @@ def test_riccati_size_sweep_vs_dense_oracle(nx, nu, N):
         np.asarray(sol.pi), pi_ref, atol=1e-6 * scale,
         err_msg=f"pi mismatch at nx={nx}",
     )
+
+
+def test_lu_getrf_getrs():
+    """ops.tri.getrf/getrs (the reference's dgetrf/dgetrs kernel-zoo
+    members, kernel_dgetrf_*_lib4.c / dgetrf_pivot_lib) solve general
+    non-SPD batched systems to machine precision, with partial pivoting
+    handling zero leading pivots."""
+    import scipy.linalg as sla
+
+    from hpmpc_tpu.ops import tri
+
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((5, 9, 9))
+    b = rng.standard_normal((5, 9))
+    LU, piv = jax.jit(tri.getrf)(jnp.asarray(A))
+    x = jax.jit(tri.getrs)(LU, piv, jnp.asarray(b))
+    np.testing.assert_allclose(
+        np.einsum("bij,bj->bi", A, np.asarray(x)), b, atol=1e-11
+    )
+    # factor matches LAPACK including pivot order
+    lu_s, piv_s = sla.lu_factor(A[0])
+    np.testing.assert_allclose(np.asarray(LU)[0], lu_s, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(piv)[0], piv_s)
+    # zero leading pivot forces a swap
+    A0 = np.array([[[0.0, 1.0], [2.0, 3.0]]])
+    LU0, piv0 = tri.getrf(jnp.asarray(A0))
+    x0 = tri.getrs(LU0, piv0, jnp.asarray([[1.0, 0.0]]))
+    np.testing.assert_allclose(
+        np.einsum("bij,bj->bi", A0, np.asarray(x0)), [[1.0, 0.0]], atol=1e-14
+    )
