@@ -551,11 +551,20 @@ def solve_ocp_soft(
     pi = [np.asarray(sol.pi)[n, : dims.nx[n + 1]].copy() for n in range(N)]
     kk = int(sol.kk)
     stat = np.asarray(sol.stat)[:kk]
-    # soft-path residual norms: the final duality measure is tracked in the
-    # stat trace (stat[:, 4]); the stationarity/feasibility norms are not
-    # evaluated on this path — report NaN rather than fake zeros so callers
-    # checking solution quality use status/stat (the honest signals).
-    mu_final = float(stat[-1, 4]) if kk > 0 else np.nan
+    # exact soft-QP KKT residual norms (d_res_mpc_soft_tv semantics):
+    # {max(|rq|, |rz|) stationarity, |rb|, |rd| all constraint families, mu}
+    res = jax.jit(
+        lambda s: _soft.compute_residuals(dims, qp, spec, s)
+    )(sol)
+    def _amax(a):
+        a = np.asarray(a)
+        return float(np.abs(a).max()) if a.size else 0.0
+    inf_norm_res = np.array([
+        max(_amax(res.rq), _amax(res.rz)),
+        _amax(res.rb),
+        max(_amax(res.rd_b), _amax(res.rd_g), _amax(res.rd_s)),
+        float(res.mu),
+    ])
     return OCPResult(
         x=x, u=u, pi=pi,
         lam=[np.asarray(sol.lam_s)[n] for n in range(N + 1)],
@@ -563,7 +572,7 @@ def solve_ocp_soft(
         kk=kk,
         status=int(sol.status),
         stat=stat,
-        inf_norm_res=np.array([np.nan, np.nan, np.nan, mu_final]),
+        inf_norm_res=inf_norm_res,
     )
 
 

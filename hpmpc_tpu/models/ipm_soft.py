@@ -412,3 +412,83 @@ def _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft=True):
         lam_s=sf.lam_s, t_s=sf.t_s,
         kk=sf.kk, status=status, stat=sf.stat,
     )
+
+
+class SoftResiduals(NamedTuple):
+    rq: jax.Array    # (N+1, NZ)  z-stationarity
+    rz: jax.Array    # (N+1, 2, NS) slack stationarity
+    rb: jax.Array    # (N, NX)
+    rd_b: jax.Array  # (N+1, 2, NB)
+    rd_g: jax.Array  # (N+1, 2, NG)
+    rd_s: jax.Array  # (N+1, 2, NS) slacked-bound gaps
+    mu: jax.Array    # scalar
+
+
+def compute_residuals(dims, qp: OCPQP, soft: SoftSpec, sol: SoftSolution):
+    """Exact KKT residuals of the soft-constrained QP at a solution point
+    (the reference's ``d_res_mpc_soft_tv``, ``d_res_ip_soft.c:38``;
+    slack-variable convention: the 3rd/4th slack families ARE the slack
+    variables s_lo/s_up, as in the reference where ``ht[2*pns..]`` holds
+    them).  Residual sign conventions follow :func:`ipm.compute_residuals`.
+
+    Per-instance (vmap for batches).  Returns :class:`SoftResiduals`;
+    ``mu`` uses the 2nb+2ng+4ns scaling of the solver's stat trace.
+    """
+    from .ipm import _box_onehot, _cz, _gather_box, _scatter_box
+
+    N, NU = dims.N, dims.NU
+    z, pi = sol.z, sol.pi
+    lam_b, t_b = sol.lam_b, sol.t_b
+    lam_g, t_g = sol.lam_g, sol.t_g
+    lam_s, t_s = sol.lam_s, sol.t_s
+    mb, mg, ms = qp.nb_mask, qp.ng_mask, soft.ns_mask
+    oh_b = _box_onehot(qp)
+    oh_s = _soft_onehot(qp, soft)
+    s_lo, s_up = t_s[:, 2], t_s[:, 3]  # the slack variables themselves
+
+    # z-stationarity: hard terms exactly as ipm.compute_residuals, plus
+    # the soft bound multipliers scattered at the soft coordinates
+    rq = qp.g * qp.z_mask + jnp.einsum("nzw,nw->nz", qp.H, z)
+    pi_pad = jnp.concatenate([jnp.zeros_like(pi[:1]), pi], axis=0)
+    rq = rq.at[:, NU:].add(-pi_pad)
+    rq = rq.at[:N].add(jnp.einsum("nzx,nx->nz", qp.F, pi))
+    rq = rq + _scatter_box(oh_b, (lam_b[:, 1] - lam_b[:, 0]) * mb)
+    rq = rq + jnp.einsum("ngz,ng->nz", qp.C, (lam_g[:, 1] - lam_g[:, 0]) * mg)
+    rq = rq + _scatter_box(oh_s, (lam_s[:, 1] - lam_s[:, 0]) * ms)
+    rq = rq * qp.z_mask
+
+    # slack stationarity (d_res_ip_soft.c:150): Z s + z_lin - lam_bound
+    # - lam_nonneg, per side
+    rz = jnp.stack(
+        [soft.z_lin[:, 0] + soft.Z[:, 0] * s_lo - lam_s[:, 0] - lam_s[:, 2],
+         soft.z_lin[:, 1] + soft.Z[:, 1] * s_up - lam_s[:, 1] - lam_s[:, 3]],
+        axis=1,
+    ) * ms[:, None, :]
+
+    rb = qp.b + jnp.einsum("nzx,nz->nx", qp.F, z[:N]) - z[1:, NU:]
+    rb = rb * qp.x_mask[1:]
+
+    zb = _gather_box(oh_b, z)
+    rd_b = jnp.stack(
+        [qp.d_lb - zb + t_b[:, 0], qp.d_ub - zb - t_b[:, 1]], axis=1
+    ) * mb[:, None, :]
+    cz = _cz(qp, z)
+    rd_g = jnp.stack(
+        [qp.d_lg + t_g[:, 0] - cz, qp.d_ug - t_g[:, 1] - cz], axis=1
+    ) * mg[:, None, :]
+    # slacked soft bounds: z_s >= d_lbs - s_lo, z_s <= d_ubs + s_up
+    zs = _gather_box(oh_s, z)
+    rd_s = jnp.stack(
+        [soft.d_lbs - s_lo - zs + t_s[:, 0],
+         soft.d_ubs + s_up - zs - t_s[:, 1]], axis=1
+    ) * ms[:, None, :]
+
+    n_constr = 2 * sum(dims.nb) + 2 * sum(dims.ng)
+    mu = (
+        jnp.sum(lam_b * t_b * mb[:, None, :])
+        + jnp.sum(lam_g * t_g * mg[:, None, :])
+        + jnp.sum(lam_s * t_s * ms[:, None, :])
+    ) / (n_constr + 4.0 * jnp.sum(ms))
+
+    return SoftResiduals(rq=rq, rz=rz, rb=rb, rd_b=rd_b, rd_g=rd_g,
+                         rd_s=rd_s, mu=mu)

@@ -117,3 +117,65 @@ def test_soft_ipm_slack_semantics():
     viol_lo = np.maximum(-1.0 - x1, 0.0)
     np.testing.assert_allclose(s_up[:8], viol_up, atol=1e-5)
     np.testing.assert_allclose(s_lo[:8], viol_lo, atol=1e-5)
+
+
+def test_soft_residual_evaluator():
+    """compute_residuals (the reference's d_res_mpc_soft_tv twin) reports
+    near-zero KKT residuals at a converged soft solve, and nonzero
+    stationarity at a perturbed point."""
+    from hpmpc_tpu.models import ipm_soft
+    from hpmpc_tpu.utils.mass_spring import mass_spring_soft_qp
+
+    dims, qp, soft = mass_spring_soft_qp(8, 3, 10, Z=10.0)
+    # mu_tol=1e-6: over-solving the soft barrier below mu ~1e-8 trades
+    # complementarity for stationarity (measured: rq 1.3e-5 at mu 1e-8,
+    # then 4e-4 at mu 6e-11 -- barrier conditioning, f64) -- the exact
+    # behavior this evaluator exists to expose
+    cfg = ipm.IPMConfig(k_max=40, mu0=100.0, mu_tol=1e-6)
+    sol = jax.jit(lambda q, s: ipm_soft.solve(dims, q, s, cfg))(qp, soft)
+    assert int(sol.status) == 0
+
+    res = ipm_soft.compute_residuals(dims, qp, soft, sol)
+    for name, thr in (("rq", 1e-4), ("rz", 1e-4), ("rb", 1e-10),
+                      ("rd_b", 1e-10), ("rd_g", 1e-10), ("rd_s", 1e-10)):
+        v = np.asarray(getattr(res, name))
+        assert v.size == 0 or np.abs(v).max() < thr, \
+            f"{name}: {np.abs(v).max():.2e}"
+    assert float(res.mu) < 1e-6
+
+    # a perturbed point must show stationarity violation
+    import dataclasses as _dc
+    bad = sol._replace(z=sol.z + 0.01)
+    res2 = ipm_soft.compute_residuals(dims, qp, soft, bad)
+    assert np.abs(np.asarray(res2.rq)).max() > 1e-3
+
+
+def test_solve_ocp_soft_residual_norms():
+    """The soft front door reports computed (not placeholder) residual
+    norms."""
+    from hpmpc_tpu import api
+
+    nx, nu, N = 4, 2, 6
+    rng = np.random.default_rng(1)
+    A = np.eye(nx) + 0.05 * rng.standard_normal((nx, nx))
+    B = rng.standard_normal((nx, nu)) * 0.3
+    res = api.solve_ocp_soft(
+        N, [A] * N, [B] * N, [0.05 * np.ones(nx)] * N,
+        [np.eye(nx)] * (N + 1), [np.zeros((nu, nx))] * N, [np.eye(nu)] * N,
+        [0.1 * np.ones(nx)] * (N + 1), [0.1 * np.ones(nu)] * N,
+        idxb=[np.arange(nu)] * (N + 1),
+        lb=[-2.0 * np.ones(nu)] * (N + 1),
+        ub=[2.0 * np.ones(nu)] * (N + 1),
+        idxs=[np.arange(nu, nu + 2)] * (N + 1),
+        lbs=[-0.3 * np.ones(2)] * (N + 1),
+        ubs=[0.3 * np.ones(2)] * (N + 1),
+        Zs=[10.0 * np.ones(2)] * (N + 1),
+        zs=[100.0 * np.ones(2)] * (N + 1),
+        x0=np.ones(nx), mu_tol=1e-6,
+    )
+    assert res.status == 0
+    assert np.all(np.isfinite(res.inf_norm_res))
+    assert res.inf_norm_res[0] < 1e-3  # stationarity (incl. slack)
+    assert res.inf_norm_res[1] < 1e-8  # dynamics
+    assert res.inf_norm_res[2] < 1e-8  # constraint gaps
+    assert res.inf_norm_res[3] < 1e-6  # mu
