@@ -144,15 +144,20 @@ def main():
 
     times = {}
     for K in (2, 10):
-        reps = 3
-        t0 = time.perf_counter()
+        reps = 4
+        rep_times = []
         for r in range(1, reps + 1):
             # float() forces completion — on this harness's relay,
             # block_until_ready returns before execution finishes; the
             # per-rep seed defeats the relay's dispatch memoization
+            t0 = time.perf_counter()
             out = float(run(qpb, K, jnp.asarray(r * 37.0 + K, dtype))[0])
-        times[K] = (time.perf_counter() - t0) / reps
-        assert np.isfinite(out)
+            rep_times.append(time.perf_counter() - t0)
+            assert np.isfinite(out)
+        # relay dispatch noise is strictly additive, so the MIN over reps
+        # is the tightest estimate of true device time (mean-of-reps swung
+        # 268k-343k solves/s run to run; min stabilizes it)
+        times[K] = min(rep_times)
 
     per_solve_s = (times[10] - times[2]) / (10 - 2)
     solves_per_s = (BATCH * mean_kk / K_MAX) / per_solve_s
