@@ -11,7 +11,7 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
 @pytest.mark.parametrize(
-    "script", ["closed_loop_mpc.py", "mhe_estimation.py"]
+    "script", ["closed_loop_mpc.py", "mhe_estimation.py", "tree_mpc.py"]
 )
 def test_example_runs(script):
     env = {
