@@ -81,7 +81,9 @@ class IPMConfig:
     # full-precision matvecs (d_back_ric_res_tv) and re-solve with the
     # retained factor for a correction, `iter_ref` times.  Recovers the
     # accuracy lost to factorization roundoff / reg_eps; mainly useful on
-    # the f32 path.  Supported on the XLA backend path (use_pallas=False).
+    # the f32 path.  Supported on both the XLA backend path and the
+    # flat/Pallas engine (ipm_fast.newton_refine; Pb recomputed in-kernel
+    # by stage_kernel.solve_flat_pb).
     iter_ref: int = 0
 
 

@@ -218,8 +218,11 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     kdt = jnp.float32
     mixed = dt != kdt
 
-    # loop-invariant lanes transposes (once, outside the IPM loop)
-    Hl = sk._to_lanes(qp.H.astype(kdt), B)
+    # loop-invariant lanes transposes (once, outside the IPM loop); H is
+    # symmetric and travels as a packed lower-triangle stream (66 instead
+    # of 121 subtiles/stage at NZ=11 — it is the largest constant stream
+    # the sv/resid kernels re-fetch every iteration)
+    Hl = sk._to_lanes(sk.sym_compress(qp.H.astype(kdt)), B)
     Fl = sk._to_lanes(qp.F.astype(kdt), B)
     nb_blk = B // sk.BI
 
@@ -295,9 +298,11 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             ngterm = jnp.einsum(
                 "bngz,bng,bngw->bnzw", qp.C[:, idx], Qg, qp.C[:, idx]
             )
-            ngl = sk._to_lanes(ngterm.astype(kdt), B)
+            ngl = sk._to_lanes(sk.sym_compress(ngterm.astype(kdt)), B)
         else:
-            ngl = jnp.zeros((nb_blk, 1, NZ, NZ, sk.SUBS, sk.LANES), kdt)
+            ngl = jnp.zeros(
+                (nb_blk, 1, sk._sym_nt(NZ), sk.SUBS, sk.LANES), kdt
+            )
         zF, piF, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat(
             Hl, dvecF.astype(kdt), ngl, ng_stages,
             g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX

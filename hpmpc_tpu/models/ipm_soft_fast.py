@@ -186,7 +186,7 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact_mehrotra_soft):
     bF = qp.b.reshape(B, NXF)
     pad_diagF = qp.pad_diag.reshape(B, NZF)
 
-    Hl = sk._to_lanes(qp.H, B)
+    Hl = sk._to_lanes(sk.sym_compress(qp.H), B)  # packed symmetric stream
     Fl = sk._to_lanes(qp.F, B)
     nb_blk = B // sk.BI
 
@@ -324,9 +324,11 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact_mehrotra_soft):
             ngterm = jnp.einsum(
                 "bngz,bng,bngw->bnzw", qp.C[:, idx], Qg, qp.C[:, idx]
             )
-            ngl = sk._to_lanes(ngterm, B)
+            ngl = sk._to_lanes(sk.sym_compress(ngterm), B)
         else:
-            ngl = jnp.zeros((nb_blk, 1, NZ, NZ, sk.SUBS, sk.LANES), dt)
+            ngl = jnp.zeros(
+                (nb_blk, 1, sk._sym_nt(NZ), sk.SUBS, sk.LANES), dt
+            )
         dz, dpi, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat(
             Hl, dvecF, ngl, ng_stages, g_eff, Fl, bF, NU, NZ, NX
         )

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,6 +45,30 @@ BI = SUBS * LANES  # instances per grid block
 def _mat(ref, r, c):
     """Load an (r, c) matrix of (8,128) scalars from a (1,1, r, c, 8,128) ref."""
     return [[ref[0, 0, i, j] for j in range(c)] for i in range(r)]
+
+
+def _sym_nt(n):
+    return n * (n + 1) // 2
+
+
+def _sym_idx(i, j):
+    """Packed index of the (i, j) entry, j <= i, in a row-major
+    lower-triangle stream."""
+    return i * (i + 1) // 2 + j
+
+
+def _mat_sym(ref, n):
+    """Load a symmetric (n, n) matrix from a PACKED lower-triangle ref
+    (1, 1, n(n+1)/2, 8, 128).  Upper entries are mirrored loads of the
+    same packed element (Mosaic CSEs duplicate loads, so the mirror is
+    free).  Symmetric streams (the stage Hessian H and the barrier term
+    C'diag(qx)C) carry 66 instead of 121 subtiles per stage at NZ=11 —
+    H is the single largest constant stream of the backward-sweep and
+    residual kernels, re-fetched from HBM every IPM iteration."""
+    return [
+        [ref[0, 0, _sym_idx(max(i, j), min(i, j))] for j in range(n)]
+        for i in range(n)
+    ]
 
 
 def _vec(ref, r):
@@ -361,6 +386,24 @@ def _to_lanes(x, B):
     return jnp.transpose(y, perm)
 
 
+def sym_compress(x):
+    """(..., n, n) symmetric -> (..., n(n+1)/2) packed row-major lower
+    triangle, via an exact 0/1 selection matmul (a constant-index gather
+    would serialize on TPU; selection matmuls at HIGHEST precision are
+    bit-exact data movement)."""
+    n = x.shape[-1]
+    nt = _sym_nt(n)
+    sel = np.zeros((n * n, nt), np.float32)
+    for i in range(n):
+        for j in range(i + 1):
+            sel[i * n + j, _sym_idx(i, j)] = 1.0
+    selj = jnp.asarray(sel, x.dtype)
+    return jnp.dot(
+        x.reshape(x.shape[:-2] + (n * n,)), selj,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _from_lanes(y, B):
     nb = B // BI
     perm = (0, y.ndim - 2, y.ndim - 1) + tuple(range(1, y.ndim - 2))
@@ -616,71 +659,87 @@ def _bwd_kernel_folded(NU, NX, NZ, N, ng_stage_ids, split, *refs):
          L_ref, eu_ref, px_ref, Pb_ref, Lxx_c, px_c) = refs
     s = pl.program_id(1)
 
-    Hc = _mat(H_ref, NZ, NZ)
+    # H and the barrier term are SYMMETRIC and arrive as packed
+    # lower-triangle streams (66 instead of 121 subtiles/stage at NZ=11);
+    # the sweep only ever reads the lower triangle (Cholesky + symmetric
+    # assembly), so the mirror below is Python references, not loads.
+    NT = _sym_nt(NZ)
+    Hp = [H_ref[0, 0, t] for t in range(NT)]
     dv = _vec(dvec_ref, NZ)
-    H = [[Hc[i][j] for j in range(NZ)] for i in range(NZ)]
     for i in range(NZ):
-        H[i][i] = H[i][i] + dv[i]
+        di = _sym_idx(i, i)
+        Hp[di] = Hp[di] + dv[i]
     if len(ng_stage_ids):
         stage_match = None
         for stg in ng_stage_ids:
             m = (s == N - stg)
             stage_match = m if stage_match is None else (stage_match | m)
-        ng = _mat(ngterm_ref, NZ, NZ)
-        for i in range(NZ):
-            for j in range(NZ):
-                H[i][j] = H[i][j] + jnp.where(stage_match, ng[i][j], 0.0)
+        for t in range(NT):
+            Hp[t] = Hp[t] + jnp.where(stage_match, ngterm_ref[0, 0, t], 0.0)
+    H = [
+        [Hp[_sym_idx(max(i, j), min(i, j))] for j in range(NZ)]
+        for i in range(NZ)
+    ]
 
     g = _vec(g_ref, NZ)
 
-    def interior():
-        F = _mat(F_ref, NZ, NX)
-        bb = _vec(b_ref, NX)
-        Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
-        pxn = [px_c[i] for i in range(NX)]
-        W = [[None] * NX for _ in range(NZ)]
-        for i in range(NZ):
-            for j in range(NX):
-                acc = None
-                for k in range(j, NX):
-                    t = F[i][k] * Lxx[k][j]
-                    acc = t if acc is None else acc + t
-                W[i][j] = acc
-        t1 = [None] * NX
-        for i in range(NX):
-            acc = None
-            for k in range(i, NX):
-                t = Lxx[k][i] * bb[k]
-                acc = t if acc is None else acc + t
-            t1[i] = acc
-        Pb = [None] * NX
-        for i in range(NX):
-            acc = None
-            for k in range(i + 1):
-                t = Lxx[i][k] * t1[k]
-                acc = t if acc is None else acc + t
-            Pb[i] = acc
-        _store_vec(Pb_ref, Pb)
-        m = []
-        for i in range(NZ):
-            acc = g[i]
-            for k in range(NX):
-                acc = acc + F[i][k] * (Pb[k] + pxn[k])
-            m.append(acc)
-        M = [[None] * NZ for _ in range(NZ)]
-        for i in range(NZ):
-            for j in range(i + 1):
-                acc = H[i][j]
-                for k in range(NX):
-                    acc = acc + W[i][k] * W[j][k]
-                M[i][j] = acc
-                M[j][i] = acc
-        return M, m
+    # Terminal stage (grid step s == 0): zero the VMEM carry BEFORE it is
+    # read, so the interior formulas collapse EXACTLY to the terminal ones
+    # (W = F·0 = 0 -> M = H bit-for-bit, Pb = 0, m = g) — no per-entry
+    # terminal/interior selects (those cost 77 VPU ops/stage at NZ=11,
+    # paid on EVERY stage of a compute-bound sweep).  The s==0 F/b blocks
+    # are clipped duplicates of stage N-1; their products vanish against
+    # the zero carry.
+    zero_t = dv[0] * 0.0
 
-    M_i, m_i = interior()
-    is_t = s == 0
-    M = [[jnp.where(is_t, H[i][j], M_i[i][j]) for j in range(NZ)] for i in range(NZ)]
-    m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
+    @pl.when(s == 0)
+    def _():
+        for i in range(NX):
+            px_c[i] = zero_t
+            for j in range(NX):
+                Lxx_c[i, j] = zero_t
+
+    F = _mat(F_ref, NZ, NX)
+    bb = _vec(b_ref, NX)
+    Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
+    pxn = [px_c[i] for i in range(NX)]
+    W = [[None] * NX for _ in range(NZ)]
+    for i in range(NZ):
+        for j in range(NX):
+            acc = None
+            for k in range(j, NX):
+                t = F[i][k] * Lxx[k][j]
+                acc = t if acc is None else acc + t
+            W[i][j] = acc
+    t1 = [None] * NX
+    for i in range(NX):
+        acc = None
+        for k in range(i, NX):
+            t = Lxx[k][i] * bb[k]
+            acc = t if acc is None else acc + t
+        t1[i] = acc
+    Pb = [None] * NX
+    for i in range(NX):
+        acc = None
+        for k in range(i + 1):
+            t = Lxx[i][k] * t1[k]
+            acc = t if acc is None else acc + t
+        Pb[i] = acc
+    _store_vec(Pb_ref, Pb)
+    m = []
+    for i in range(NZ):
+        acc = g[i]
+        for k in range(NX):
+            acc = acc + F[i][k] * (Pb[k] + pxn[k])
+        m.append(acc)
+    M = [[None] * NZ for _ in range(NZ)]
+    for i in range(NZ):
+        for j in range(i + 1):
+            acc = H[i][j]
+            for k in range(NX):
+                acc = acc + W[i][k] * W[j][k]
+            M[i][j] = acc
+            M[j][i] = acc
 
     Lf, Dinv = _chol(M, NZ)
     eu = _tril_solve(
@@ -732,8 +791,9 @@ def factor_solve_folded(H, dvec, ngterm, ng_stage_ids, g_eff, F, b, NU):
     nb = B // BI
     dt = H.dtype
     n_ng = len(ng_stage_ids)
+    NT = _sym_nt(NZ)
 
-    Hl = _to_lanes(H, B)
+    Hl = _to_lanes(sym_compress(H), B)
     dl = _to_lanes(dvec, B)
     gl = _to_lanes(g_eff, B)
     Fl = _to_lanes(F, B)
@@ -748,21 +808,21 @@ def factor_solve_folded(H, dvec, ngterm, ng_stage_ids, g_eff, F, b, NU):
         return slot
 
     in_specs = [
-        pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NT, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [Hl, dl]
     if n_ng:
-        ngl = _to_lanes(ngterm, B)
+        ngl = _to_lanes(sym_compress(ngterm), B)
         in_specs.append(
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, ng_slot(s), 0, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, NT, SUBS, LANES), lambda bb, s: (bb, ng_slot(s), 0, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(ngl)
     else:
         # dummy single-slot ref (never added)
-        ngl = jnp.zeros((nb, 1, NZ, NZ, SUBS, LANES), dt)
+        ngl = jnp.zeros((nb, 1, NT, SUBS, LANES), dt)
         in_specs.append(
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, NT, SUBS, LANES), lambda bb, s: (bb, 0, 0, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(ngl)
     in_specs += [
@@ -864,12 +924,13 @@ def _from_lanes_flat(y, B):
 
 @functools.partial(jax.jit, static_argnames=("ng_stage_ids", "NU", "NZ", "NX"))
 def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF, NU, NZ, NX):
-    """Flat-state fused sv.  Hl (nb, N+1, NZ, NZ, 8, 128) and
-    Fl (nb, N, NZ, NX, 8, 128) are the loop-invariant data already in lanes
-    form (the caller transposes them ONCE outside the IPM loop);
+    """Flat-state fused sv.  Hl (nb, N+1, NZ(NZ+1)/2, 8, 128) is the
+    loop-invariant stage Hessian as a PACKED lower-triangle lanes stream
+    (``sym_compress`` + ``_to_lanes``, done ONCE outside the IPM loop);
+    Fl (nb, N, NZ, NX, 8, 128) likewise (dense — no symmetry);
     dvecF (B, (N+1)*NZ), gF likewise, bF (B, N*NX); ngl is the
-    C'diag(Qx_g)C barrier term already in lanes form
-    (nb, max(n_ng, 1), NZ, NZ, 8, 128) — see ipm_fast's lanes-space einsum.
+    C'diag(Qx_g)C barrier term, packed the same way,
+    (nb, max(n_ng, 1), NZ(NZ+1)/2, 8, 128).
 
     Returns (zF, piF, fstate) with fstate = (L_lanes, Pb_lanes).
     """
@@ -879,6 +940,8 @@ def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF, NU, NZ, N
     N = Np1 - 1
     dt = Hl.dtype
     n_ng = len(ng_stage_ids)
+    NT = _sym_nt(NZ)
+    assert Hl.shape[2] == NT, "Hl must be sym-packed (see sym_compress)"
 
     dl = _to_lanes_flat(dvecF, B, (Np1, NZ))
     gl = _to_lanes_flat(gF, B, (Np1, NZ))
@@ -891,18 +954,18 @@ def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF, NU, NZ, N
         return slot
 
     in_specs = [
-        pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NT, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, N - s, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [Hl, dl]
     if n_ng:
         in_specs.append(
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, ng_slot(s), 0, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, NT, SUBS, LANES), lambda bb, s: (bb, ng_slot(s), 0, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(ngl)
     else:
         in_specs.append(
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, NT, SUBS, LANES), lambda bb, s: (bb, 0, 0, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(ngl)
     in_specs += [
@@ -1167,7 +1230,7 @@ def solve_flat(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
 def _resid_kernel(NZ, NX, N,
                   H_ref, F_ref, z_ref, pi_ref,
                   hz_ref, fz_ref, fpi_ref):
-    H = _mat(H_ref, NZ, NZ)
+    H = _mat_sym(H_ref, NZ)  # packed symmetric stream; mirror loads CSE'd
     F = _mat(F_ref, NZ, NX)
     z = _vec(z_ref, NZ)
     piv = _vec(pi_ref, NX)
@@ -1208,6 +1271,8 @@ def resid_terms_flat(Hl, Fl, zF, piF, NZ, NX):
     Np1 = Hl.shape[1]
     N = Np1 - 1
     dt = Hl.dtype
+    NT = _sym_nt(NZ)
+    assert Hl.shape[2] == NT, "Hl must be sym-packed (see sym_compress)"
 
     zl = _to_lanes_flat(zF, B, (Np1, NZ))
     pil = _to_lanes_flat(piF, B, (N, NX))
@@ -1217,7 +1282,7 @@ def resid_terms_flat(Hl, Fl, zF, piF, NZ, NX):
         kernel,
         grid=(nb, Np1),
         in_specs=[
-            pl.BlockSpec((1, 1, NZ, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NT, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
