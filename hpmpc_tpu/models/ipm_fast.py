@@ -84,15 +84,23 @@ class _Res(NamedTuple):
     mu: jax.Array      # (B,)
 
 
-def solve_batched_flat(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
+def solve_batched_flat(
+    dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None
+) -> _ipm.IPMSolution:
     """Batch-level flat-state solve.  ``qp`` leaves carry a leading batch
     axis that must be a multiple of 1024 (the Pallas block size); returns
-    the same batched :class:`~.ipm.IPMSolution` as ``vmap(ipm.solve)``."""
+    the same batched :class:`~.ipm.IPMSolution` as ``vmap(ipm.solve)``.
+
+    ``kkt_factory(dims, qp, kdt, ng_stages)`` optionally swaps the KKT
+    kernels (factor / resolve / resid_terms / apply_fpi) while reusing this
+    loop's step, alpha, gating and trace machinery — the flat-engine
+    analogue of :class:`~.ipm.KKTBackend` (used by the tree topology,
+    ``models/tree.py``); ``None`` is the chain (``ops/stage_kernel``)."""
     with jax.default_matmul_precision("float32"):
-        return _impl(dims, qp, cfg)
+        return _impl(dims, qp, cfg, kkt_factory)
 
 
-def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
+def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
     from ..ops import stage_kernel as sk
 
     dt = qp.dtype
@@ -218,12 +226,19 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     kdt = jnp.float32
     mixed = dt != kdt
 
+    kkt = kkt_factory(dims, qp, kdt, ng_stages) if kkt_factory else None
+    if kkt is not None:
+        assert not mixed, "custom KKT backends are f32-only"
+        assert int(getattr(cfg, "iter_ref", 0)) == 0, \
+            "iter_ref is chain-only (solve_flat_pb); unsupported here"
+
     # loop-invariant lanes transposes (once, outside the IPM loop); H is
     # symmetric and travels as a packed lower-triangle stream (66 instead
     # of 121 subtiles/stage at NZ=11 — it is the largest constant stream
     # the sv/resid kernels re-fetch every iteration)
-    Hl = sk._to_lanes(sk.sym_compress(qp.H.astype(kdt)), B)
-    Fl = sk._to_lanes(qp.F.astype(kdt), B)
+    if kkt is None:
+        Hl = sk._to_lanes(sk.sym_compress(qp.H.astype(kdt)), B)
+        Fl = sk._to_lanes(qp.F.astype(kdt), B)
     nb_blk = B // sk.BI
 
     # static selection matmuls for the residual's pi / x-shift terms
@@ -250,10 +265,20 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
 
     iter_ref = int(getattr(cfg, "iter_ref", 0))
 
+    def apply_fpi(rq, fpiF):
+        """Fold the F_e pi_e terms into rq.  Chain: edge e's term lands on
+        node e (its dad) — a contiguous slice add.  Custom topologies
+        (tree) supply their own dad scatter."""
+        if kkt is not None:
+            return kkt.apply_fpi(rq, fpiF)
+        return rq.at[:, : N * NZ].add(fpiF[:, : N * NZ])
+
     def resid_terms(zF, piF):
         """(H_n z_n, F_n' z_n, F_n pi_n) in the state dtype: the lanes
         Pallas kernel when f32, full-precision XLA einsums when mixed
         (residual precision is what sets the mixed-mode accuracy)."""
+        if kkt is not None:
+            return kkt.resid_terms(zF, piF)
         if not mixed:
             return sk.resid_terms_flat(Hl, Fl, zF, piF, NZ, NX)
         z = zF.reshape(B, N + 1, NZ)
@@ -277,7 +302,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             rq = g_eff + hzF + dvecF * zF
             if n_ng:
                 rq = ct_apply(rq, Qx_g * mgF * cz_of(zF))
-            rq = rq.at[:, : N * NZ].add(fpiF[:, : N * NZ])
+            rq = apply_fpi(rq, fpiF)
             rq = rq - jnp.dot(piF, Mpi, precision=HI)
             rb = rhs_bF + fzF - jnp.dot(zF, Mx, precision=HI)
             dzF, dpiF = sk.solve_flat_pb(
@@ -303,6 +328,8 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             ngl = jnp.zeros(
                 (nb_blk, 1, sk._sym_nt(NZ), sk.SUBS, sk.LANES), kdt
             )
+        if kkt is not None:
+            return kkt.factor(dvecF, ngl, g_eff, rhs_bF)
         zF, piF, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat(
             Hl, dvecF.astype(kdt), ngl, ng_stages,
             g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX
@@ -315,6 +342,8 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         return zF, piF, (Ll_l, Lxx_l, Pb_l, dvecF, Qx_g)
 
     def kkt_resolve(fstate, g_eff, rhs_bF):
+        if kkt is not None:
+            return kkt.resolve(fstate, g_eff, rhs_bF)
         Ll_l, Lxx_l, Pb_l, dvecF, Qx_g = fstate
         zF, piF = sk.solve_flat(
             Ll_l, Lxx_l, Pb_l, g_eff.astype(kdt), Fl, rhs_bF.astype(kdt),
@@ -502,7 +531,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     def residuals(zF, piF, lam_b, t_b, lam_g, t_g):
         hzF, fzF, fpiF = resid_terms(zF, piF)
         rq = gF + hzF
-        rq = rq.at[:, : N * NZ].add(fpiF[:, : N * NZ])
+        rq = apply_fpi(rq, fpiF)
         rq = rq - jnp.dot(piF, Mpi, precision=HI)
         rq = rq + scatter_box(fold(-sgn * lam_b) * mbF)
         if n_ng:

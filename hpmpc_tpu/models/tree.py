@@ -351,3 +351,93 @@ def solve_tree_ipm_sharded(
         return solve_tree_ipm(tdef, dims, q, cfg)
 
     return run(qp)
+
+
+# ---------------------------------------------------------------------------
+# batched flat-state tree engine (TPU throughput path)
+# ---------------------------------------------------------------------------
+
+
+def _flat_tree_kkt_factory(tdef: TreeDef):
+    """KKT-kernel backend for :func:`~.ipm_fast.solve_batched_flat`: swaps
+    the chain's fused Pallas sweeps for the tree kernels
+    (:mod:`~..ops.tree_kernel`) while reusing the flat engine's step /
+    alpha / gating machinery — the flat-engine analogue of injecting
+    :func:`tree_backend` into ``ipm.solve``."""
+
+    def factory(dims, qp, kdt, ng_stages):
+        import types
+
+        from ..ops import stage_kernel as sk
+        from ..ops import tree_kernel as tk
+
+        n = tdef.n_nodes
+        NE = n - 1
+        NU, NX, NZ = dims.NU, dims.NX, dims.NZ
+        B = qp.b.shape[0]
+        _HIp = jax.lax.Precision.HIGHEST
+
+        dad_arr = jnp.asarray(
+            np.maximum(np.asarray(tdef.dad), 0).reshape(1, n), jnp.int32
+        )
+        Hl = sk._to_lanes(sk.sym_compress(qp.H.astype(kdt)), B)
+        Fl = sk._to_lanes(qp.F.astype(kdt), B)
+
+        # edge-major F_e pi_e terms -> dad-node rows of rq (0/1 selection
+        # matmul: the tree twin of the chain's contiguous-slice add)
+        mdad_np = np.zeros((NE * NZ, n * NZ), np.float32)
+        for e in range(NE):
+            d = tdef.dad[e + 1]
+            for i in range(NZ):
+                mdad_np[e * NZ + i, d * NZ + i] = 1.0
+        Mdad = jnp.asarray(mdad_np, qp.dtype)
+
+        def factor(dvecF, ngl, g_eff, rhs_bF):
+            return tk.tree_factor_solve_flat(
+                dad_arr, Hl, dvecF, ngl, ng_stages, g_eff, Fl, rhs_bF,
+                NU, NZ, NX,
+            )
+
+        def resolve(fstate, g_eff, rhs_bF):
+            Ll_l, Lxx_l, Pb_l = fstate
+            return tk.tree_solve_flat(
+                dad_arr, Ll_l, Lxx_l, Pb_l, g_eff, Fl, rhs_bF, NU, NZ, NX
+            )
+
+        def resid_terms(zF, piF):
+            return tk.tree_resid_terms_flat(
+                dad_arr, Hl, Fl, zF, piF, NZ, NX
+            )
+
+        def apply_fpi(rq, fpiF):
+            return rq + jnp.dot(fpiF, Mdad, precision=_HIp)
+
+        return types.SimpleNamespace(
+            factor=factor, resolve=resolve,
+            resid_terms=resid_terms, apply_fpi=apply_fpi,
+        )
+
+    return factory
+
+
+def solve_tree_ipm_flat(
+    tdef: TreeDef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig
+):
+    """Batched tree IPM through the flat-state Pallas engine — the tree
+    twin of ``parallel.batch``'s chain/soft fast paths.  ``qp`` leaves
+    carry a leading batch axis (multiple of 1024); requires static
+    ``dims.idxb``, f32 data, and a tree small enough for the backward
+    accumulator to fit VMEM (~40 nodes at NZ=11 — see
+    ``ops/tree_kernel.tree_vmem_accumulator_bytes``)."""
+    from ..ops import tree_kernel as tk
+    from . import ipm_fast
+
+    assert dims.N + 1 == tdef.n_nodes
+    acc_bytes = tk.tree_vmem_accumulator_bytes(tdef.n_nodes, dims.NZ)
+    assert acc_bytes <= 12 * 2**20, (
+        f"tree too large for the fused kernels ({acc_bytes/2**20:.1f} MiB "
+        "VMEM accumulator); use the level-batched XLA path (solve_tree_ipm)"
+    )
+    return ipm_fast.solve_batched_flat(
+        dims, qp, cfg, kkt_factory=_flat_tree_kkt_factory(tdef)
+    )

@@ -92,6 +92,34 @@ def solve_batched_soft(
     )(qp, soft)
 
 
+def solve_batched_tree(tdef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
+    """Tree-IPM twin of :func:`solve_batched`: batched scenario-tree QPs
+    (node/edge arrays with a leading batch axis).  With ``cfg.use_pallas``,
+    a 1024-multiple batch, static ``dims.idxb``, f32 data and a tree small
+    enough for the fused kernels' VMEM accumulator, dispatches to the
+    flat-state tree engine (``models/tree.solve_tree_ipm_flat``, Pallas
+    tree sweeps through the shared flat IPM loop); otherwise the vmapped
+    level-batched XLA path."""
+    from ..models import tree as _tree
+    from ..ops import tree_kernel as tk
+
+    B = qp.b.shape[0]
+    if (
+        cfg.use_pallas
+        and dims.idxb is not None
+        and B % 1024 == 0
+        and qp.dtype == jnp.float32
+        and int(getattr(cfg, "iter_ref", 0)) == 0
+        and not cfg.warm_start
+        and tk.tree_vmem_accumulator_bytes(tdef.n_nodes, dims.NZ)
+        <= 12 * 2**20
+    ):
+        return _tree.solve_tree_ipm_flat(tdef, dims, qp, cfg)
+    return jax.vmap(
+        lambda q: _tree.solve_tree_ipm(tdef, dims, q, cfg)
+    )(qp)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

@@ -1,0 +1,115 @@
+"""Tree-IPM TPU bench: fused flat engine vs the level-batched XLA route.
+
+The reference's tree benchmark topology (``setup_tree(md, Nr, Nh)``,
+``test_problems/test_d_tree_ip_hard_libstr.c:61-93``) on a mass-spring
+plant with input boxes, batched to 4096 instances.  Measures solves/s for
+both tree backends of :mod:`hpmpc_tpu.models.tree`:
+
+  * ``flat``  — fused Pallas tree sweeps through the shared flat IPM loop
+    (``tree.solve_tree_ipm_flat`` via ``batch.solve_batched_tree``);
+  * ``xla``   — vmapped level-batched structured path
+    (``tree.solve_tree_ipm``).
+
+Methodology follows bench.py (in-graph K-solve scan, carry chained into
+the inputs, slope between K values, MIN over reps).  Prints one JSON line
+per route plus the speedup.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from jax import lax
+
+    from hpmpc_tpu.models import ipm
+    from hpmpc_tpu.parallel import batch as pbatch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests",
+        ),
+    )
+    from test_tree_flat import _tree_qp  # the shared tree problem builder
+
+    B = 4096
+    K_ITERS = 8
+    md, Nr, Nh = 2, 2, 8  # 31 nodes — the tree_mpc.py example topology
+    dt = jnp.float32
+
+    tdef, dims, qp = _tree_qp(md=md, Nr=Nr, Nh=Nh, nx=4, nu=2)
+    qpb = pbatch.broadcast_qp(qp, B)
+    rng = np.random.default_rng(0)
+    pert = jnp.asarray(1 + 0.02 * rng.standard_normal(B), dt)[:, None, None]
+    qpb = dataclasses.replace(qpb, b=qpb.b * pert)
+
+    def make_run(cfg, K):
+        @jax.jit
+        def run(seed):
+            def body(acc, i):
+                q = dataclasses.replace(
+                    qpb, b=qpb.b * (1.0 + 1e-5 * (i + seed) + 1e-30 * acc)
+                )
+                sol = pbatch.solve_batched_tree(tdef, dims, q, cfg)
+                return jnp.sum(sol.z) + jnp.sum(sol.stat), None
+
+            acc, _ = lax.scan(
+                body, jnp.asarray(0.0, dt), jnp.arange(K, dtype=dt)
+            )
+            return acc
+
+        return run
+
+    def slope(cfg, K_lo=2, K_hi=6, reps=3):
+        ts = {}
+        for K in (K_lo, K_hi):
+            f = make_run(cfg, K)
+            float(f(jnp.asarray(0.0, dt)))
+            rep_times = []
+            for r in range(1, reps + 1):
+                t0 = time.perf_counter()
+                float(f(jnp.asarray(r * 31.0, dt)))
+                rep_times.append(time.perf_counter() - t0)
+            ts[K] = min(rep_times)
+        return max((ts[K_hi] - ts[K_lo]) / (K_hi - K_lo), 1e-9)
+
+    cfg_x = ipm.IPMConfig(k_max=K_ITERS, mu_tol=0.0)
+    cfg_f = dataclasses.replace(cfg_x, use_pallas=True)
+
+    t_f = slope(cfg_f)
+    t_x = slope(cfg_x)
+    for name, t in (("flat", t_f), ("xla", t_x)):
+        print(json.dumps({
+            "metric": f"tree_ipm_solves_per_s_{name}",
+            "value": round(B / t, 1),
+            "unit": (
+                f"{K_ITERS}-iteration tree solves/s (md={md} Nr={Nr} "
+                f"Nh={Nh}, {tdef.n_nodes} nodes, nx=4 nu=2, batch={B}, "
+                f"f32; {t * 1e3:.2f} ms/batch)"
+            ),
+            "vs_baseline": round(t_x / t, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
