@@ -48,13 +48,18 @@ def _tree_qp(md=2, Nr=1, Nh=3, nx=4, nu=2, u_max=0.35, ng_nodes=(),
     dims = OCPDims.create(n - 1, nx_v, nu_v, nb_v, ng_v, idxb=idxb)
     NU, NX, NZ, NB, NG = dims.NU, dims.NX, dims.NZ, dims.NB, dims.NG
 
+    # per-EDGE-varying dynamics: a uniform F would mask edge-index-mapping
+    # bugs in the fused kernels (every clipped/misrouted fetch would read
+    # identical data); scale each edge's A by a distinct factor instead
     F = np.zeros((n - 1, NZ, NX))
     for k in range(1, n):
         p = dad[k]
+        Ak = A * (1.0 + 0.03 * (k % 5))
         F[k - 1, : nu_v[p], :nx] = B_.T[: nu_v[p]]
-        F[k - 1, NU : NU + nx_v[p], :nx] = A.T[: nx_v[p]]
+        F[k - 1, NU : NU + nx_v[p], :nx] = Ak.T[: nx_v[p]]
     b = np.zeros((n - 1, NX))
     b[:, :nx] = 0.1  # persistent offset keeps the problem off the origin
+    b[:, 0] += 0.02 * np.arange(n - 1)  # per-edge-varying offsets too
 
     H = np.zeros((n, NZ, NZ))
     rng = np.random.default_rng(3)

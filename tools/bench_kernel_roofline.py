@@ -51,20 +51,21 @@ def main():
     Np1 = N + 1
     NZF, NXF = Np1 * NZ, N * NX
 
-    Hl = sk._to_lanes(qpb.H, B)
+    NT = sk._sym_nt(NZ)  # packed symmetric H stream (66 at NZ=11)
+    Hl = sk._to_lanes(sk.sym_compress(qpb.H), B)
     Fl = sk._to_lanes(qpb.F, B)
     gF = (qpb.g * qpb.z_mask).reshape(B, NZF)
     bF = qpb.b.reshape(B, NXF)
     pad_diagF = qpb.pad_diag.reshape(B, NZF)
-    ngt_l = jnp.zeros((B // sk.BI, 1, NZ, NZ, sk.SUBS, sk.LANES), dtype)
+    ngt_l = jnp.zeros((B // sk.BI, 1, NT, sk.SUBS, sk.LANES), dtype)
 
     f4 = 4  # bytes per f32
     # exact HBM traffic per call, from the BlockSpecs (lanes arrays are
     # tile-dense: physical == logical bytes)
     bytes_bwd = f4 * B * (
-        Np1 * NZ * NZ      # Hl in
+        Np1 * NT           # Hl in (packed symmetric lower triangle)
         + Np1 * NZ         # dvec in
-        + Np1 * NZ * NZ    # ng slot in (1 slot, read per stage)
+        + Np1 * NT         # ng slot in (1 slot, read per stage)
         + Np1 * NZ         # g in
         + Np1 * NZ * NX    # F in (clipped index still streams per stage)
         + Np1 * NX         # b in
@@ -84,7 +85,7 @@ def main():
         + Np1 * NU + Np1 * NX  # eu, px out
     )
     bytes_resid = f4 * B * (
-        Np1 * NZ * NZ + Np1 * NZ * NX + Np1 * NZ + Np1 * NX  # H, F, z, pi
+        Np1 * NT + Np1 * NZ * NX + Np1 * NZ + Np1 * NX  # H(packed), F, z, pi
         + 2 * Np1 * NZ + Np1 * NX  # hz, fpi, fz out
     )
 
