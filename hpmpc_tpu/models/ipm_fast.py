@@ -167,6 +167,28 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
     # when all but n_ng*NG*NZ of it is structural zeros.
     if n_ng:
         C_act = [qp.C[:, n] for n in ng_stages]          # each (B, NG, NZ)
+        # paired C streams for the per-iteration PACKED barrier-term
+        # assembly: ngt[b,n,t] = sum_g C[b,n,g,zi(t)] Qg C[b,n,g,zj(t)]
+        # with (zi, zj) the lower-triangle pairs.  Built once via exact
+        # 0/1 selection matmuls; the per-iteration einsum then never
+        # materializes the (B, n_ng, NZ, NZ) structured term (its (11,11)
+        # trailing dims tile-pad ~17x — ~33 MB/iteration at bench shapes).
+        NT_sym = sk._sym_nt(NZ)
+        tril_i, tril_j = np.tril_indices(NZ)
+        sel_i = np.zeros((NZ, NT_sym), np.float32)
+        sel_j = np.zeros((NZ, NT_sym), np.float32)
+        for t in range(NT_sym):
+            sel_i[tril_i[t], t] = 1.0
+            sel_j[tril_j[t], t] = 1.0
+        C_stack = jnp.stack(C_act, 1).astype(jnp.float32)
+        Ct1 = jnp.einsum(
+            "bngz,zt->bngt", C_stack, jnp.asarray(sel_i, C_stack.dtype),
+            precision=HI,
+        )
+        Ct2 = jnp.einsum(
+            "bngz,zt->bngt", C_stack, jnp.asarray(sel_j, C_stack.dtype),
+            precision=HI,
+        )
         mgF = jnp.concatenate([qp.ng_mask[:, n] for n in ng_stages], 1)
         dg_lo = jnp.concatenate([qp.d_lg[:, n] for n in ng_stages], 1)
         dg_up = jnp.concatenate([qp.d_ug[:, n] for n in ng_stages], 1)
@@ -316,14 +338,16 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
         """Qx_b (B, NBF) masked barrier diag for box vars; Qx_g (B, NGF)."""
         dvecF = scatter_box(Qx_b) + pad_diagF + reg
         if n_ng:
-            # structured einsum + lanes transpose: measured FASTER than the
-            # equivalent 6-D lanes-space einsum (which XLA lowers poorly)
-            Qg = Qx_g.reshape(B, n_ng, NG)
-            idx = np.asarray(ng_stages)
-            ngterm = jnp.einsum(
-                "bngz,bng,bngw->bnzw", qp.C[:, idx], Qg, qp.C[:, idx]
+            # packed barrier term straight from the paired C streams: the
+            # (B, n_ng, NT) einsum never materializes the tile-padded
+            # structured (B, n_ng, NZ, NZ) intermediate
+            Qg = Qx_g.reshape(B, n_ng, NG).astype(jnp.float32)
+            ngt = jnp.einsum(
+                "bngt,bng,bngt->bnt", Ct1, Qg, Ct2, precision=HI
             )
-            ngl = sk._to_lanes(sk.sym_compress(ngterm.astype(kdt)), B)
+            ngl = sk._to_lanes_flat(
+                ngt.reshape(B, -1).astype(kdt), B, (n_ng, sk._sym_nt(NZ))
+            )
         else:
             ngl = jnp.zeros(
                 (nb_blk, 1, sk._sym_nt(NZ), sk.SUBS, sk.LANES), kdt

@@ -147,6 +147,23 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact_mehrotra_soft):
     # general constraints (identical machinery to ipm_fast)
     if n_ng:
         C_act = [qp.C[:, n] for n in ng_stages]
+        # paired C streams for the packed barrier-term assembly (see
+        # ipm_fast: avoids the tile-padded structured ngterm intermediate)
+        NT_sym = sk._sym_nt(NZ)
+        tril_i, tril_j = np.tril_indices(NZ)
+        sel_i = np.zeros((NZ, NT_sym), np.float32)
+        sel_j = np.zeros((NZ, NT_sym), np.float32)
+        for t in range(NT_sym):
+            sel_i[tril_i[t], t] = 1.0
+            sel_j[tril_j[t], t] = 1.0
+        _HIp = jax.lax.Precision.HIGHEST
+        C_stack = jnp.stack(C_act, 1)
+        Ct1 = jnp.einsum(
+            "bngz,zt->bngt", C_stack, jnp.asarray(sel_i, dt), precision=_HIp
+        )
+        Ct2 = jnp.einsum(
+            "bngz,zt->bngt", C_stack, jnp.asarray(sel_j, dt), precision=_HIp
+        )
         mgF = jnp.concatenate([qp.ng_mask[:, n] for n in ng_stages], 1)
         dg_lo = jnp.concatenate([qp.d_lg[:, n] for n in ng_stages], 1)
         dg_up = jnp.concatenate([qp.d_ug[:, n] for n in ng_stages], 1)
@@ -320,11 +337,12 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact_mehrotra_soft):
         g_eff = ct_apply(g_eff, qx_g)
         if n_ng:
             Qg = (Qx_g * mgF).reshape(B, n_ng, NG)
-            idx = np.asarray(ng_stages)
-            ngterm = jnp.einsum(
-                "bngz,bng,bngw->bnzw", qp.C[:, idx], Qg, qp.C[:, idx]
+            ngt = jnp.einsum(
+                "bngt,bng,bngt->bnt", Ct1, Qg, Ct2, precision=_HIp
             )
-            ngl = sk._to_lanes(sk.sym_compress(ngterm), B)
+            ngl = sk._to_lanes_flat(
+                ngt.reshape(B, -1), B, (n_ng, sk._sym_nt(NZ))
+            )
         else:
             ngl = jnp.zeros(
                 (nb_blk, 1, sk._sym_nt(NZ), sk.SUBS, sk.LANES), dt
