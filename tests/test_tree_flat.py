@@ -136,6 +136,25 @@ def test_tree_flat_matches_structured(interpret_pallas, ng_nodes):
     )
 
 
+def test_solve_batched_tree_dispatch(interpret_pallas):
+    """The batch-level dispatcher routes use_pallas to the flat engine and
+    otherwise to the vmapped XLA path; both agree."""
+    tdef, dims, qp = _tree_qp()
+    qpb = _batched(qp)
+    cfg_x = ipm.IPMConfig(k_max=3, mu_tol=1e-4)
+    cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
+    sol_p = jax.jit(
+        lambda q: pbatch.solve_batched_tree(tdef, dims, q, cfg_p)
+    )(qpb)
+    sol_x = jax.jit(
+        lambda q: pbatch.solve_batched_tree(tdef, dims, q, cfg_x)
+    )(qpb)
+    assert bool(jnp.all(sol_p.kk == sol_x.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_p.z), np.asarray(sol_x.z), atol=5e-4
+    )
+
+
 def test_tree_flat_converges_deeper(interpret_pallas):
     """Branchier tree (md=2, Nr=2) run closer to convergence."""
     tdef, dims, qp = _tree_qp(md=2, Nr=2, Nh=4)
