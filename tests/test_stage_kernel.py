@@ -329,3 +329,70 @@ def test_soft_flat_engine_matches_structured(interpret_pallas):
     np.testing.assert_allclose(
         np.asarray(sol_f.t_s), np.asarray(sol_x.t_s), atol=5e-3
     )
+
+
+def test_soft_flat_engine_with_general_constraints(interpret_pallas):
+    """Soft flat engine with ng rows active: exercises ipm_soft_fast's
+    packed barrier-term assembly (paired C streams) against the
+    structured soft path."""
+    import jax.numpy as jnp
+
+    from hpmpc_tpu.models import ipm_soft
+    from hpmpc_tpu.ocp import OCPDims
+    from hpmpc_tpu.utils.mass_spring import mass_spring_soft_qp
+
+    B = 1024
+    dims0, qp, soft = mass_spring_soft_qp(8, 3, 5, Z=10.0, dtype=jnp.float32)
+    N, NZ, NU = dims0.N, dims0.NZ, dims0.NU
+
+    # add one general row (weighted state sum) on stages 2 and N
+    ng = [0] * (N + 1)
+    ng[2] = ng[N] = 1
+    dims = OCPDims.create(N, dims0.nx, dims0.nu, dims0.nb, ng,
+                          idxb=dims0.idxb)
+    NG = dims.NG
+    C = np.zeros((N + 1, NG, NZ), np.float32)
+    d_lg = np.zeros((N + 1, NG), np.float32)
+    d_ug = np.zeros((N + 1, NG), np.float32)
+    for n in (2, N):
+        C[n, 0, NU : NU + dims0.nx[n]] = 0.25
+        d_lg[n, 0] = -1.0
+        d_ug[n, 0] = 1.0
+    qp = dataclasses.replace(
+        qp, C=jnp.asarray(C), d_lg=jnp.asarray(d_lg),
+        d_ug=jnp.asarray(d_ug), ng_mask=jnp.asarray(dims.ng_mask(),
+                                                    jnp.float32),
+    )
+
+    qps = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), qp
+    )
+    softs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), soft
+    )
+    rng = np.random.default_rng(7)
+    qps = dataclasses.replace(
+        qps,
+        g=qps.g * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(B), jnp.float32
+        )[:, None, None],
+    )
+    idxbs = np.asarray(soft.idxbs)
+    cfg = ipm.IPMConfig(k_max=4, mu0=100.0, mu_tol=1e-5)
+
+    sol_x = jax.jit(
+        jax.vmap(lambda q, s: ipm_soft.solve(dims, q, s, cfg))
+    )(qps, softs)
+    cfg_f = dataclasses.replace(cfg, use_pallas=True)
+    sol_f = jax.jit(
+        lambda q, s: pbatch.solve_batched_soft(dims, q, s, cfg_f,
+                                               idxbs=idxbs)
+    )(qps, softs)
+
+    assert bool(jnp.all(sol_x.kk == sol_f.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_f.z), np.asarray(sol_x.z), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_f.stat), np.asarray(sol_x.stat), atol=1e-3
+    )
