@@ -1303,3 +1303,214 @@ def resid_terms_flat(Hl, Fl, zF, piF, NZ, NX):
     fzF = _from_lanes_flat(fz_l, B)[:, : N * NX]
     fpiF = _from_lanes_flat(fpi_l, B)
     return hzF, fzF, fpiF
+
+
+# ---------------------------------------------------------------------------
+# fused trs+fwd: ONE kernel, two grid phases (backward then forward), the
+# factor's left block and the eu/px intermediates never leave VMEM
+# ---------------------------------------------------------------------------
+
+
+def _trs_fwd_fused_kernel(NU, NX, NZ, N,
+                          Ll_ref, Lxx_ref, g_ref, F_ref, Pb_ref, b_ref,
+                          z_ref, pi_ref,
+                          ll_s, eu_s, px_s, px_c, x_c):
+    """Grid (nb, 2(N+1)).  Steps 0..N run the retained-factor backward
+    substitution (stage N-s), caching Ll and the eu/px results in VMEM
+    slabs; steps N+1..2N+1 run the forward recovery (stage s-N-1) from
+    those slabs — eliminating the eu/px HBM round-trip and the second
+    HBM fetch of Ll that the separate trs/fwd kernels pay (the index
+    maps pin every phase-inactive stream to a constant block, so Pallas'
+    revisit cache skips its refetch).  Math and op order are identical
+    to _bwd_trs_kernel_ll + _fwd_kernel_split."""
+    s = pl.program_id(1)
+
+    @pl.when(s <= N)
+    def _():
+        k = N - s
+        Ll = _mat(Ll_ref, NZ, NU)
+        g = _vec(g_ref, NZ)
+        Dinv_u = [
+            pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False)
+            for i in range(NU)
+        ]
+        F = _mat(F_ref, NZ, NX)
+        Pb = _vec(Pb_ref, NX)
+        pxn = [px_c[i] for i in range(NX)]
+        m_i = []
+        for i in range(NZ):
+            acc = g[i]
+            for kk in range(NX):
+                acc = acc + F[i][kk] * (Pb[kk] + pxn[kk])
+            m_i.append(acc)
+        is_t = s == 0
+        m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
+
+        eu = _tril_solve(
+            [[Ll[i][j] for j in range(NU)] for i in range(NU)],
+            Dinv_u, m[:NU], NU,
+        )
+        px = []
+        for i in range(NX):
+            acc = m[NU + i]
+            for kk in range(NU):
+                acc = acc - Ll[NU + i][kk] * eu[kk]
+            px.append(acc)
+
+        ll_s[pl.ds(k, 1), :, :] = _cat_slab(
+            [Ll[i][j] for i in range(NZ) for j in range(NU)]
+        )
+        eu_s[pl.ds(k, 1), :, :] = _cat_slab(eu)
+        px_s[pl.ds(k, 1), :, :] = _cat_slab(px)
+        for i in range(NX):
+            px_c[i] = px[i]
+
+    @pl.when(s > N)
+    def _():
+        sb = s - (N + 1)
+        lslab = ll_s[pl.ds(sb, 1), :, :]
+        Ll = [
+            [lslab[0, (i * NU + j) * SUBS : (i * NU + j + 1) * SUBS, :]
+             for j in range(NU)]
+            for i in range(NZ)
+        ]
+        eslab = eu_s[pl.ds(sb, 1), :, :]
+        eu = [eslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NU)]
+        pslab = px_s[pl.ds(sb, 1), :, :]
+        px = [pslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NX)]
+        Lxx = _mat(Lxx_ref, NX, NX)
+        Dinv_u = [
+            pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False)
+            for i in range(NU)
+        ]
+
+        @pl.when(sb == 0)
+        def _():
+            Dinv_x = [
+                pl.reciprocal(jnp.maximum(Lxx[i][i], 1e-30), approx=False)
+                for i in range(NX)
+            ]
+            t = _tril_solve(Lxx, Dinv_x, [-v for v in px], NX)
+            x0 = _triu_solve_t(Lxx, Dinv_x, t, NX)
+            for i in range(NX):
+                x_c[i] = x0[i]
+
+        x = [x_c[i] for i in range(NX)]
+
+        # pi_{sb-1} (dead write at sb == 0, overwritten before copy-out)
+        t1 = [None] * NX
+        for i in range(NX):
+            acc = None
+            for kk in range(i, NX):
+                t = Lxx[kk][i] * x[kk]
+                acc = t if acc is None else acc + t
+            t1[i] = acc
+        for i in range(NX):
+            acc = px[i]
+            for kk in range(i + 1):
+                acc = acc + Lxx[i][kk] * t1[kk]
+            pi_ref[0, 0, i] = acc
+
+        rhs = []
+        for i in range(NU):
+            acc = eu[i]
+            for kk in range(NX):
+                acc = acc + Ll[NU + kk][i] * x[kk]
+            rhs.append(acc)
+        u = _triu_solve_t(
+            [[Ll[i][j] for j in range(NU)] for i in range(NU)],
+            Dinv_u, rhs, NU,
+        )
+        u = [-v for v in u]
+        for i in range(NU):
+            z_ref[0, 0, i] = u[i]
+        for i in range(NX):
+            z_ref[0, 0, NU + i] = x[i]
+
+        F = _mat(F_ref, NZ, NX)
+        bb = _vec(b_ref, NX)
+        for j in range(NX):
+            acc = bb[j]
+            for i in range(NU):
+                acc = acc + F[i][j] * u[i]
+            for i in range(NX):
+                acc = acc + F[NU + i][j] * x[i]
+            x_c[j] = acc
+
+
+def _cat_slab(tiles):
+    """list of (SUBS, LANES) tiles -> (1, len*SUBS, LANES) slab."""
+    return jnp.concatenate(tiles, axis=0)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
+def solve_flat_fused(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
+    """Fused-trs+fwd twin of :func:`solve_flat` (identical contract)."""
+    nb = Ll_l.shape[0]
+    B = nb * BI
+    Np1 = Ll_l.shape[1]
+    N = Np1 - 1
+    dt = Ll_l.dtype
+
+    gl = _to_lanes_flat(gF, B, (Np1, NZ))
+    bl = _to_lanes_flat(bF, B, (N, NX))
+
+    # phase-inactive streams pin their block index to a constant: Pallas'
+    # revisit cache then skips the refetch for the whole inactive phase
+    kernel = functools.partial(_trs_fwd_fused_kernel, NU, NX, NZ, N)
+    z_l, pi_l = pl.pallas_call(
+        kernel,
+        grid=(nb, 2 * Np1),
+        in_specs=[
+            pl.BlockSpec((1, 1, NZ, NU, SUBS, LANES),
+                         lambda bb, s: (bb, jnp.where(s <= N, N - s, 0), 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, NX, SUBS, LANES),
+                         lambda bb, s: (bb, jnp.where(s > N, jnp.maximum(s - (N + 1), 0), 0), 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                         lambda bb, s: (bb, jnp.where(s <= N, N - s, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES),
+                         lambda bb, s: (bb, jnp.where(
+                             s <= N, jnp.clip(N - s, 0, N - 1),
+                             jnp.clip(s - (N + 1), 0, N - 1)), 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES),
+                         lambda bb, s: (bb, jnp.where(
+                             s <= N, jnp.clip(N - s, 0, N - 1), 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES),
+                         lambda bb, s: (bb, jnp.where(
+                             s > N, jnp.clip(s - (N + 1), 0, N - 1), 0),
+                             0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                         lambda bb, s: (bb, jnp.where(
+                             s > N, jnp.maximum(s - (N + 1), 0), 0),
+                             0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES),
+                         lambda bb, s: (bb, jnp.where(
+                             s > N, jnp.clip(s - (N + 2), 0, N - 1), 0),
+                             0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Np1, NZ * NU * SUBS, LANES), dt),  # Ll slab
+            pltpu.VMEM((Np1, NU * SUBS, LANES), dt),       # eu slab
+            pltpu.VMEM((Np1, NX * SUBS, LANES), dt),       # px slab
+            pltpu.VMEM((NX, SUBS, LANES), dt),             # px carry (trs)
+            pltpu.VMEM((NX, SUBS, LANES), dt),             # x carry (fwd)
+        ],
+    )(Ll_l, Lxx_l, gl, Fl, Pb_l, bl)
+
+    zF = _from_lanes_flat(z_l, B)
+    piF = _from_lanes_flat(pi_l, B)
+    return zF, piF
