@@ -369,7 +369,10 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
         if kkt is not None:
             return kkt.resolve(fstate, g_eff, rhs_bF)
         Ll_l, Lxx_l, Pb_l, dvecF, Qx_g = fstate
-        zF, piF = sk.solve_flat_fused(
+        # solve_flat_fused is the drop-in fused twin (trs+fwd in one
+        # kernel) — swap it in once validated on real Mosaic; it is
+        # interpret-mode-proven but was built during a relay outage
+        zF, piF = sk.solve_flat(
             Ll_l, Lxx_l, Pb_l, g_eff.astype(kdt), Fl, rhs_bF.astype(kdt),
             NU, NZ, NX
         )

@@ -396,3 +396,34 @@ def test_soft_flat_engine_with_general_constraints(interpret_pallas):
     np.testing.assert_allclose(
         np.asarray(sol_f.stat), np.asarray(sol_x.stat), atol=1e-3
     )
+
+
+def test_solve_flat_fused_matches_sequential(interpret_pallas):
+    """The fused trs+fwd kernel (one two-phase-grid pallas_call) must
+    match the sequential solve_flat pair.  Tolerance, not bit-equality:
+    XLA/Mosaic FMA contraction differs with surrounding code, so kernel
+    variants of the same formula differ at the last ulp."""
+    from hpmpc_tpu.ops import stage_kernel as sk
+
+    dims, qpb = _batch_qp()
+    N, NU, NX, NZ = dims.N, dims.NU, dims.NX, dims.NZ
+    B = qpb.b.shape[0]
+    NZF, NXF = (N + 1) * NZ, N * NX
+    Hl = sk._to_lanes(sk.sym_compress(qpb.H), B)
+    Fl = sk._to_lanes(qpb.F, B)
+    gF = (qpb.g * qpb.z_mask).reshape(B, NZF)
+    bF = qpb.b.reshape(B, NXF)
+    pad = qpb.pad_diag.reshape(B, NZF)
+    ngl = jnp.zeros(
+        (B // sk.BI, 1, sk._sym_nt(NZ), sk.SUBS, sk.LANES), jnp.float32
+    )
+    _, _, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat(
+        Hl, pad + 1.0, ngl, (), gF, Fl, bF, NU, NZ, NX
+    )
+    g2 = gF * 0.7 + 0.01
+    z_ref, pi_ref = sk.solve_flat(Ll_l, Lxx_l, Pb_l, g2, Fl, bF, NU, NZ, NX)
+    z_fus, pi_fus = sk.solve_flat_fused(
+        Ll_l, Lxx_l, Pb_l, g2, Fl, bF, NU, NZ, NX
+    )
+    np.testing.assert_allclose(np.asarray(z_fus), np.asarray(z_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pi_fus), np.asarray(pi_ref), atol=1e-4)
