@@ -354,11 +354,16 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
             )
         if kkt is not None:
             return kkt.factor(dvecF, ngl, g_eff, rhs_bF)
+        # the affine solve's pi is dead in both IPM phases (only the
+        # corrector's dpi is used) — skip it and the whole Lxx forward
+        # stream unless iterative refinement consumes it
         zF, piF, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat(
             Hl, dvecF.astype(kdt), ngl, ng_stages,
-            g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX
+            g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX,
+            want_pi=bool(iter_ref),
         )
-        zF, piF = zF.astype(dt), piF.astype(dt)
+        zF = zF.astype(dt)
+        piF = piF.astype(dt) if piF is not None else None
         if iter_ref:
             zF, piF = newton_refine(
                 Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF

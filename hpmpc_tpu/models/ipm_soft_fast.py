@@ -347,8 +347,11 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact_mehrotra_soft):
             ngl = jnp.zeros(
                 (nb_blk, 1, sk._sym_nt(NZ), sk.SUBS, sk.LANES), dt
             )
+        # affine dpi is dead (only the corrector's dpi2 is used): skip the
+        # pi math and the Lxx forward stream
         dz, dpi, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat(
-            Hl, dvecF, ngl, ng_stages, g_eff, Fl, bF, NU, NZ, NX
+            Hl, dvecF, ngl, ng_stages, g_eff, Fl, bF, NU, NZ, NX,
+            want_pi=False,
         )
 
         def dt_dlam(dzF, dl0_b, dl0_g, dl0_s, zlo, zlu):

@@ -300,16 +300,26 @@ def _fwd_kernel(NU, NX, NZ, N,
         x_c[i] = x_next[i]
 
 
-def _fwd_kernel_split(NU, NX, NZ, N,
+def _fwd_kernel_split(NU, NX, NZ, N, want_pi,
                       Ll_ref, Lxx_ref, eu_ref, px_ref, F_ref, b_ref,
-                      z_ref, pi_ref, x_c):
+                      *out_refs):
     """Forward recovery on the SPLIT factor streams, one L fetch per stage
     (the full-L variant fetches both L_s and L_{s+1} every step — 242
     subtiles/stage vs this kernel's 33+64).  Grid (nb, N+1): step s reads
     Ll_s + Lxx_s, computes x_s (carried), u_s, and pi_{s-1} (written to
     block s-1; the s==0 write of that block is dead and overwritten in
     VMEM before copy-out).  The terminal stage is handled IN-kernel (the
-    u_s formula is stage-uniform), removing the full-L XLA tail."""
+    u_s formula is stage-uniform), removing the full-L XLA tail.
+
+    ``want_pi=False`` (the AFFINE predictor solve: both IPM phases use
+    only the corrector's dpi, so the affine pi is dead unless iterative
+    refinement consumes it) skips the pi math AND the whole Lxx stream —
+    the caller pins the Lxx index map to block 0, which is still needed
+    once for the s==0 initial-state solve."""
+    if want_pi:
+        z_ref, pi_ref, x_c = out_refs
+    else:
+        z_ref, x_c = out_refs
     s = pl.program_id(1)
 
     Ll = _mat(Ll_ref, NZ, NU)
@@ -329,19 +339,20 @@ def _fwd_kernel_split(NU, NX, NZ, N,
 
     x = [x_c[i] for i in range(NX)]
 
-    # pi_{s-1} = Lxx_s (Lxx_s' x_s) + px_s   (dead write at s==0)
-    t1 = [None] * NX
-    for i in range(NX):
-        acc = None
-        for k in range(i, NX):
-            t = Lxx[k][i] * x[k]
-            acc = t if acc is None else acc + t
-        t1[i] = acc
-    for i in range(NX):
-        acc = px[i]
-        for k in range(i + 1):
-            acc = acc + Lxx[i][k] * t1[k]
-        pi_ref[0, 0, i] = acc
+    if want_pi:
+        # pi_{s-1} = Lxx_s (Lxx_s' x_s) + px_s   (dead write at s==0)
+        t1 = [None] * NX
+        for i in range(NX):
+            acc = None
+            for k in range(i, NX):
+                t = Lxx[k][i] * x[k]
+                acc = t if acc is None else acc + t
+            t1[i] = acc
+        for i in range(NX):
+            acc = px[i]
+            for k in range(i + 1):
+                acc = acc + Lxx[i][k] * t1[k]
+            pi_ref[0, 0, i] = acc
 
     # u_s = -Luu^{-T}(eu + Lxu' x)
     rhs = []
@@ -922,8 +933,11 @@ def _from_lanes_flat(y, B):
     return x.reshape(B, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("ng_stage_ids", "NU", "NZ", "NX"))
-def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF, NU, NZ, NX):
+@functools.partial(
+    jax.jit, static_argnames=("ng_stage_ids", "NU", "NZ", "NX", "want_pi")
+)
+def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
+                             NU, NZ, NX, want_pi=True):
     """Flat-state fused sv.  Hl (nb, N+1, NZ(NZ+1)/2, 8, 128) is the
     loop-invariant stage Hessian as a PACKED lower-triangle lanes stream
     (``sym_compress`` + ``_to_lanes``, done ONCE outside the IPM loop);
@@ -1000,39 +1014,58 @@ def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF, NU, NZ, N
         ],
     )(*args)
 
-    zF, piF = _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
+    zF, piF = _forward_from_lanes(
+        Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX, want_pi=want_pi
+    )
     return zF, piF, (Ll_l, Lxx_l, Pb_l)
 
 
-def _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX):
+def _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX,
+                        want_pi=True):
     nb = B // BI
     dt = Ll_l.dtype
-    fkernel = functools.partial(_fwd_kernel_split, NU, NX, NZ, N)
-    z_l, pi_l = pl.pallas_call(
+    fkernel = functools.partial(_fwd_kernel_split, NU, NX, NZ, N, want_pi)
+    if want_pi:
+        lxx_map = lambda bb, s: (bb, s, 0, 0, 0, 0)
+        out_specs = [
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s - 1, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb, N + 1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        ]
+    else:
+        # pi skipped: Lxx only feeds the s==0 initial-state solve — pin
+        # its index map to block 0 so the stream is fetched exactly once
+        lxx_map = lambda bb, s: (bb, 0, 0, 0, 0, 0)
+        out_specs = [
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb, N + 1, NZ, SUBS, LANES), dt),
+        ]
+    outs = pl.pallas_call(
         fkernel,
         grid=(nb, N + 1),
         in_specs=[
             pl.BlockSpec((1, 1, NZ, NU, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NX, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, NX, SUBS, LANES), lxx_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NU, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s - 1, 0, N - 1), 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, N + 1, NZ, SUBS, LANES), dt),
-            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
     )(Ll_l, Lxx_l, eu_l, px_l, Fl, bl)
 
-    zF = _from_lanes_flat(z_l, B)  # (B, (N+1)*NZ), terminal stage in-kernel
-    piF = _from_lanes_flat(pi_l, B)
-    return zF, piF
+    if want_pi:
+        z_l, pi_l = outs
+        return _from_lanes_flat(z_l, B), _from_lanes_flat(pi_l, B)
+    (z_l,) = outs if isinstance(outs, (list, tuple)) else (outs,)
+    return _from_lanes_flat(z_l, B), None
 
 
 def _bwd_trs_kernel_ll(NU, NX, NZ, N,
