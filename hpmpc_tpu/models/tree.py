@@ -393,9 +393,11 @@ def _flat_tree_kkt_factory(tdef: TreeDef):
         Mdad = jnp.asarray(mdad_np, qp.dtype)
 
         def factor(dvecF, ngl, g_eff, rhs_bF):
+            # affine pi is dead in the shared flat loop (iter_ref is
+            # asserted off for tree): skip it + the Lxx forward stream
             return tk.tree_factor_solve_flat(
                 dad_arr, Hl, dvecF, ngl, ng_stages, g_eff, Fl, rhs_bF,
-                NU, NZ, NX,
+                NU, NZ, NX, want_pi=False,
             )
 
         def resolve(fstate, g_eff, rhs_bF):

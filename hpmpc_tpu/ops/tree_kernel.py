@@ -186,9 +186,13 @@ def _tree_bwd_kernel(NU, NX, NZ, n, ng_node_ids,
 # ---------------------------------------------------------------------------
 
 
-def _tree_fwd_kernel(NU, NX, NZ, n,
+def _tree_fwd_kernel(NU, NX, NZ, n, want_pi,
                      dad_ref, Ll_ref, Lxx_ref, eu_ref, px_ref, F_ref, b_ref,
-                     z_ref, pi_ref, zs_ref):
+                     *out_refs):
+    if want_pi:
+        z_ref, pi_ref, zs_ref = out_refs
+    else:
+        z_ref, zs_ref = out_refs
     s = pl.program_id(1)  # node id this step (BFS order: parents first)
 
     Ll = _mat(Ll_ref, NZ, NU)
@@ -220,19 +224,20 @@ def _tree_fwd_kernel(NU, NX, NZ, n,
         for i in range(NX):
             z_ref[0, 0, NU + i] = x[i]
         zs_ref[pl.ds(s, 1), :, :] = _tiles_slab(u + x)
-        # pi_e = Lxx_k (Lxx_k' x_k) + px_k   (edge INTO this node)
-        t1 = [None] * NX
-        for i in range(NX):
-            acc = None
-            for kk in range(i, NX):
-                t = Lxx[kk][i] * x[kk]
-                acc = t if acc is None else acc + t
-            t1[i] = acc
-        for i in range(NX):
-            acc = px[i]
-            for kk in range(i + 1):
-                acc = acc + Lxx[i][kk] * t1[kk]
-            pi_ref[0, 0, i] = acc
+        if want_pi:
+            # pi_e = Lxx_k (Lxx_k' x_k) + px_k   (edge INTO this node)
+            t1 = [None] * NX
+            for i in range(NX):
+                acc = None
+                for kk in range(i, NX):
+                    t = Lxx[kk][i] * x[kk]
+                    acc = t if acc is None else acc + t
+                t1[i] = acc
+            for i in range(NX):
+                acc = px[i]
+                for kk in range(i + 1):
+                    acc = acc + Lxx[i][kk] * t1[kk]
+                pi_ref[0, 0, i] = acc
 
     @pl.when(s == 0)
     def _():
@@ -375,10 +380,10 @@ def _dad_smem_spec(n):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ng_node_ids", "NU", "NZ", "NX")
+    jax.jit, static_argnames=("ng_node_ids", "NU", "NZ", "NX", "want_pi")
 )
 def tree_factor_solve_flat(dad_arr, Hl, dvecF, ngl, ng_node_ids, gF, Fl, bF,
-                           NU, NZ, NX):
+                           NU, NZ, NX, want_pi=True):
     """Flat-state fused tree sv.  dad_arr (1, n) int32; Hl
     (nb, n, NZ(NZ+1)/2, 8, 128) packed symmetric lanes stream; Fl
     (nb, n-1, NZ, NX, 8, 128) edge stream; dvecF/gF (B, n*NZ); bF
@@ -440,43 +445,59 @@ def tree_factor_solve_flat(dad_arr, Hl, dvecF, ngl, ng_node_ids, gF, Fl, bF,
     )(dad_arr, Hl, dl, ngl, gl, Fl, bl)
 
     zF, piF = _tree_forward_from_lanes(
-        dad_arr, Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, n, NU, NZ, NX
+        dad_arr, Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, n, NU, NZ, NX,
+        want_pi=want_pi,
     )
     return zF, piF, (Ll_l, Lxx_l, Pb_l)
 
 
 def _tree_forward_from_lanes(dad_arr, Ll_l, Lxx_l, eu_l, px_l, Fl, bl,
-                             B, n, NU, NZ, NX):
+                             B, n, NU, NZ, NX, want_pi=True):
     nb = B // BI
     NE = n - 1
     dt = Ll_l.dtype
-    fkernel = functools.partial(_tree_fwd_kernel, NU, NX, NZ, n)
-    z_l, pi_l = pl.pallas_call(
+    fkernel = functools.partial(_tree_fwd_kernel, NU, NX, NZ, n, want_pi)
+    if want_pi:
+        lxx_map = lambda bb, s: (bb, s, 0, 0, 0, 0)
+        out_specs = [
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s - 1, 0, NE - 1), 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb, n, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, NE, NX, SUBS, LANES), dt),
+        ]
+    else:
+        # affine solve: pi dead -> Lxx only feeds the root solve (block 0)
+        lxx_map = lambda bb, s: (bb, 0, 0, 0, 0, 0)
+        out_specs = [
+            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb, n, NZ, SUBS, LANES), dt),
+        ]
+    outs = pl.pallas_call(
         fkernel,
         grid=(nb, n),
         in_specs=[
             _dad_smem_spec(n),
             pl.BlockSpec((1, 1, NZ, NU, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NX, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NX, NX, SUBS, LANES), lxx_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NU, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s - 1, 0, NE - 1), 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s - 1, 0, NE - 1), 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, NZ, SUBS, LANES), lambda bb, s: (bb, s, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(s - 1, 0, NE - 1), 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, n, NZ, SUBS, LANES), dt),
-            jax.ShapeDtypeStruct((nb, NE, NX, SUBS, LANES), dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((n, NZ * SUBS, LANES), dt)],
     )(dad_arr, Ll_l, Lxx_l, eu_l, px_l, Fl, bl)
 
-    zF = _from_lanes_flat(z_l, B)    # (B, n*NZ)
-    piF = _from_lanes_flat(pi_l, B)  # (B, (n-1)*NX)
-    return zF, piF
+    if want_pi:
+        z_l, pi_l = outs
+        return _from_lanes_flat(z_l, B), _from_lanes_flat(pi_l, B)
+    (z_l,) = outs if isinstance(outs, (list, tuple)) else (outs,)
+    return _from_lanes_flat(z_l, B), None
 
 
 @functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
