@@ -1547,3 +1547,281 @@ def solve_flat_fused(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
     zF = _from_lanes_flat(z_l, B)
     piF = _from_lanes_flat(pi_l, B)
     return zF, piF
+
+
+# ---------------------------------------------------------------------------
+# fused sv+fwd (AFFINE solve): folded backward factorization and pi-less
+# forward recovery in ONE kernel; Ll/eu/px ride VMEM slabs instead of HBM
+# ---------------------------------------------------------------------------
+
+
+def _sv_fwd_fused_kernel(NU, NX, NZ, N, ng_stage_ids,
+                         H_ref, dvec_ref, ng_ref, g_ref, F_ref, b_ref,
+                         Ll_ref, Lxx_ref, Pb_ref, z_ref,
+                         Lxx_c, px_c, ll_s, eu_s, px_s, lxx0_s, x_c):
+    """Grid (nb, 2(N+1)).  Steps 0..N: the folded backward sweep (stage
+    N-s) — identical math to _bwd_kernel_folded(split=True) — writing the
+    retained factor (Ll/Lxx/Pb) to HBM for the corrector resolves while
+    ALSO caching Ll/eu/px (and the root Lxx block) in VMEM slabs.  Steps
+    N+1..2N+1: the pi-less forward recovery (the affine pi is dead) fed
+    entirely from those slabs — the eu/px HBM round-trip and the forward
+    Ll refetch disappear.  Phase-inactive streams pin their block index
+    so the revisit cache skips their refetch."""
+    s = pl.program_id(1)
+    NT = _sym_nt(NZ)
+
+    @pl.when(s <= N)
+    def _():
+        Hp = [H_ref[0, 0, t] for t in range(NT)]
+        dv = _vec(dvec_ref, NZ)
+        for i in range(NZ):
+            di = _sym_idx(i, i)
+            Hp[di] = Hp[di] + dv[i]
+        if len(ng_stage_ids):
+            stage_match = None
+            for stg in ng_stage_ids:
+                m = (s == N - stg)
+                stage_match = m if stage_match is None else (stage_match | m)
+            for t in range(NT):
+                Hp[t] = Hp[t] + jnp.where(stage_match, ng_ref[0, 0, t], 0.0)
+        g = _vec(g_ref, NZ)
+
+        zero_t = dv[0] * 0.0
+
+        @pl.when(s == 0)
+        def _():
+            for i in range(NX):
+                px_c[i] = zero_t
+                for j in range(NX):
+                    Lxx_c[i, j] = zero_t
+
+        F = _mat(F_ref, NZ, NX)
+        bb = _vec(b_ref, NX)
+        Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
+        pxn = [px_c[i] for i in range(NX)]
+        W = [[None] * NX for _ in range(NZ)]
+        for i in range(NZ):
+            for j in range(NX):
+                acc = None
+                for k in range(j, NX):
+                    t = F[i][k] * Lxx[k][j]
+                    acc = t if acc is None else acc + t
+                W[i][j] = acc
+        t1 = [None] * NX
+        for i in range(NX):
+            acc = None
+            for k in range(i, NX):
+                t = Lxx[k][i] * bb[k]
+                acc = t if acc is None else acc + t
+            t1[i] = acc
+        Pb = [None] * NX
+        for i in range(NX):
+            acc = None
+            for k in range(i + 1):
+                t = Lxx[i][k] * t1[k]
+                acc = t if acc is None else acc + t
+            Pb[i] = acc
+        _store_vec(Pb_ref, Pb)
+        m = []
+        for i in range(NZ):
+            acc = g[i]
+            for k in range(NX):
+                acc = acc + F[i][k] * (Pb[k] + pxn[k])
+            m.append(acc)
+        M = [[None] * NZ for _ in range(NZ)]
+        for i in range(NZ):
+            for j in range(i + 1):
+                acc = Hp[_sym_idx(i, j)]
+                for k in range(NX):
+                    acc = acc + W[i][k] * W[j][k]
+                M[i][j] = acc
+                M[j][i] = acc
+
+        Lf, Dinv = _chol(M, NZ)
+        eu = _tril_solve(
+            [[Lf[i][j] for j in range(NU)] for i in range(NU)],
+            Dinv[:NU], m[:NU], NU,
+        )
+        px = []
+        for i in range(NX):
+            acc = m[NU + i]
+            for k in range(NU):
+                acc = acc - Lf[NU + i][k] * eu[k]
+            px.append(acc)
+
+        for i in range(NZ):
+            for j in range(NU):
+                Ll_ref[0, 0, i, j] = Lf[i][j]
+        for i in range(NX):
+            for j in range(NX):
+                Lxx_ref[0, 0, i, j] = Lf[NU + i][NU + j]
+
+        k_node = N - s
+        ll_s[pl.ds(k_node, 1), :, :] = _cat_slab(
+            [Lf[i][j] for i in range(NZ) for j in range(NU)]
+        )
+        eu_s[pl.ds(k_node, 1), :, :] = _cat_slab(eu)
+        px_s[pl.ds(k_node, 1), :, :] = _cat_slab(px)
+
+        @pl.when(s == N)  # root factor block for the phase-B x0 solve
+        def _():
+            for i in range(NX):
+                for j in range(NX):
+                    lxx0_s[i, j] = Lf[NU + i][NU + j]
+
+        for i in range(NX):
+            px_c[i] = px[i]
+            for j in range(NX):
+                Lxx_c[i, j] = Lf[NU + i][NU + j]
+
+    @pl.when(s > N)
+    def _():
+        sb = s - (N + 1)
+        lslab = ll_s[pl.ds(sb, 1), :, :]
+        Ll = [
+            [lslab[0, (i * NU + j) * SUBS : (i * NU + j + 1) * SUBS, :]
+             for j in range(NU)]
+            for i in range(NZ)
+        ]
+        eslab = eu_s[pl.ds(sb, 1), :, :]
+        eu = [eslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NU)]
+        pslab = px_s[pl.ds(sb, 1), :, :]
+        px = [pslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NX)]
+        Dinv_u = [
+            pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False)
+            for i in range(NU)
+        ]
+
+        @pl.when(sb == 0)
+        def _():
+            Lxx0 = [[lxx0_s[i, j] for j in range(NX)] for i in range(NX)]
+            Dinv_x = [
+                pl.reciprocal(jnp.maximum(Lxx0[i][i], 1e-30), approx=False)
+                for i in range(NX)
+            ]
+            t = _tril_solve(Lxx0, Dinv_x, [-v for v in px], NX)
+            x0 = _triu_solve_t(Lxx0, Dinv_x, t, NX)
+            for i in range(NX):
+                x_c[i] = x0[i]
+
+        x = [x_c[i] for i in range(NX)]
+        rhs = []
+        for i in range(NU):
+            acc = eu[i]
+            for k in range(NX):
+                acc = acc + Ll[NU + k][i] * x[k]
+            rhs.append(acc)
+        u = _triu_solve_t(
+            [[Ll[i][j] for j in range(NU)] for i in range(NU)],
+            Dinv_u, rhs, NU,
+        )
+        u = [-v for v in u]
+        for i in range(NU):
+            z_ref[0, 0, i] = u[i]
+        for i in range(NX):
+            z_ref[0, 0, NU + i] = x[i]
+
+        F = _mat(F_ref, NZ, NX)
+        bb = _vec(b_ref, NX)
+        for j in range(NX):
+            acc = bb[j]
+            for i in range(NU):
+                acc = acc + F[i][j] * u[i]
+            for i in range(NX):
+                acc = acc + F[NU + i][j] * x[i]
+            x_c[j] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ng_stage_ids", "NU", "NZ", "NX")
+)
+def factor_solve_folded_flat_fused(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
+                                   NU, NZ, NX):
+    """Fused sv+fwd twin of factor_solve_folded_flat(want_pi=False):
+    identical contract (piF returned as None)."""
+    nb = Hl.shape[0]
+    B = nb * BI
+    Np1 = Hl.shape[1]
+    N = Np1 - 1
+    dt = Hl.dtype
+    n_ng = len(ng_stage_ids)
+    NT = _sym_nt(NZ)
+    assert Hl.shape[2] == NT, "Hl must be sym-packed (see sym_compress)"
+
+    dl = _to_lanes_flat(dvecF, B, (Np1, NZ))
+    gl = _to_lanes_flat(gF, B, (Np1, NZ))
+    bl = _to_lanes_flat(bF, B, (N, NX))
+
+    def ng_slot(s):
+        slot = 0
+        for k, stg in enumerate(ng_stage_ids):
+            slot = jnp.where((N - s) == stg, k, slot)
+        return slot
+
+    in_specs = [
+        pl.BlockSpec((1, 1, NT, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(s <= N, N - s, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(s <= N, N - s, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NT, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(s <= N, ng_slot(s), 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(s <= N, N - s, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(
+                         s <= N, jnp.clip(N - s, 0, N - 1),
+                         jnp.clip(s - (N + 1), 0, N - 1)), 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NX, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(
+                         s <= N, jnp.clip(N - s, 0, N - 1),
+                         jnp.clip(s - (N + 1), 0, N - 1)), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, NZ, NU, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(s <= N, N - s, 0), 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NX, NX, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(s <= N, N - s, 0), 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NX, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(
+                         s <= N, jnp.clip(N - s, 0, N - 1), 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                     lambda bb, s: (bb, jnp.where(
+                         s > N, jnp.maximum(s - (N + 1), 0), 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(
+        _sv_fwd_fused_kernel, NU, NX, NZ, N, tuple(ng_stage_ids)
+    )
+    Ll_l, Lxx_l, Pb_l, z_l = pl.pallas_call(
+        kernel,
+        grid=(nb, 2 * Np1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, NU, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, NX, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NX, NX, SUBS, LANES), dt),      # Lxx carry (bwd)
+            pltpu.VMEM((NX, SUBS, LANES), dt),          # px carry (bwd)
+            pltpu.VMEM((Np1, NZ * NU * SUBS, LANES), dt),  # Ll slab
+            pltpu.VMEM((Np1, NU * SUBS, LANES), dt),       # eu slab
+            pltpu.VMEM((Np1, NX * SUBS, LANES), dt),       # px slab
+            pltpu.VMEM((NX, NX, SUBS, LANES), dt),         # root Lxx
+            pltpu.VMEM((NX, SUBS, LANES), dt),             # x carry (fwd)
+        ],
+    )(Hl, dl, ngl, gl, Fl, bl)
+
+    zF = _from_lanes_flat(z_l, B)
+    return zF, None, (Ll_l, Lxx_l, Pb_l)

@@ -427,3 +427,44 @@ def test_solve_flat_fused_matches_sequential(interpret_pallas):
     )
     np.testing.assert_allclose(np.asarray(z_fus), np.asarray(z_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(pi_fus), np.asarray(pi_ref), atol=1e-4)
+
+
+def test_factor_solve_fused_matches_sequential(interpret_pallas):
+    """The fused sv+fwd kernel must match the sequential
+    factor_solve_folded_flat pair: same z and same retained factor
+    (tolerance — FMA contraction differs between kernel variants)."""
+    from hpmpc_tpu.ops import stage_kernel as sk
+
+    dims, qpb = _batch_qp(ngN=4)
+    N, NU, NX, NZ = dims.N, dims.NU, dims.NX, dims.NZ
+    B = qpb.b.shape[0]
+    NZF, NXF = (N + 1) * NZ, N * NX
+    ng_stages = tuple(n for n in range(N + 1) if dims.ng[n] > 0)
+    Hl = sk._to_lanes(sk.sym_compress(qpb.H), B)
+    Fl = sk._to_lanes(qpb.F, B)
+    gF = (qpb.g * qpb.z_mask).reshape(B, NZF)
+    bF = qpb.b.reshape(B, NXF)
+    dvecF = qpb.pad_diag.reshape(B, NZF) + 0.7
+    # a PSD barrier term C' diag(q) C (a random symmetric slab would make
+    # M indefinite and the factorization legitimately blow up)
+    rng = np.random.default_rng(9)
+    q_pos = jnp.asarray(
+        rng.random((B, len(ng_stages), dims.NG)) + 0.5, jnp.float32
+    )
+    idx = np.asarray(ng_stages)
+    ngterm = jnp.einsum(
+        "bngz,bng,bngw->bnzw", qpb.C[:, idx], q_pos, qpb.C[:, idx]
+    )
+    ngl = sk._to_lanes(sk.sym_compress(ngterm), B)
+
+    z_ref, _, (Ll_r, Lxx_r, Pb_r) = sk.factor_solve_folded_flat(
+        Hl, dvecF, ngl, ng_stages, gF, Fl, bF, NU, NZ, NX, want_pi=False
+    )
+    z_fus, pi_none, (Ll_f, Lxx_f, Pb_f) = sk.factor_solve_folded_flat_fused(
+        Hl, dvecF, ngl, ng_stages, gF, Fl, bF, NU, NZ, NX
+    )
+    assert pi_none is None
+    np.testing.assert_allclose(np.asarray(z_fus), np.asarray(z_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Ll_f), np.asarray(Ll_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Lxx_f), np.asarray(Lxx_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Pb_f), np.asarray(Pb_r), atol=1e-5)
