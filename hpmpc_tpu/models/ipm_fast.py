@@ -50,12 +50,20 @@ against the structured path by tests/test_stage_kernel.py.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+# Opt-in to the fused two-phase-grid sweep kernels (sv+fwd in one
+# pallas_call; trs+fwd likewise).  Interpret-mode-proven and parity-
+# tested, but built during a relay outage — flip the default once one
+# real-Mosaic run confirms compilation (HPMPC_FUSED_SWEEPS=1 python
+# bench.py A/Bs it without code edits).
+_FUSED_SWEEPS = os.environ.get("HPMPC_FUSED_SWEEPS", "0") == "1"
 
 from ..ocp import OCPDims, OCPQP
 from . import ipm as _ipm
@@ -357,11 +365,17 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
         # the affine solve's pi is dead in both IPM phases (only the
         # corrector's dpi is used) — skip it and the whole Lxx forward
         # stream unless iterative refinement consumes it
-        zF, piF, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat(
-            Hl, dvecF.astype(kdt), ngl, ng_stages,
-            g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX,
-            want_pi=bool(iter_ref),
-        )
+        if _FUSED_SWEEPS and not iter_ref:
+            zF, piF, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat_fused(
+                Hl, dvecF.astype(kdt), ngl, ng_stages,
+                g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX,
+            )
+        else:
+            zF, piF, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat(
+                Hl, dvecF.astype(kdt), ngl, ng_stages,
+                g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX,
+                want_pi=bool(iter_ref),
+            )
         zF = zF.astype(dt)
         piF = piF.astype(dt) if piF is not None else None
         if iter_ref:
@@ -374,10 +388,8 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
         if kkt is not None:
             return kkt.resolve(fstate, g_eff, rhs_bF)
         Ll_l, Lxx_l, Pb_l, dvecF, Qx_g = fstate
-        # solve_flat_fused is the drop-in fused twin (trs+fwd in one
-        # kernel) — swap it in once validated on real Mosaic; it is
-        # interpret-mode-proven but was built during a relay outage
-        zF, piF = sk.solve_flat(
+        resolve_fn = sk.solve_flat_fused if _FUSED_SWEEPS else sk.solve_flat
+        zF, piF = resolve_fn(
             Ll_l, Lxx_l, Pb_l, g_eff.astype(kdt), Fl, rhs_bF.astype(kdt),
             NU, NZ, NX
         )

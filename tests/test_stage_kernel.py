@@ -468,3 +468,22 @@ def test_factor_solve_fused_matches_sequential(interpret_pallas):
     np.testing.assert_allclose(np.asarray(Ll_f), np.asarray(Ll_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(Lxx_f), np.asarray(Lxx_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(Pb_f), np.asarray(Pb_r), atol=1e-5)
+
+
+def test_flat_engine_fused_sweeps_flag(interpret_pallas, monkeypatch):
+    """HPMPC_FUSED_SWEEPS routes the engine through the fused two-phase
+    kernels; iterates must match the default engine."""
+    from hpmpc_tpu.models import ipm_fast
+
+    dims, qpb = _batch_qp(ngN=4)
+    cfg = ipm.IPMConfig(k_max=3, mu_tol=1e-4, use_pallas=True)
+    sol_d = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
+    monkeypatch.setattr(ipm_fast, "_FUSED_SWEEPS", True)
+    sol_f = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
+    assert bool(jnp.all(sol_d.kk == sol_f.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_f.z), np.asarray(sol_d.z), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_f.pi), np.asarray(sol_d.pi), atol=5e-3
+    )
