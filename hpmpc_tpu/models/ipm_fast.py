@@ -176,26 +176,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
     if n_ng:
         C_act = [qp.C[:, n] for n in ng_stages]          # each (B, NG, NZ)
         # paired C streams for the per-iteration PACKED barrier-term
-        # assembly: ngt[b,n,t] = sum_g C[b,n,g,zi(t)] Qg C[b,n,g,zj(t)]
-        # with (zi, zj) the lower-triangle pairs.  Built once via exact
-        # 0/1 selection matmuls; the per-iteration einsum then never
-        # materializes the (B, n_ng, NZ, NZ) structured term (its (11,11)
-        # trailing dims tile-pad ~17x — ~33 MB/iteration at bench shapes).
-        NT_sym = sk._sym_nt(NZ)
-        tril_i, tril_j = np.tril_indices(NZ)
-        sel_i = np.zeros((NZ, NT_sym), np.float32)
-        sel_j = np.zeros((NZ, NT_sym), np.float32)
-        for t in range(NT_sym):
-            sel_i[tril_i[t], t] = 1.0
-            sel_j[tril_j[t], t] = 1.0
-        C_stack = jnp.stack(C_act, 1).astype(jnp.float32)
-        Ct1 = jnp.einsum(
-            "bngz,zt->bngt", C_stack, jnp.asarray(sel_i, C_stack.dtype),
-            precision=HI,
-        )
-        Ct2 = jnp.einsum(
-            "bngz,zt->bngt", C_stack, jnp.asarray(sel_j, C_stack.dtype),
-            precision=HI,
+        # assembly (sk.sym_pair_streams): the per-iteration einsum then
+        # never materializes the (B, n_ng, NZ, NZ) structured term (its
+        # (11,11) trailing dims tile-pad ~17x — ~33 MB/iter at bench
+        # shapes)
+        Ct1, Ct2 = sk.sym_pair_streams(
+            jnp.stack(C_act, 1).astype(jnp.float32), NZ
         )
         mgF = jnp.concatenate([qp.ng_mask[:, n] for n in ng_stages], 1)
         dg_lo = jnp.concatenate([qp.d_lg[:, n] for n in ng_stages], 1)

@@ -149,21 +149,8 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact_mehrotra_soft):
         C_act = [qp.C[:, n] for n in ng_stages]
         # paired C streams for the packed barrier-term assembly (see
         # ipm_fast: avoids the tile-padded structured ngterm intermediate)
-        NT_sym = sk._sym_nt(NZ)
-        tril_i, tril_j = np.tril_indices(NZ)
-        sel_i = np.zeros((NZ, NT_sym), np.float32)
-        sel_j = np.zeros((NZ, NT_sym), np.float32)
-        for t in range(NT_sym):
-            sel_i[tril_i[t], t] = 1.0
-            sel_j[tril_j[t], t] = 1.0
         _HIp = jax.lax.Precision.HIGHEST
-        C_stack = jnp.stack(C_act, 1)
-        Ct1 = jnp.einsum(
-            "bngz,zt->bngt", C_stack, jnp.asarray(sel_i, dt), precision=_HIp
-        )
-        Ct2 = jnp.einsum(
-            "bngz,zt->bngt", C_stack, jnp.asarray(sel_j, dt), precision=_HIp
-        )
+        Ct1, Ct2 = sk.sym_pair_streams(jnp.stack(C_act, 1), NZ)
         mgF = jnp.concatenate([qp.ng_mask[:, n] for n in ng_stages], 1)
         dg_lo = jnp.concatenate([qp.d_lg[:, n] for n in ng_stages], 1)
         dg_up = jnp.concatenate([qp.d_ug[:, n] for n in ng_stages], 1)

@@ -436,7 +436,7 @@ def solve_tree_ipm_flat(
 
     assert dims.N + 1 == tdef.n_nodes
     acc_bytes = tk.tree_vmem_accumulator_bytes(tdef.n_nodes, dims.NZ)
-    assert acc_bytes <= 12 * 2**20, (
+    assert acc_bytes <= tk.TREE_VMEM_ACC_LIMIT, (
         f"tree too large for the fused kernels ({acc_bytes/2**20:.1f} MiB "
         "VMEM accumulator); use the level-batched XLA path (solve_tree_ipm)"
     )

@@ -133,6 +133,197 @@ def _triu_solve_t(L, Dinv, b, n):
 
 
 # ---------------------------------------------------------------------------
+# shared per-stage bodies (trace-time Python, like _chol): the sequential
+# sweep kernels and their fused two-phase twins call the SAME helpers, so
+# a numeric fix lands in every variant at once
+# ---------------------------------------------------------------------------
+
+
+def _dinv_ll(Ll, NU):
+    return [
+        pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False)
+        for i in range(NU)
+    ]
+
+
+def _pb_of(Lxx, bb, NX):
+    """Pb = Lxx (Lxx' b) on a lower-triangular Lxx."""
+    t1 = [None] * NX
+    for i in range(NX):
+        acc = None
+        for k in range(i, NX):
+            t = Lxx[k][i] * bb[k]
+            acc = t if acc is None else acc + t
+        t1[i] = acc
+    Pb = [None] * NX
+    for i in range(NX):
+        acc = None
+        for k in range(i + 1):
+            t = Lxx[i][k] * t1[k]
+            acc = t if acc is None else acc + t
+        Pb[i] = acc
+    return Pb
+
+
+def _trs_stage(NU, NX, NZ, Ll, Dinv_u, g, F, Pbpx, is_t):
+    """Backward-substitution stage on the split factor: m = g (terminal)
+    or g + F (Pb + px_next); eu = Luu^{-1} m_u; px = m_x - Lxu eu."""
+    m_i = []
+    for i in range(NZ):
+        acc = g[i]
+        for k in range(NX):
+            acc = acc + F[i][k] * Pbpx[k]
+        m_i.append(acc)
+    m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
+    eu = _tril_solve(
+        [[Ll[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, m[:NU], NU
+    )
+    px = []
+    for i in range(NX):
+        acc = m[NU + i]
+        for k in range(NU):
+            acc = acc - Ll[NU + i][k] * eu[k]
+        px.append(acc)
+    return eu, px
+
+
+def _root_x0(Lxx, px, NX):
+    """x0 = -(Lxx Lxx')^{-1} px (free/eliminated initial state)."""
+    Dinv_x = [
+        pl.reciprocal(jnp.maximum(Lxx[i][i], 1e-30), approx=False)
+        for i in range(NX)
+    ]
+    t = _tril_solve(Lxx, Dinv_x, [-v for v in px], NX)
+    return _triu_solve_t(Lxx, Dinv_x, t, NX)
+
+
+def _u_of_x(NU, NX, Ll, Dinv_u, eu, x):
+    """u = -Luu^{-T}(eu + Lxu' x)."""
+    rhs = []
+    for i in range(NU):
+        acc = eu[i]
+        for k in range(NX):
+            acc = acc + Ll[NU + k][i] * x[k]
+        rhs.append(acc)
+    u = _triu_solve_t(
+        [[Ll[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, rhs, NU
+    )
+    return [-v for v in u]
+
+
+def _pi_of_x(NX, Lxx, px, x):
+    """pi = Lxx (Lxx' x) + px."""
+    t1 = [None] * NX
+    for i in range(NX):
+        acc = None
+        for k in range(i, NX):
+            t = Lxx[k][i] * x[k]
+            acc = t if acc is None else acc + t
+        t1[i] = acc
+    pi = []
+    for i in range(NX):
+        acc = px[i]
+        for k in range(i + 1):
+            acc = acc + Lxx[i][k] * t1[k]
+        pi.append(acc)
+    return pi
+
+
+def _x_next_of(NU, NX, F, bb, u, x):
+    """x_{s+1} = b_s + F_s' [u_s; x_s]."""
+    out = []
+    for j in range(NX):
+        acc = bb[j]
+        for i in range(NU):
+            acc = acc + F[i][j] * u[i]
+        for i in range(NX):
+            acc = acc + F[NU + i][j] * x[i]
+        out.append(acc)
+    return out
+
+
+def _folded_bwd_stage(NU, NX, NZ, N, ng_stage_ids, s,
+                      H_ref, dvec_ref, ng_ref, g_ref, F_ref, b_ref,
+                      Lxx_c, px_c):
+    """One folded backward-Riccati stage (packed-H assembly + zero-carry
+    terminal + trmm/syrk + Cholesky + eu/px); updates the Lxx/px VMEM
+    carries and returns (Lf, eu, px, Pb).  Pb is the zero vector at the
+    terminal step (zero carry) — callers decide where to store it."""
+    NT = _sym_nt(NZ)
+    Hp = [H_ref[0, 0, t] for t in range(NT)]
+    dv = _vec(dvec_ref, NZ)
+    for i in range(NZ):
+        di = _sym_idx(i, i)
+        Hp[di] = Hp[di] + dv[i]
+    if len(ng_stage_ids):
+        stage_match = None
+        for stg in ng_stage_ids:
+            m = (s == N - stg)
+            stage_match = m if stage_match is None else (stage_match | m)
+        for t in range(NT):
+            Hp[t] = Hp[t] + jnp.where(stage_match, ng_ref[0, 0, t], 0.0)
+    g = _vec(g_ref, NZ)
+
+    # terminal stage (s == 0): zero the carry BEFORE it is read, so the
+    # interior formulas collapse EXACTLY to the terminal ones (W = F·0 = 0
+    # -> M = H bit-for-bit, Pb = 0, m = g) — no per-entry selects
+    zero_t = dv[0] * 0.0
+
+    @pl.when(s == 0)
+    def _():
+        for i in range(NX):
+            px_c[i] = zero_t
+            for j in range(NX):
+                Lxx_c[i, j] = zero_t
+
+    F = _mat(F_ref, NZ, NX)
+    bb = _vec(b_ref, NX)
+    Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
+    pxn = [px_c[i] for i in range(NX)]
+    W = [[None] * NX for _ in range(NZ)]
+    for i in range(NZ):
+        for j in range(NX):
+            acc = None
+            for k in range(j, NX):
+                t = F[i][k] * Lxx[k][j]
+                acc = t if acc is None else acc + t
+            W[i][j] = acc
+    Pb = _pb_of(Lxx, bb, NX)
+    m = []
+    for i in range(NZ):
+        acc = g[i]
+        for k in range(NX):
+            acc = acc + F[i][k] * (Pb[k] + pxn[k])
+        m.append(acc)
+    M = [[None] * NZ for _ in range(NZ)]
+    for i in range(NZ):
+        for j in range(i + 1):
+            acc = Hp[_sym_idx(i, j)]
+            for k in range(NX):
+                acc = acc + W[i][k] * W[j][k]
+            M[i][j] = acc
+            M[j][i] = acc
+
+    Lf, Dinv = _chol(M, NZ)
+    eu = _tril_solve(
+        [[Lf[i][j] for j in range(NU)] for i in range(NU)],
+        Dinv[:NU], m[:NU], NU,
+    )
+    px = []
+    for i in range(NX):
+        acc = m[NU + i]
+        for k in range(NU):
+            acc = acc - Lf[NU + i][k] * eu[k]
+        px.append(acc)
+
+    for i in range(NX):
+        px_c[i] = px[i]
+        for j in range(NX):
+            Lxx_c[i, j] = Lf[NU + i][NU + j]
+    return Lf, eu, px, Pb
+
+
+# ---------------------------------------------------------------------------
 # backward sweep kernel
 # ---------------------------------------------------------------------------
 
@@ -324,16 +515,13 @@ def _fwd_kernel_split(NU, NX, NZ, N, want_pi,
 
     Ll = _mat(Ll_ref, NZ, NU)
     Lxx = _mat(Lxx_ref, NX, NX)
-    Dinv_u = [pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False) for i in range(NU)]
+    Dinv_u = _dinv_ll(Ll, NU)
     eu = _vec(eu_ref, NU)
     px = _vec(px_ref, NX)
 
     @pl.when(s == 0)
     def _():
-        # x0 = -(Lxx Lxx')^{-1} px0
-        Dinv_x = [pl.reciprocal(jnp.maximum(Lxx[i][i], 1e-30), approx=False) for i in range(NX)]
-        t = _tril_solve(Lxx, Dinv_x, [-v for v in px], NX)
-        x0 = _triu_solve_t(Lxx, Dinv_x, t, NX)
+        x0 = _root_x0(Lxx, px, NX)
         for i in range(NX):
             x_c[i] = x0[i]
 
@@ -341,30 +529,9 @@ def _fwd_kernel_split(NU, NX, NZ, N, want_pi,
 
     if want_pi:
         # pi_{s-1} = Lxx_s (Lxx_s' x_s) + px_s   (dead write at s==0)
-        t1 = [None] * NX
-        for i in range(NX):
-            acc = None
-            for k in range(i, NX):
-                t = Lxx[k][i] * x[k]
-                acc = t if acc is None else acc + t
-            t1[i] = acc
-        for i in range(NX):
-            acc = px[i]
-            for k in range(i + 1):
-                acc = acc + Lxx[i][k] * t1[k]
-            pi_ref[0, 0, i] = acc
+        _store_vec(pi_ref, _pi_of_x(NX, Lxx, px, x))
 
-    # u_s = -Luu^{-T}(eu + Lxu' x)
-    rhs = []
-    for i in range(NU):
-        acc = eu[i]
-        for k in range(NX):
-            acc = acc + Ll[NU + k][i] * x[k]
-        rhs.append(acc)
-    u = _triu_solve_t(
-        [[Ll[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, rhs, NU
-    )
-    u = [-v for v in u]
+    u = _u_of_x(NU, NX, Ll, Dinv_u, eu, x)
     for i in range(NU):
         z_ref[0, 0, i] = u[i]
     for i in range(NX):
@@ -373,13 +540,9 @@ def _fwd_kernel_split(NU, NX, NZ, N, want_pi,
     # x_{s+1} = b_s + F_s' z_s  (carry; the s==N update is dead)
     F = _mat(F_ref, NZ, NX)
     bb = _vec(b_ref, NX)
+    xn = _x_next_of(NU, NX, F, bb, u, x)
     for j in range(NX):
-        acc = bb[j]
-        for i in range(NU):
-            acc = acc + F[i][j] * u[i]
-        for i in range(NX):
-            acc = acc + F[NU + i][j] * x[i]
-        x_c[j] = acc
+        x_c[j] = xn[j]
 
 
 # ---------------------------------------------------------------------------
@@ -413,6 +576,34 @@ def sym_compress(x):
         x.reshape(x.shape[:-2] + (n * n,)), selj,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def sym_pair_streams(C_stack, nz):
+    """Paired C streams for assembling the PACKED barrier term
+    ``C' diag(q) C`` without its tile-padded structured intermediate:
+    returns (Ct1, Ct2) with ``Ct1[..., g, t] = C[..., g, zi(t)]`` and
+    ``Ct2[..., g, t] = C[..., g, zj(t)]`` over the same row-major
+    lower-triangle order the kernels read via ``_sym_idx`` — then
+    ``ngt[..., t] = sum_g Ct1*q*Ct2`` (einsum "...gt,...g,...gt->...t").
+    Co-located with the packing order so they cannot drift apart."""
+    nt = _sym_nt(nz)
+    sel_i = np.zeros((nz, nt), np.float32)
+    sel_j = np.zeros((nz, nt), np.float32)
+    for i in range(nz):
+        for j in range(i + 1):
+            t = _sym_idx(i, j)
+            sel_i[i, t] = 1.0
+            sel_j[j, t] = 1.0
+    hi = jax.lax.Precision.HIGHEST
+    Ct1 = jnp.einsum(
+        "...gz,zt->...gt", C_stack, jnp.asarray(sel_i, C_stack.dtype),
+        precision=hi,
+    )
+    Ct2 = jnp.einsum(
+        "...gz,zt->...gt", C_stack, jnp.asarray(sel_j, C_stack.dtype),
+        precision=hi,
+    )
+    return Ct1, Ct2
 
 
 def _from_lanes(y, B):
@@ -670,100 +861,11 @@ def _bwd_kernel_folded(NU, NX, NZ, N, ng_stage_ids, split, *refs):
          L_ref, eu_ref, px_ref, Pb_ref, Lxx_c, px_c) = refs
     s = pl.program_id(1)
 
-    # H and the barrier term are SYMMETRIC and arrive as packed
-    # lower-triangle streams (66 instead of 121 subtiles/stage at NZ=11);
-    # the sweep only ever reads the lower triangle (Cholesky + symmetric
-    # assembly), so the mirror below is Python references, not loads.
-    NT = _sym_nt(NZ)
-    Hp = [H_ref[0, 0, t] for t in range(NT)]
-    dv = _vec(dvec_ref, NZ)
-    for i in range(NZ):
-        di = _sym_idx(i, i)
-        Hp[di] = Hp[di] + dv[i]
-    if len(ng_stage_ids):
-        stage_match = None
-        for stg in ng_stage_ids:
-            m = (s == N - stg)
-            stage_match = m if stage_match is None else (stage_match | m)
-        for t in range(NT):
-            Hp[t] = Hp[t] + jnp.where(stage_match, ngterm_ref[0, 0, t], 0.0)
-    H = [
-        [Hp[_sym_idx(max(i, j), min(i, j))] for j in range(NZ)]
-        for i in range(NZ)
-    ]
-
-    g = _vec(g_ref, NZ)
-
-    # Terminal stage (grid step s == 0): zero the VMEM carry BEFORE it is
-    # read, so the interior formulas collapse EXACTLY to the terminal ones
-    # (W = F·0 = 0 -> M = H bit-for-bit, Pb = 0, m = g) — no per-entry
-    # terminal/interior selects (those cost 77 VPU ops/stage at NZ=11,
-    # paid on EVERY stage of a compute-bound sweep).  The s==0 F/b blocks
-    # are clipped duplicates of stage N-1; their products vanish against
-    # the zero carry.
-    zero_t = dv[0] * 0.0
-
-    @pl.when(s == 0)
-    def _():
-        for i in range(NX):
-            px_c[i] = zero_t
-            for j in range(NX):
-                Lxx_c[i, j] = zero_t
-
-    F = _mat(F_ref, NZ, NX)
-    bb = _vec(b_ref, NX)
-    Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
-    pxn = [px_c[i] for i in range(NX)]
-    W = [[None] * NX for _ in range(NZ)]
-    for i in range(NZ):
-        for j in range(NX):
-            acc = None
-            for k in range(j, NX):
-                t = F[i][k] * Lxx[k][j]
-                acc = t if acc is None else acc + t
-            W[i][j] = acc
-    t1 = [None] * NX
-    for i in range(NX):
-        acc = None
-        for k in range(i, NX):
-            t = Lxx[k][i] * bb[k]
-            acc = t if acc is None else acc + t
-        t1[i] = acc
-    Pb = [None] * NX
-    for i in range(NX):
-        acc = None
-        for k in range(i + 1):
-            t = Lxx[i][k] * t1[k]
-            acc = t if acc is None else acc + t
-        Pb[i] = acc
-    _store_vec(Pb_ref, Pb)
-    m = []
-    for i in range(NZ):
-        acc = g[i]
-        for k in range(NX):
-            acc = acc + F[i][k] * (Pb[k] + pxn[k])
-        m.append(acc)
-    M = [[None] * NZ for _ in range(NZ)]
-    for i in range(NZ):
-        for j in range(i + 1):
-            acc = H[i][j]
-            for k in range(NX):
-                acc = acc + W[i][k] * W[j][k]
-            M[i][j] = acc
-            M[j][i] = acc
-
-    Lf, Dinv = _chol(M, NZ)
-    eu = _tril_solve(
-        [[Lf[i][j] for j in range(NU)] for i in range(NU)],
-        Dinv[:NU], m[:NU], NU,
+    Lf, eu, px, Pb = _folded_bwd_stage(
+        NU, NX, NZ, N, ng_stage_ids, s,
+        H_ref, dvec_ref, ngterm_ref, g_ref, F_ref, b_ref, Lxx_c, px_c,
     )
-    px = []
-    for i in range(NX):
-        acc = m[NU + i]
-        for k in range(NU):
-            acc = acc - Lf[NU + i][k] * eu[k]
-        px.append(acc)
-
+    _store_vec(Pb_ref, Pb)
     if split:
         for i in range(NZ):
             for j in range(NU):
@@ -777,10 +879,6 @@ def _bwd_kernel_folded(NU, NX, NZ, N, ng_stage_ids, split, *refs):
         zero = Lf[0][0] * 0.0
         _store_vec(eu_ref, eu + [zero] * (NZ - NU))
     _store_vec(px_ref, px)
-    for i in range(NX):
-        px_c[i] = px[i]
-        for j in range(NX):
-            Lxx_c[i, j] = Lf[NU + i][NU + j]
 
 
 @functools.partial(jax.jit, static_argnames=("ng_stage_ids", "NU"))
@@ -1080,29 +1178,11 @@ def _bwd_trs_kernel_ll(NU, NX, NZ, N,
 
     Ll = _mat(Ll_ref, NZ, NU)
     g = _vec(g_ref, NZ)
-    Dinv_u = [pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False) for i in range(NU)]
-
-    # m: terminal = g; interior = g + F (Pb + px_next)
+    Dinv_u = _dinv_ll(Ll, NU)
     F = _mat(F_ref, NZ, NX)
     Pb = _vec(Pb_ref, NX)
-    m_i = []
-    for i in range(NZ):
-        acc = g[i]
-        for k in range(NX):
-            acc = acc + F[i][k] * (Pb[k] + px_c[k])
-        m_i.append(acc)
-    is_t = s == 0
-    m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
-
-    eu = _tril_solve(
-        [[Ll[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, m[:NU], NU
-    )
-    px = []
-    for i in range(NX):
-        acc = m[NU + i]
-        for k in range(NU):
-            acc = acc - Ll[NU + i][k] * eu[k]
-        px.append(acc)
+    Pbpx = [Pb[k] + px_c[k] for k in range(NX)]
+    eu, px = _trs_stage(NU, NX, NZ, Ll, Dinv_u, g, F, Pbpx, s == 0)
 
     _store_vec(eu_ref, eu)
     _store_vec(px_ref, px)
@@ -1125,44 +1205,15 @@ def _bwd_trs_pb_kernel(NU, NX, NZ, N,
 
     Ll = _mat(Ll_ref, NZ, NU)
     g = _vec(g_ref, NZ)
-    Dinv_u = [pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False) for i in range(NU)]
+    Dinv_u = _dinv_ll(Ll, NU)
 
     # interior: Pb = Lxx_{n+1} (Lxx_{n+1}' b_n) from the carried factor
     F = _mat(F_ref, NZ, NX)
     bb = _vec(b_ref, NX)
     Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
-    t1 = [None] * NX
-    for i in range(NX):
-        acc = None
-        for k in range(i, NX):
-            t = Lxx[k][i] * bb[k]
-            acc = t if acc is None else acc + t
-        t1[i] = acc
-    Pb = [None] * NX
-    for i in range(NX):
-        acc = None
-        for k in range(i + 1):
-            t = Lxx[i][k] * t1[k]
-            acc = t if acc is None else acc + t
-        Pb[i] = acc
-    m_i = []
-    for i in range(NZ):
-        acc = g[i]
-        for k in range(NX):
-            acc = acc + F[i][k] * (Pb[k] + px_c[k])
-        m_i.append(acc)
-    is_t = s == 0
-    m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
-
-    eu = _tril_solve(
-        [[Ll[i][j] for j in range(NU)] for i in range(NU)], Dinv_u, m[:NU], NU
-    )
-    px = []
-    for i in range(NX):
-        acc = m[NU + i]
-        for k in range(NU):
-            acc = acc - Ll[NU + i][k] * eu[k]
-        px.append(acc)
+    Pb = _pb_of(Lxx, bb, NX)
+    Pbpx = [Pb[k] + px_c[k] for k in range(NX)]
+    eu, px = _trs_stage(NU, NX, NZ, Ll, Dinv_u, g, F, Pbpx, s == 0)
 
     _store_vec(eu_ref, eu)
     _store_vec(px_ref, px)
@@ -1363,32 +1414,11 @@ def _trs_fwd_fused_kernel(NU, NX, NZ, N,
         k = N - s
         Ll = _mat(Ll_ref, NZ, NU)
         g = _vec(g_ref, NZ)
-        Dinv_u = [
-            pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False)
-            for i in range(NU)
-        ]
+        Dinv_u = _dinv_ll(Ll, NU)
         F = _mat(F_ref, NZ, NX)
         Pb = _vec(Pb_ref, NX)
-        pxn = [px_c[i] for i in range(NX)]
-        m_i = []
-        for i in range(NZ):
-            acc = g[i]
-            for kk in range(NX):
-                acc = acc + F[i][kk] * (Pb[kk] + pxn[kk])
-            m_i.append(acc)
-        is_t = s == 0
-        m = [jnp.where(is_t, g[i], m_i[i]) for i in range(NZ)]
-
-        eu = _tril_solve(
-            [[Ll[i][j] for j in range(NU)] for i in range(NU)],
-            Dinv_u, m[:NU], NU,
-        )
-        px = []
-        for i in range(NX):
-            acc = m[NU + i]
-            for kk in range(NU):
-                acc = acc - Ll[NU + i][kk] * eu[kk]
-            px.append(acc)
+        Pbpx = [Pb[i] + px_c[i] for i in range(NX)]
+        eu, px = _trs_stage(NU, NX, NZ, Ll, Dinv_u, g, F, Pbpx, s == 0)
 
         ll_s[pl.ds(k, 1), :, :] = _cat_slab(
             [Ll[i][j] for i in range(NZ) for j in range(NU)]
@@ -1412,49 +1442,20 @@ def _trs_fwd_fused_kernel(NU, NX, NZ, N,
         pslab = px_s[pl.ds(sb, 1), :, :]
         px = [pslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NX)]
         Lxx = _mat(Lxx_ref, NX, NX)
-        Dinv_u = [
-            pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False)
-            for i in range(NU)
-        ]
+        Dinv_u = _dinv_ll(Ll, NU)
 
         @pl.when(sb == 0)
         def _():
-            Dinv_x = [
-                pl.reciprocal(jnp.maximum(Lxx[i][i], 1e-30), approx=False)
-                for i in range(NX)
-            ]
-            t = _tril_solve(Lxx, Dinv_x, [-v for v in px], NX)
-            x0 = _triu_solve_t(Lxx, Dinv_x, t, NX)
+            x0 = _root_x0(Lxx, px, NX)
             for i in range(NX):
                 x_c[i] = x0[i]
 
         x = [x_c[i] for i in range(NX)]
 
         # pi_{sb-1} (dead write at sb == 0, overwritten before copy-out)
-        t1 = [None] * NX
-        for i in range(NX):
-            acc = None
-            for kk in range(i, NX):
-                t = Lxx[kk][i] * x[kk]
-                acc = t if acc is None else acc + t
-            t1[i] = acc
-        for i in range(NX):
-            acc = px[i]
-            for kk in range(i + 1):
-                acc = acc + Lxx[i][kk] * t1[kk]
-            pi_ref[0, 0, i] = acc
+        _store_vec(pi_ref, _pi_of_x(NX, Lxx, px, x))
 
-        rhs = []
-        for i in range(NU):
-            acc = eu[i]
-            for kk in range(NX):
-                acc = acc + Ll[NU + kk][i] * x[kk]
-            rhs.append(acc)
-        u = _triu_solve_t(
-            [[Ll[i][j] for j in range(NU)] for i in range(NU)],
-            Dinv_u, rhs, NU,
-        )
-        u = [-v for v in u]
+        u = _u_of_x(NU, NX, Ll, Dinv_u, eu, x)
         for i in range(NU):
             z_ref[0, 0, i] = u[i]
         for i in range(NX):
@@ -1462,13 +1463,9 @@ def _trs_fwd_fused_kernel(NU, NX, NZ, N,
 
         F = _mat(F_ref, NZ, NX)
         bb = _vec(b_ref, NX)
+        xn = _x_next_of(NU, NX, F, bb, u, x)
         for j in range(NX):
-            acc = bb[j]
-            for i in range(NU):
-                acc = acc + F[i][j] * u[i]
-            for i in range(NX):
-                acc = acc + F[NU + i][j] * x[i]
-            x_c[j] = acc
+            x_c[j] = xn[j]
 
 
 def _cat_slab(tiles):
@@ -1568,87 +1565,14 @@ def _sv_fwd_fused_kernel(NU, NX, NZ, N, ng_stage_ids,
     Ll refetch disappear.  Phase-inactive streams pin their block index
     so the revisit cache skips their refetch."""
     s = pl.program_id(1)
-    NT = _sym_nt(NZ)
 
     @pl.when(s <= N)
     def _():
-        Hp = [H_ref[0, 0, t] for t in range(NT)]
-        dv = _vec(dvec_ref, NZ)
-        for i in range(NZ):
-            di = _sym_idx(i, i)
-            Hp[di] = Hp[di] + dv[i]
-        if len(ng_stage_ids):
-            stage_match = None
-            for stg in ng_stage_ids:
-                m = (s == N - stg)
-                stage_match = m if stage_match is None else (stage_match | m)
-            for t in range(NT):
-                Hp[t] = Hp[t] + jnp.where(stage_match, ng_ref[0, 0, t], 0.0)
-        g = _vec(g_ref, NZ)
-
-        zero_t = dv[0] * 0.0
-
-        @pl.when(s == 0)
-        def _():
-            for i in range(NX):
-                px_c[i] = zero_t
-                for j in range(NX):
-                    Lxx_c[i, j] = zero_t
-
-        F = _mat(F_ref, NZ, NX)
-        bb = _vec(b_ref, NX)
-        Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
-        pxn = [px_c[i] for i in range(NX)]
-        W = [[None] * NX for _ in range(NZ)]
-        for i in range(NZ):
-            for j in range(NX):
-                acc = None
-                for k in range(j, NX):
-                    t = F[i][k] * Lxx[k][j]
-                    acc = t if acc is None else acc + t
-                W[i][j] = acc
-        t1 = [None] * NX
-        for i in range(NX):
-            acc = None
-            for k in range(i, NX):
-                t = Lxx[k][i] * bb[k]
-                acc = t if acc is None else acc + t
-            t1[i] = acc
-        Pb = [None] * NX
-        for i in range(NX):
-            acc = None
-            for k in range(i + 1):
-                t = Lxx[i][k] * t1[k]
-                acc = t if acc is None else acc + t
-            Pb[i] = acc
-        _store_vec(Pb_ref, Pb)
-        m = []
-        for i in range(NZ):
-            acc = g[i]
-            for k in range(NX):
-                acc = acc + F[i][k] * (Pb[k] + pxn[k])
-            m.append(acc)
-        M = [[None] * NZ for _ in range(NZ)]
-        for i in range(NZ):
-            for j in range(i + 1):
-                acc = Hp[_sym_idx(i, j)]
-                for k in range(NX):
-                    acc = acc + W[i][k] * W[j][k]
-                M[i][j] = acc
-                M[j][i] = acc
-
-        Lf, Dinv = _chol(M, NZ)
-        eu = _tril_solve(
-            [[Lf[i][j] for j in range(NU)] for i in range(NU)],
-            Dinv[:NU], m[:NU], NU,
+        Lf, eu, px, Pb = _folded_bwd_stage(
+            NU, NX, NZ, N, ng_stage_ids, s,
+            H_ref, dvec_ref, ng_ref, g_ref, F_ref, b_ref, Lxx_c, px_c,
         )
-        px = []
-        for i in range(NX):
-            acc = m[NU + i]
-            for k in range(NU):
-                acc = acc - Lf[NU + i][k] * eu[k]
-            px.append(acc)
-
+        _store_vec(Pb_ref, Pb)
         for i in range(NZ):
             for j in range(NU):
                 Ll_ref[0, 0, i, j] = Lf[i][j]
@@ -1669,11 +1593,6 @@ def _sv_fwd_fused_kernel(NU, NX, NZ, N, ng_stage_ids,
                 for j in range(NX):
                     lxx0_s[i, j] = Lf[NU + i][NU + j]
 
-        for i in range(NX):
-            px_c[i] = px[i]
-            for j in range(NX):
-                Lxx_c[i, j] = Lf[NU + i][NU + j]
-
     @pl.when(s > N)
     def _():
         sb = s - (N + 1)
@@ -1687,35 +1606,17 @@ def _sv_fwd_fused_kernel(NU, NX, NZ, N, ng_stage_ids,
         eu = [eslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NU)]
         pslab = px_s[pl.ds(sb, 1), :, :]
         px = [pslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NX)]
-        Dinv_u = [
-            pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False)
-            for i in range(NU)
-        ]
+        Dinv_u = _dinv_ll(Ll, NU)
 
         @pl.when(sb == 0)
         def _():
             Lxx0 = [[lxx0_s[i, j] for j in range(NX)] for i in range(NX)]
-            Dinv_x = [
-                pl.reciprocal(jnp.maximum(Lxx0[i][i], 1e-30), approx=False)
-                for i in range(NX)
-            ]
-            t = _tril_solve(Lxx0, Dinv_x, [-v for v in px], NX)
-            x0 = _triu_solve_t(Lxx0, Dinv_x, t, NX)
+            x0 = _root_x0(Lxx0, px, NX)
             for i in range(NX):
                 x_c[i] = x0[i]
 
         x = [x_c[i] for i in range(NX)]
-        rhs = []
-        for i in range(NU):
-            acc = eu[i]
-            for k in range(NX):
-                acc = acc + Ll[NU + k][i] * x[k]
-            rhs.append(acc)
-        u = _triu_solve_t(
-            [[Ll[i][j] for j in range(NU)] for i in range(NU)],
-            Dinv_u, rhs, NU,
-        )
-        u = [-v for v in u]
+        u = _u_of_x(NU, NX, Ll, Dinv_u, eu, x)
         for i in range(NU):
             z_ref[0, 0, i] = u[i]
         for i in range(NX):
@@ -1723,13 +1624,9 @@ def _sv_fwd_fused_kernel(NU, NX, NZ, N, ng_stage_ids,
 
         F = _mat(F_ref, NZ, NX)
         bb = _vec(b_ref, NX)
+        xn = _x_next_of(NU, NX, F, bb, u, x)
         for j in range(NX):
-            acc = bb[j]
-            for i in range(NU):
-                acc = acc + F[i][j] * u[i]
-            for i in range(NX):
-                acc = acc + F[NU + i][j] * x[i]
-            x_c[j] = acc
+            x_c[j] = xn[j]
 
 
 @functools.partial(

@@ -42,15 +42,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stage_kernel import (
     BI, LANES, SUBS,
-    _chol, _mat, _mat_sym, _sym_idx, _sym_nt,
-    _to_lanes_flat, _from_lanes_flat,
-    _store_vec, _tril_solve, _triu_solve_t, _vec,
+    _chol, _dinv_ll, _mat, _mat_sym, _pb_of, _pi_of_x, _root_x0,
+    _sym_idx, _sym_nt, _to_lanes_flat, _from_lanes_flat,
+    _store_vec, _tril_solve, _triu_solve_t, _u_of_x, _vec,
 )
+
+
+# dispatch ceiling for the backward-sweep accumulator (leaves headroom
+# under the ~16 MiB/core VMEM for pipeline buffers); used by BOTH the
+# batch dispatcher and the front-door assert so they stay in lockstep
+TREE_VMEM_ACC_LIMIT = 12 * 2**20
 
 
 def tree_vmem_accumulator_bytes(n_nodes: int, NZ: int) -> int:
     """Backward-sweep accumulator footprint — the dispatch guard."""
     return n_nodes * (_sym_nt(NZ) + NZ) * SUBS * LANES * 4
+
+
+def tree_fits_fused(n_nodes: int, NZ: int) -> bool:
+    return tree_vmem_accumulator_bytes(n_nodes, NZ) <= TREE_VMEM_ACC_LIMIT
 
 
 def _slab_tiles(slab, count):
@@ -146,20 +156,7 @@ def _tree_bwd_kernel(NU, NX, NZ, n, ng_node_ids,
                     t = F[i][kk] * Lxx[kk][j]
                     acc = t if acc is None else acc + t
                 W[i][j] = acc
-        t1 = [None] * NX
-        for i in range(NX):
-            acc = None
-            for kk in range(i, NX):
-                t = Lxx[kk][i] * bb[kk]
-                acc = t if acc is None else acc + t
-            t1[i] = acc
-        Pb = [None] * NX
-        for i in range(NX):
-            acc = None
-            for kk in range(i + 1):
-                t = Lxx[i][kk] * t1[kk]
-                acc = t if acc is None else acc + t
-            Pb[i] = acc
+        Pb = _pb_of(Lxx, bb, NX)
         _store_vec(Pb_ref, Pb)
         # packed W W' and gradient term, one RMW on the parent's slab
         tiles = []
@@ -197,10 +194,7 @@ def _tree_fwd_kernel(NU, NX, NZ, n, want_pi,
 
     Ll = _mat(Ll_ref, NZ, NU)
     Lxx = _mat(Lxx_ref, NX, NX)
-    Dinv_u = [
-        pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False)
-        for i in range(NU)
-    ]
+    Dinv_u = _dinv_ll(Ll, NU)
     eu = _vec(eu_ref, NU)
     px = _vec(px_ref, NX)
 
@@ -208,17 +202,7 @@ def _tree_fwd_kernel(NU, NX, NZ, n, want_pi,
         """u from x, then z out + z slab + pi of the incoming edge
         (pi block is clipped at the root: dead write, overwritten at
         s == 1 before copy-out — grid order root -> leaves)."""
-        rhs = []
-        for i in range(NU):
-            acc = eu[i]
-            for kk in range(NX):
-                acc = acc + Ll[NU + kk][i] * x[kk]
-            rhs.append(acc)
-        u = _triu_solve_t(
-            [[Ll[i][j] for j in range(NU)] for i in range(NU)],
-            Dinv_u, rhs, NU,
-        )
-        u = [-v for v in u]
+        u = _u_of_x(NU, NX, Ll, Dinv_u, eu, x)
         for i in range(NU):
             z_ref[0, 0, i] = u[i]
         for i in range(NX):
@@ -226,29 +210,12 @@ def _tree_fwd_kernel(NU, NX, NZ, n, want_pi,
         zs_ref[pl.ds(s, 1), :, :] = _tiles_slab(u + x)
         if want_pi:
             # pi_e = Lxx_k (Lxx_k' x_k) + px_k   (edge INTO this node)
-            t1 = [None] * NX
-            for i in range(NX):
-                acc = None
-                for kk in range(i, NX):
-                    t = Lxx[kk][i] * x[kk]
-                    acc = t if acc is None else acc + t
-                t1[i] = acc
-            for i in range(NX):
-                acc = px[i]
-                for kk in range(i + 1):
-                    acc = acc + Lxx[i][kk] * t1[kk]
-                pi_ref[0, 0, i] = acc
+            _store_vec(pi_ref, _pi_of_x(NX, Lxx, px, x))
 
     @pl.when(s == 0)
     def _():
-        # root: x0 = -(Lxx Lxx')^{-1} px (free/eliminated initial state)
-        Dinv_x = [
-            pl.reciprocal(jnp.maximum(Lxx[i][i], 1e-30), approx=False)
-            for i in range(NX)
-        ]
-        t = _tril_solve(Lxx, Dinv_x, [-v for v in px], NX)
-        x0 = _triu_solve_t(Lxx, Dinv_x, t, NX)
-        emit(x0)
+        # root: free/eliminated initial state
+        emit(_root_x0(Lxx, px, NX))
 
     @pl.when(s != 0)
     def _():
@@ -284,10 +251,7 @@ def _tree_trs_kernel(NU, NX, NZ, n,
 
     Ll = _mat(Ll_ref, NZ, NU)
     g = _vec(g_ref, NZ)
-    Dinv_u = [
-        pl.reciprocal(jnp.maximum(Ll[i][i], 1e-30), approx=False)
-        for i in range(NU)
-    ]
+    Dinv_u = _dinv_ll(Ll, NU)
 
     mslab = accm_ref[pl.ds(k, 1), :, :]
     accm = _slab_tiles(mslab, NZ)

@@ -111,8 +111,7 @@ def solve_batched_tree(tdef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
         and qp.dtype == jnp.float32
         and int(getattr(cfg, "iter_ref", 0)) == 0
         and not cfg.warm_start
-        and tk.tree_vmem_accumulator_bytes(tdef.n_nodes, dims.NZ)
-        <= 12 * 2**20
+        and tk.tree_fits_fused(tdef.n_nodes, dims.NZ)
     ):
         return _tree.solve_tree_ipm_flat(tdef, dims, qp, cfg)
     return jax.vmap(

@@ -487,3 +487,42 @@ def test_flat_engine_fused_sweeps_flag(interpret_pallas, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(sol_f.pi), np.asarray(sol_d.pi), atol=5e-3
     )
+
+
+def test_soft_engine_fused_sweeps_flag(interpret_pallas, monkeypatch):
+    """The soft engine's corrector resolve also routes through the fused
+    kernel under HPMPC_FUSED_SWEEPS; iterates must match the default."""
+    import jax.numpy as jnp
+
+    from hpmpc_tpu.models import ipm_fast
+    from hpmpc_tpu.utils.mass_spring import mass_spring_soft_qp
+
+    B = 1024
+    dims, qp, soft = mass_spring_soft_qp(8, 3, 5, Z=10.0, dtype=jnp.float32)
+    qps = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), qp
+    )
+    softs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), soft
+    )
+    rng = np.random.default_rng(11)
+    qps = dataclasses.replace(
+        qps,
+        g=qps.g * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(B), jnp.float32
+        )[:, None, None],
+    )
+    idxbs = np.asarray(soft.idxbs)
+    cfg = ipm.IPMConfig(k_max=4, mu0=100.0, mu_tol=1e-5, use_pallas=True)
+
+    sol_d = jax.jit(
+        lambda q, s: pbatch.solve_batched_soft(dims, q, s, cfg, idxbs=idxbs)
+    )(qps, softs)
+    monkeypatch.setattr(ipm_fast, "_FUSED_SWEEPS", True)
+    sol_f = jax.jit(
+        lambda q, s: pbatch.solve_batched_soft(dims, q, s, cfg, idxbs=idxbs)
+    )(qps, softs)
+    assert bool(jnp.all(sol_d.kk == sol_f.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_f.z), np.asarray(sol_d.z), atol=5e-4
+    )

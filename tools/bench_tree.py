@@ -42,22 +42,14 @@ def main():
     from hpmpc_tpu.models import ipm
     from hpmpc_tpu.parallel import batch as pbatch
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(
-        0,
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "tests",
-        ),
-    )
-    from test_tree_flat import _tree_qp  # the shared tree problem builder
+    from hpmpc_tpu.utils.mass_spring import mass_spring_tree_qp
 
     B = 4096
     K_ITERS = 8
     md, Nr, Nh = 2, 2, 8  # 31 nodes — the tree_mpc.py example topology
     dt = jnp.float32
 
-    tdef, dims, qp = _tree_qp(md=md, Nr=Nr, Nh=Nh, nx=4, nu=2)
+    tdef, dims, qp = mass_spring_tree_qp(md=md, Nr=Nr, Nh=Nh, nx=4, nu=2)
     qpb = pbatch.broadcast_qp(qp, B)
     rng = np.random.default_rng(0)
     pert = jnp.asarray(1 + 0.02 * rng.standard_normal(B), dt)[:, None, None]
