@@ -1032,10 +1032,11 @@ def _from_lanes_flat(y, B):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ng_stage_ids", "NU", "NZ", "NX", "want_pi")
+    jax.jit,
+    static_argnames=("ng_stage_ids", "NU", "NZ", "NX", "want_pi", "lanes_io"),
 )
 def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
-                             NU, NZ, NX, want_pi=True):
+                             NU, NZ, NX, want_pi=True, lanes_io=False):
     """Flat-state fused sv.  Hl (nb, N+1, NZ(NZ+1)/2, 8, 128) is the
     loop-invariant stage Hessian as a PACKED lower-triangle lanes stream
     (``sym_compress`` + ``_to_lanes``, done ONCE outside the IPM loop);
@@ -1045,6 +1046,11 @@ def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
     (nb, max(n_ng, 1), NZ(NZ+1)/2, 8, 128).
 
     Returns (zF, piF, fstate) with fstate = (L_lanes, Pb_lanes).
+
+    ``lanes_io=True`` takes dvecF/gF/bF ALREADY in lanes form
+    ((nb, N+1, NZ, 8, 128) / (nb, N, NX, 8, 128)) and returns z/pi in
+    lanes form too — the lanes-resident IPM loop (models/ipm_lanes.py)
+    keeps all state on this layout so no per-call transposes happen.
     """
     nb = Hl.shape[0]
     B = nb * BI
@@ -1055,9 +1061,12 @@ def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
     NT = _sym_nt(NZ)
     assert Hl.shape[2] == NT, "Hl must be sym-packed (see sym_compress)"
 
-    dl = _to_lanes_flat(dvecF, B, (Np1, NZ))
-    gl = _to_lanes_flat(gF, B, (Np1, NZ))
-    bl = _to_lanes_flat(bF, B, (N, NX))
+    if lanes_io:
+        dl, gl, bl = dvecF, gF, bF
+    else:
+        dl = _to_lanes_flat(dvecF, B, (Np1, NZ))
+        gl = _to_lanes_flat(gF, B, (Np1, NZ))
+        bl = _to_lanes_flat(bF, B, (N, NX))
 
     def ng_slot(s):
         slot = 0
@@ -1113,13 +1122,14 @@ def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
     )(*args)
 
     zF, piF = _forward_from_lanes(
-        Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX, want_pi=want_pi
+        Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX, want_pi=want_pi,
+        lanes_out=lanes_io,
     )
     return zF, piF, (Ll_l, Lxx_l, Pb_l)
 
 
 def _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX,
-                        want_pi=True):
+                        want_pi=True, lanes_out=False):
     nb = B // BI
     dt = Ll_l.dtype
     fkernel = functools.partial(_fwd_kernel_split, NU, NX, NZ, N, want_pi)
@@ -1161,8 +1171,12 @@ def _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX,
 
     if want_pi:
         z_l, pi_l = outs
+        if lanes_out:
+            return z_l, pi_l
         return _from_lanes_flat(z_l, B), _from_lanes_flat(pi_l, B)
     (z_l,) = outs if isinstance(outs, (list, tuple)) else (outs,)
+    if lanes_out:
+        return z_l, None
     return _from_lanes_flat(z_l, B), None
 
 
@@ -1266,8 +1280,8 @@ def solve_flat_pb(Ll_l, Lxx_l, gF, Fl, bF, NU, NZ, NX):
     return _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
 
 
-@functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
-def solve_flat(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
+@functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX", "lanes_io"))
+def solve_flat(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX, lanes_io=False):
     """Flat-state fused trs with the LANES-form retained split factor."""
     nb = Ll_l.shape[0]
     B = nb * BI
@@ -1275,8 +1289,11 @@ def solve_flat(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
     N = Np1 - 1
     dt = Ll_l.dtype
 
-    gl = _to_lanes_flat(gF, B, (Np1, NZ))
-    bl = _to_lanes_flat(bF, B, (N, NX))
+    if lanes_io:
+        gl, bl = gF, bF
+    else:
+        gl = _to_lanes_flat(gF, B, (Np1, NZ))
+        bl = _to_lanes_flat(bF, B, (N, NX))
 
     kernel = functools.partial(_bwd_trs_kernel_ll, NU, NX, NZ, N)
     eu_l, px_l = pl.pallas_call(
@@ -1299,7 +1316,10 @@ def solve_flat(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
         scratch_shapes=[pltpu.VMEM((NX, SUBS, LANES), dt)],
     )(Ll_l, gl, Fl, Pb_l)
 
-    return _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
+    return _forward_from_lanes(
+        Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX,
+        lanes_out=lanes_io,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1473,8 +1493,9 @@ def _cat_slab(tiles):
     return jnp.concatenate(tiles, axis=0)[None]
 
 
-@functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
-def solve_flat_fused(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
+@functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX", "lanes_io"))
+def solve_flat_fused(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX,
+                     lanes_io=False):
     """Fused-trs+fwd twin of :func:`solve_flat` (identical contract)."""
     nb = Ll_l.shape[0]
     B = nb * BI
@@ -1482,8 +1503,11 @@ def solve_flat_fused(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
     N = Np1 - 1
     dt = Ll_l.dtype
 
-    gl = _to_lanes_flat(gF, B, (Np1, NZ))
-    bl = _to_lanes_flat(bF, B, (N, NX))
+    if lanes_io:
+        gl, bl = gF, bF
+    else:
+        gl = _to_lanes_flat(gF, B, (Np1, NZ))
+        bl = _to_lanes_flat(bF, B, (N, NX))
 
     # phase-inactive streams pin their block index to a constant: Pallas'
     # revisit cache then skips the refetch for the whole inactive phase
@@ -1541,6 +1565,8 @@ def solve_flat_fused(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
         ],
     )(Ll_l, Lxx_l, gl, Fl, Pb_l, bl)
 
+    if lanes_io:
+        return z_l, pi_l
     zF = _from_lanes_flat(z_l, B)
     piF = _from_lanes_flat(pi_l, B)
     return zF, piF
@@ -1630,10 +1656,10 @@ def _sv_fwd_fused_kernel(NU, NX, NZ, N, ng_stage_ids,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ng_stage_ids", "NU", "NZ", "NX")
+    jax.jit, static_argnames=("ng_stage_ids", "NU", "NZ", "NX", "lanes_io")
 )
 def factor_solve_folded_flat_fused(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
-                                   NU, NZ, NX):
+                                   NU, NZ, NX, lanes_io=False):
     """Fused sv+fwd twin of factor_solve_folded_flat(want_pi=False):
     identical contract (piF returned as None)."""
     nb = Hl.shape[0]
@@ -1645,9 +1671,12 @@ def factor_solve_folded_flat_fused(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
     NT = _sym_nt(NZ)
     assert Hl.shape[2] == NT, "Hl must be sym-packed (see sym_compress)"
 
-    dl = _to_lanes_flat(dvecF, B, (Np1, NZ))
-    gl = _to_lanes_flat(gF, B, (Np1, NZ))
-    bl = _to_lanes_flat(bF, B, (N, NX))
+    if lanes_io:
+        dl, gl, bl = dvecF, gF, bF
+    else:
+        dl = _to_lanes_flat(dvecF, B, (Np1, NZ))
+        gl = _to_lanes_flat(gF, B, (Np1, NZ))
+        bl = _to_lanes_flat(bF, B, (N, NX))
 
     def ng_slot(s):
         slot = 0
@@ -1720,5 +1749,7 @@ def factor_solve_folded_flat_fused(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
         ],
     )(Hl, dl, ngl, gl, Fl, bl)
 
+    if lanes_io:
+        return z_l, None, (Ll_l, Lxx_l, Pb_l)
     zF = _from_lanes_flat(z_l, B)
     return zF, None, (Ll_l, Lxx_l, Pb_l)

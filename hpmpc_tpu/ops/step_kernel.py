@@ -1,0 +1,506 @@
+"""Pallas TPU kernels for the IPM step primitives (box-constraint streams).
+
+The reference vectorizes the elementwise-over-constraints IPM work as a
+family of AVX/NEON primitives (``mpc_solvers/avx/d_aux_ip_hard_lib4.c:248``,
+portable twins in ``mpc_solvers/c99/``; census ``include/mpc_aux.h:33-103``):
+``d_update_hessian_gradient_res_*`` (barrier diag/gradient from slacks),
+``d_compute_alpha_res_*`` (fraction-to-boundary line search),
+``d_compute_centering_correction_res_*`` / ``d_update_gradient_res_*``
+(corrector rhs), ``d_update_var_res_*`` (damped iterate update) and
+``d_res_res_mpc_hard_tv`` (exact KKT residuals,
+``mpc_solvers/{c99,avx}/d_res_ip_res_hard.c:39``).
+
+Here the same step phases run as Pallas kernels over the LANES-RESIDENT
+loop state of :mod:`hpmpc_tpu.models.ipm_lanes`: every (B, k) stream lives
+as ``(nb, N+1, k, 8, 128)`` tiles (instances in the vector lanes, one
+(8,128) tile per constraint slot per stage), so
+
+  * the box gather/scatter between z-space and constraint-space is a
+    handful of *dynamic tile indexes* from an SMEM index table (the flat
+    engine's 0/1 selection-matrix matmuls at HIGHEST precision cost ~6
+    MXU passes each; a tile index is free);
+  * the ~30 elementwise passes + reductions XLA runs per iteration fuse
+    into one VMEM-resident pass per phase;
+  * the fraction-to-boundary min-reduction and the duality-gap sums are
+    accumulated per stage in-kernel and finished on (nb, N+1, 8, 128)
+    partials by XLA (tiny).
+
+General (ng) constraint streams are NOT handled here: at realistic sizes
+they are a few (B, NG) vectors on a few stages — the XLA einsum path in
+``ipm_lanes`` costs nothing and keeps these kernels single-purpose.
+
+Layout invariants (shared with ops/stage_kernel.py):
+  - box streams are stage-major: slot k in [0, NB) is the LOWER bound of
+    box constraint k, slot NB + k the UPPER bound (the flat engine's
+    [lower-all; upper-all] split becomes per-stage [lower; upper]);
+  - ``idx_tab[n, k]`` (int32, SMEM) is the z-slot of box variable k at
+    stage n in [0, NZ); padded constraints point at slot 0 and carry a
+    zero mask, so their scattered contribution is exactly 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stage_kernel import BI, LANES, SUBS
+
+# ---------------------------------------------------------------------------
+# shared in-kernel box math (trace-time helpers on (k, 8, 128) bulk arrays)
+# ---------------------------------------------------------------------------
+
+
+def _t_inv_lamt(lam, t, mb):
+    """Masked 1/t and lam/t (the reference's Qx diagonal pieces)."""
+    rec = 1.0 / jnp.where(mb > 0, t, 1.0)
+    t_inv = rec * mb
+    return t_inv, lam * t_inv
+
+
+def _qx_fold(NB, phase2, lam, t, mb, A, M):
+    """(Qx_fold, qx_fold) per box variable, both (NB, 8, 128), masked.
+
+    Phase 1 (delta formulation, A = d_cat):
+        qx = fold(-sgn*lam - lamt*d_cat)
+    Phase 2 (residual formulation, A = rd, M = rm):
+        qx = fold(sgn*t_inv*rm - lamt*rd)
+    sgn is +1 on the lower half, -1 on the upper half; fold = lo + up.
+    """
+    t_inv, lamt = _t_inv_lamt(lam, t, mb)
+    if phase2:
+        q_lo = t_inv[:NB] * M[:NB] - lamt[:NB] * A[:NB]
+        q_up = -t_inv[NB:] * M[NB:] - lamt[NB:] * A[NB:]
+    else:
+        q_lo = -lam[:NB] - lamt[:NB] * A[:NB]
+        q_up = lam[NB:] - lamt[NB:] * A[NB:]
+    mbl = mb[:NB]
+    return (lamt[:NB] + lamt[NB:]) * mbl, (q_lo + q_up) * mbl
+
+
+def _gather_box(ref, idx_ref, NB):
+    """z-space block ref (1, 1, NZ, 8, 128) -> (NB, 8, 128) gathered via
+    the SMEM index table (dynamic tile loads)."""
+    rows = [ref[0, 0, pl.ds(idx_ref[0, k], 1)] for k in range(NB)]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _scatter_add_box(out_ref, idx_ref, v, NB):
+    """out_ref (1, 1, NZ, 8, 128) slots += v[k] (dynamic tile RMW).
+    Padded constraints carry v[k] == 0 and point at slot 0 (harmless)."""
+    for k in range(NB):
+        sl = pl.ds(idx_ref[0, k], 1)
+        out_ref[0, 0, sl] = out_ref[0, 0, sl] + v[k : k + 1]
+
+
+def _dt_dlam(NB, phase2, lam, t, mb, A, M, zb, dl0):
+    """Box (dt, dlam) for a direction whose gathered z-values are ``zb``
+    (phase 1: the full affine/corrector iterate; phase 2: the delta).
+
+    Phase 1: dt = (sgn*(zb2 - d_cat) - t) * mb ; dlam = (dl0 - lamt*dt - lam) * mb
+    Phase 2: dt = sgn*(zb2 - rd) * mb          ; dlam = -t_inv*(lam*dt + M) * mb
+    (``M`` is rm/rm2 in phase 2; ``dl0`` is 0 or the phase-1 centering
+    correction dl2.)"""
+    t_inv, lamt = _t_inv_lamt(lam, t, mb)
+    if phase2:
+        dt_lo = (zb - A[:NB]) * mb[:NB]
+        dt_up = (A[NB:] - zb) * mb[NB:]
+        dt = jnp.concatenate([dt_lo, dt_up], axis=0)
+        dlam = -t_inv * (lam * dt + M) * mb
+    else:
+        dt_lo = ((zb - A[:NB]) - t[:NB]) * mb[:NB]
+        dt_up = ((A[NB:] - zb) - t[NB:]) * mb[NB:]
+        dt = jnp.concatenate([dt_lo, dt_up], axis=0)
+        dlam = (dl0 - lamt * dt - lam) * mb
+    return dt, dlam
+
+
+def _alpha_cands(v, dv, mb):
+    """Fraction-to-boundary candidates: -v/dv where dv < 0 (masked)."""
+    pred = (dv < 0.0) & (mb > 0.0)
+    return jnp.where(pred, -v / jnp.where(pred, dv, -1.0), jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# S1: barrier diag + effective gradient (d_update_hessian_gradient_res_*)
+# ---------------------------------------------------------------------------
+
+
+def _prep_kernel(NB, NZ, phase2, has_m,
+                 idx_ref, lam_ref, t_ref, a_ref, *rest):
+    if has_m:
+        m_ref, base_ref, pd_ref, mb_ref, dvec_ref, geff_ref = rest
+        M = m_ref[0, 0]
+    else:
+        base_ref, pd_ref, mb_ref, dvec_ref, geff_ref = rest
+        M = None
+    lam = lam_ref[0, 0]
+    t = t_ref[0, 0]
+    A = a_ref[0, 0]
+    mb = mb_ref[0, 0]
+
+    Qx_f, qx_f = _qx_fold(NB, phase2, lam, t, mb, A, M)
+
+    dvec_ref[0, 0] = pd_ref[0, 0]
+    _scatter_add_box(dvec_ref, idx_ref, Qx_f, NB)
+    geff_ref[0, 0] = base_ref[0, 0]
+    _scatter_add_box(geff_ref, idx_ref, qx_f, NB)
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "NZ", "phase2"))
+def prep_flat(idx_tab, lam, t, A, M, mb, base, pdreg, NB, NZ, phase2):
+    """Barrier Hessian diag (z-space) + effective gradient, one pass.
+
+    lam/t/A/M/mb: (nb, N+1, 2NB, 8, 128) stage-major box streams
+    (A = d_cat phase 1, rd phase 2; M = rm, phase 2 only, else None);
+    base: (nb, N+1, NZ, 8, 128) gradient base (g or rq);
+    pdreg: pad_diag + reg, same shape.  Returns (dvec_l, geff_l)."""
+    nb, Np1 = lam.shape[0], lam.shape[1]
+    dt = lam.dtype
+    NB2 = 2 * NB
+
+    box_spec = pl.BlockSpec((1, 1, NB2, SUBS, LANES),
+                            lambda bb, s: (bb, s, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                          lambda bb, s: (bb, s, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, NB), lambda bb, s: (s, 0),
+                            memory_space=pltpu.SMEM)
+
+    has_m = M is not None
+    args = [idx_tab, lam, t, A] + ([M] if has_m else []) + [base, pdreg, mb]
+    in_specs = [idx_spec, box_spec, box_spec, box_spec] + \
+        ([box_spec] if has_m else []) + [z_spec, z_spec, box_spec]
+
+    kernel = functools.partial(_prep_kernel, NB, NZ, phase2, has_m)
+    dvec_l, geff_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=in_specs,
+        out_specs=[z_spec, z_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+        ],
+    )(*args)
+    return dvec_l, geff_l
+
+
+# ---------------------------------------------------------------------------
+# S2/S4: direction slack/multiplier steps, alpha, and the duality-gap sums
+# (d_compute_alpha_res_* + d_compute_mu_res_* expanded in alpha)
+# ---------------------------------------------------------------------------
+
+
+def _alpha_kernel(NB, NZ, phase2, has_m, has_dl0,
+                  idx_ref, dz_ref, lam_ref, t_ref, a_ref, *rest):
+    rest = list(rest)
+    M = rest.pop(0)[0, 0] if has_m else None
+    dl0 = rest.pop(0)[0, 0] if has_dl0 else 0.0
+    mb_ref, dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref = rest
+    lam = lam_ref[0, 0]
+    t = t_ref[0, 0]
+    A = a_ref[0, 0]
+    mb = mb_ref[0, 0]
+
+    zb = _gather_box(dz_ref, idx_ref, NB)
+    dt_b, dl_b = _dt_dlam(NB, phase2, lam, t, mb, A, M, zb, dl0)
+    dt_ref[0, 0] = dt_b
+    dl_ref[0, 0] = dl_b
+
+    cand = jnp.minimum(
+        _alpha_cands(lam, dl_b, mb), _alpha_cands(t, dt_b, mb)
+    )
+    amin_ref[0, 0] = jnp.min(cand, axis=0)
+
+    # mu(alpha) = (S0 + a*S1 + a^2*S2) / n_constr, accumulated masked:
+    s0_ref[0, 0] = jnp.sum(lam * t * mb, axis=0)
+    s1_ref[0, 0] = jnp.sum(lam * dt_b + t * dl_b, axis=0)
+    s2_ref[0, 0] = jnp.sum(dl_b * dt_b, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("NB", "NZ", "phase2")
+)
+def alpha_sums_flat(idx_tab, dz_l, lam, t, A, M, dl0, mb, NB, NZ, phase2):
+    """Box (dt, dlam) streams for direction ``dz_l`` plus the per-stage
+    fraction-to-boundary minima and duality-gap sum partials.
+
+    Returns (dt_l, dl_l, amin, s0, s1, s2) with the last four shaped
+    (nb, N+1, 8, 128); callers finish with a min/sum over stage axis 1 and
+    ``mu(a) = (s0 + a*s1 + a^2*s2) / n_constr``.  ``dl0`` is the phase-1
+    centering-correction stream (corrector pass) or None; ``M`` is the
+    rm/rm2 stream in phase 2."""
+    nb, Np1 = lam.shape[0], lam.shape[1]
+    dt = lam.dtype
+    NB2 = 2 * NB
+
+    box_spec = pl.BlockSpec((1, 1, NB2, SUBS, LANES),
+                            lambda bb, s: (bb, s, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                          lambda bb, s: (bb, s, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((1, 1, SUBS, LANES),
+                          lambda bb, s: (bb, s, 0, 0),
+                          memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, NB), lambda bb, s: (s, 0),
+                            memory_space=pltpu.SMEM)
+
+    has_m = M is not None
+    has_dl0 = dl0 is not None
+    args = [idx_tab, dz_l, lam, t, A]
+    in_specs = [idx_spec, z_spec, box_spec, box_spec, box_spec]
+    if has_m:
+        args.append(M)
+        in_specs.append(box_spec)
+    if has_dl0:
+        args.append(dl0)
+        in_specs.append(box_spec)
+    args.append(mb)
+    in_specs.append(box_spec)
+
+    kernel = functools.partial(
+        _alpha_kernel, NB, NZ, phase2, has_m, has_dl0
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=in_specs,
+        out_specs=[box_spec, box_spec, r_spec, r_spec, r_spec, r_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NB2, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NB2, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, SUBS, LANES), dt),
+        ],
+    )(*args)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# S3: centering/corrector gradient (d_compute_centering_correction_res_* +
+# d_update_gradient_res_*): corrector stream + second effective gradient
+# ---------------------------------------------------------------------------
+
+
+def _corr_kernel(NB, NZ, phase2, has_m,
+                 idx_ref, lam_ref, t_ref, a_ref, *rest):
+    rest = list(rest)
+    M = rest.pop(0)[0, 0] if has_m else None
+    (dtb_ref, dlb_ref, sm_ref, base_ref, mb_ref,
+     geff_ref, co_ref) = rest
+    lam = lam_ref[0, 0]
+    t = t_ref[0, 0]
+    A = a_ref[0, 0]
+    mb = mb_ref[0, 0]
+    dtb = dtb_ref[0, 0]
+    dlb = dlb_ref[0, 0]
+    sm = sm_ref[0, 0]  # (8, 128), broadcasts over slots
+
+    t_inv, lamt = _t_inv_lamt(lam, t, mb)
+    if phase2:
+        # rm2 = rm + (dt*dl - sigma*mu); qx2 = fold(sgn*t_inv*rm2 - lamt*rd)
+        rm2 = (M + (dtb * dlb - sm)) * mb
+        co_ref[0, 0] = rm2
+        q_lo = t_inv[:NB] * rm2[:NB] - lamt[:NB] * A[:NB]
+        q_up = -t_inv[NB:] * rm2[NB:] - lamt[NB:] * A[NB:]
+        qx_f = (q_lo + q_up) * mb[:NB]
+    else:
+        # dl2 = t_inv*(sigma*mu - dl*dt); qx2 = qx + fold(-sgn*dl2)
+        dl2 = t_inv * (sm - dlb * dtb) * mb
+        co_ref[0, 0] = dl2
+        q_lo = -lam[:NB] - lamt[:NB] * A[:NB] - dl2[:NB]
+        q_up = lam[NB:] - lamt[NB:] * A[NB:] + dl2[NB:]
+        qx_f = (q_lo + q_up) * mb[:NB]
+
+    geff_ref[0, 0] = base_ref[0, 0]
+    _scatter_add_box(geff_ref, idx_ref, qx_f, NB)
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "NZ", "phase2"))
+def corr_geff_flat(idx_tab, lam, t, A, M, dtb_l, dlb_l, sm_l, base, mb,
+                   NB, NZ, phase2):
+    """Corrector stream + second effective gradient in one pass.
+
+    Returns (geff2_l, co_l): ``co_l`` is the phase-1 centering correction
+    dl2 or the phase-2 corrected complementarity residual rm2 (both
+    consumed by the corrector ``alpha_sums_flat`` pass).  ``sm_l`` is
+    sigma*mu as an (nb, 1, 8, 128) lanes scalar."""
+    nb, Np1 = lam.shape[0], lam.shape[1]
+    dt = lam.dtype
+    NB2 = 2 * NB
+
+    box_spec = pl.BlockSpec((1, 1, NB2, SUBS, LANES),
+                            lambda bb, s: (bb, s, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                          lambda bb, s: (bb, s, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sm_spec = pl.BlockSpec((1, 1, SUBS, LANES),
+                           lambda bb, s: (bb, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, NB), lambda bb, s: (s, 0),
+                            memory_space=pltpu.SMEM)
+
+    has_m = M is not None
+    args = [idx_tab, lam, t, A] + ([M] if has_m else []) + \
+        [dtb_l, dlb_l, sm_l, base, mb]
+    in_specs = [idx_spec, box_spec, box_spec, box_spec] + \
+        ([box_spec] if has_m else []) + \
+        [box_spec, box_spec, sm_spec, z_spec, box_spec]
+
+    kernel = functools.partial(_corr_kernel, NB, NZ, phase2, has_m)
+    geff2_l, co_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=in_specs,
+        out_specs=[z_spec, box_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NB2, SUBS, LANES), dt),
+        ],
+    )(*args)
+    return geff2_l, co_l
+
+
+# ---------------------------------------------------------------------------
+# S6: full KKT residual assembly (d_res_res_mpc_hard_tv twin,
+# mpc_solvers/{c99,avx}/d_res_ip_res_hard.c:39) on lanes streams
+# ---------------------------------------------------------------------------
+
+
+def _resid_kernel(NB, NU, NX, NZ, N,
+                  idx_ref, H_ref, F_ref, z_ref, zn_ref, pi_ref, pip_ref,
+                  g_ref, b_ref, lam_ref, t_ref, dcat_ref, mb_ref,
+                  zm_ref, xm_ref,
+                  rq_ref, rb_ref, rd_ref, rm_ref, musum_ref):
+    from .stage_kernel import _mat, _mat_sym, _vec
+
+    s = pl.program_id(1)
+    interior = (s < N).astype(z_ref.dtype)  # fpi / rb only for n < N
+
+    H = _mat_sym(H_ref, NZ)
+    F = _mat(F_ref, NZ, NX)
+    z = _vec(z_ref, NZ)
+    piv = _vec(pi_ref, NX)
+    pip = _vec(pip_ref, NX)
+    g = _vec(g_ref, NZ)
+
+    not_first = (s > 0).astype(z_ref.dtype)
+    rq = []
+    for i in range(NZ):
+        acc = g[i]
+        for j in range(NZ):
+            acc = acc + H[i][j] * z[j]
+        fpi = F[i][0] * piv[0]
+        for x in range(1, NX):
+            fpi = fpi + F[i][x] * piv[x]
+        acc = acc + interior * fpi
+        if i >= NU:
+            acc = acc - not_first * pip[i - NU]
+        rq.append(acc)
+    for i in range(NZ):
+        rq_ref[0, 0, i] = rq[i]
+
+    lam = lam_ref[0, 0]
+    mb = mb_ref[0, 0]
+    lam_f = (lam[NB:] - lam[:NB]) * mb[:NB]  # fold(-sgn*lam)
+    _scatter_add_box(rq_ref, idx_ref, lam_f, NB)
+    rq_ref[0, 0] = rq_ref[0, 0] * zm_ref[0, 0]
+
+    # rb_n = (b_n + F_n' z_n - x_{n+1}) * x_mask  (garbage written at the
+    # dead stage-N slot; callers slice [:, :N])
+    bb = _vec(b_ref, NX)
+    xm = _vec(xm_ref, NX)
+    for x in range(NX):
+        acc = F[0][x] * z[0]
+        for j in range(1, NZ):
+            acc = acc + F[j][x] * z[j]
+        rb_ref[0, 0, x] = (bb[x] + acc - zn_ref[0, 0, NU + x]) * xm[x]
+
+    # box slack/complementarity residuals + the mu partial sum
+    t_b = t_ref[0, 0]
+    dcat = dcat_ref[0, 0]
+    zb = _gather_box(z_ref, idx_ref, NB)
+    zb2 = jnp.concatenate([zb, zb], axis=0)
+    sg = jnp.concatenate(
+        [jnp.ones_like(zb), -jnp.ones_like(zb)], axis=0
+    )
+    rd = (dcat - zb2 + sg * t_b) * mb
+    rm = lam * t_b * mb
+    rd_ref[0, 0] = rd
+    rm_ref[0, 0] = rm
+    musum_ref[0, 0] = jnp.sum(rm, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "NU", "NZ", "NX"))
+def resid_full_flat(idx_tab, Hl, Fl, z_l, pi_l, gl, bl, lam, t, dcat, mb,
+                    zmask_l, xmask_l, NB, NU, NZ, NX):
+    """Exact KKT residuals, assembled fully in-kernel on lanes streams.
+
+    Returns (rq_l, rb_l, rd_l, rm_l, musum) — rb_l is (nb, N+1, NX, 8, 128)
+    with a garbage stage-N slot (slice [:, :N]); musum is the per-stage
+    complementarity sum (finish with sum over stage axis / n_constr, plus
+    any general-constraint terms).  The general-constraint contributions
+    to rq (C' fold) are added by the caller on the lanes layout."""
+    nb, Np1 = lam.shape[0], lam.shape[1]
+    N = Np1 - 1
+    dt = lam.dtype
+    NB2 = 2 * NB
+    NT = Hl.shape[2]
+
+    box_spec = pl.BlockSpec((1, 1, NB2, SUBS, LANES),
+                            lambda bb, s: (bb, s, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                          lambda bb, s: (bb, s, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    zn_spec = pl.BlockSpec((1, 1, NZ, SUBS, LANES),
+                           lambda bb, s: (bb, jnp.clip(s + 1, 0, N), 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, 1, NX, SUBS, LANES),
+                          lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    xp_spec = pl.BlockSpec((1, 1, NX, SUBS, LANES),
+                           lambda bb, s: (bb, jnp.clip(s - 1, 0, N - 1), 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, 1, NT, SUBS, LANES),
+                          lambda bb, s: (bb, s, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((1, 1, NZ, NX, SUBS, LANES),
+                          lambda bb, s: (bb, jnp.clip(s, 0, N - 1), 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    r_spec = pl.BlockSpec((1, 1, SUBS, LANES),
+                          lambda bb, s: (bb, s, 0, 0),
+                          memory_space=pltpu.VMEM)
+    rbo_spec = pl.BlockSpec((1, 1, NX, SUBS, LANES),
+                            lambda bb, s: (bb, s, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, NB), lambda bb, s: (s, 0),
+                            memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_resid_kernel, NB, NU, NX, NZ, N)
+    rq_l, rb_l, rd_l, rm_l, musum = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=[idx_spec, h_spec, f_spec, z_spec, zn_spec, x_spec,
+                  xp_spec, z_spec, x_spec, box_spec, box_spec, box_spec,
+                  box_spec, z_spec, x_spec],
+        out_specs=[z_spec, rbo_spec, box_spec, box_spec, r_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NX, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NB2, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NB2, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, SUBS, LANES), dt),
+        ],
+    )(idx_tab, Hl, Fl, z_l, z_l, pi_l, pi_l, gl, bl, lam, t, dcat, mb,
+      zmask_l, xmask_l)
+    return rq_l, rb_l, rd_l, rm_l, musum
