@@ -1,0 +1,589 @@
+"""Lanes-resident batched IPM — the all-kernel TPU throughput engine.
+
+Same two-phase Mehrotra predictor-corrector as :mod:`.ipm` /
+:mod:`.ipm_fast` (``mpc_solvers/d_ip2_res_hard.c:116``), with the ENTIRE
+loop state held in the Pallas kernels' native lanes layout
+(``(nb, N+1, k, 8, 128)`` — instances in the vector lanes, one (8, 128)
+tile per slot per stage).  Where :mod:`.ipm_fast` keeps ``(B, flat)``
+state and pays, per iteration,
+
+  * ~8 HIGHEST-precision 0/1 selection-matrix matmuls for the box
+    gather/scatters (~6 MXU passes each),
+  * two lanes transposes per Riccati sweep call (g/b in, z/pi out),
+  * ~30 XLA elementwise passes + reductions over the slack streams,
+
+here every step phase is one Pallas kernel from :mod:`..ops.step_kernel`
+(the reference's arch-vectorized IPM step primitives,
+``mpc_solvers/avx/d_aux_ip_hard_lib4.c``, as TPU kernels), the sweeps run
+with ``lanes_io=True`` (no boundary transposes), and XLA keeps only the
+per-instance scalar math (alpha/mu/sigma), the tiny general-constraint
+streams, the gating and the trace.
+
+State dtype == kernel dtype (f32 on TPU; f64 works in interpret mode for
+parity tests).  Mixed precision and ``iter_ref`` stay on
+:mod:`.ipm_fast`; custom KKT factories (tree) are not supported here.
+Dispatched from :func:`hpmpc_tpu.parallel.batch.solve_batched` when
+``HPMPC_LANES_LOOP=1`` (hardware A/B knob, like ``HPMPC_FUSED_SWEEPS``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ocp import OCPDims, OCPQP
+from . import ipm as _ipm
+
+_FUSED_SWEEPS = os.environ.get("HPMPC_FUSED_SWEEPS", "0") == "1"
+
+
+class _LState(NamedTuple):
+    zL: jax.Array      # (nb, N+1, NZ, 8, 128)
+    piL: jax.Array     # (nb, N, NX, 8, 128)
+    lamL: jax.Array    # (nb, N+1, 2NB, 8, 128)  per stage [lower; upper]
+    tL: jax.Array      # (nb, N+1, 2NB, 8, 128)
+    lam_g: jax.Array   # (B, 2*NGF) flat (tiny; XLA)
+    t_g: jax.Array     # (B, 2*NGF)
+    mu: jax.Array      # (B,)
+    alpha: jax.Array   # (B,)
+    kk: jax.Array      # (B,) int32
+    stat: jax.Array    # (5, k_max, B)
+
+
+class _LRes(NamedTuple):
+    rqL: jax.Array     # (nb, N+1, NZ, 8, 128)
+    rbL: jax.Array     # (nb, N, NX, 8, 128)
+    rdL: jax.Array     # (nb, N+1, 2NB, 8, 128)
+    rmL: jax.Array     # (nb, N+1, 2NB, 8, 128)
+    rd_g: jax.Array    # (B, 2*NGF)
+    rm_g: jax.Array    # (B, 2*NGF)
+    mu: jax.Array      # (B,)
+
+
+def solve_batched_lanes(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
+    """Batch-level lanes-resident solve (same contract as
+    :func:`.ipm_fast.solve_batched_flat`; requires NB > 0, static idxb,
+    iter_ref == 0)."""
+    with jax.default_matmul_precision("float32"):
+        return _impl(dims, qp, cfg)
+
+
+def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
+    from ..ops import stage_kernel as sk
+    from ..ops import step_kernel as stk
+
+    dt = qp.dtype
+    N, NU, NX, NZ, NB, NG = dims.N, dims.NU, dims.NX, dims.NZ, dims.NB, dims.NG
+    Np1 = N + 1
+    B = qp.b.shape[0]
+    assert B % sk.BI == 0, "lanes path requires batch % 1024 == 0"
+    assert NB > 0, "lanes path requires box constraints (NB > 0)"
+    assert dims.idxb is not None, "lanes path requires static dims.idxb"
+    assert int(getattr(cfg, "iter_ref", 0)) == 0, "iter_ref: use ipm_fast"
+    n_constr = dims.n_constr
+    nb_blk = B // sk.BI
+    HI = jax.lax.Precision.HIGHEST
+
+    ng_stages = tuple(n for n in range(Np1) if dims.ng[n] > 0)
+    n_ng = len(ng_stages)
+    NGF = n_ng * NG
+    NT = sk._sym_nt(NZ)
+
+    # ---- lanes-layout helpers -------------------------------------------
+    def to_lanes3(x):
+        """(B, S, K) -> (nb, S, K, 8, 128)."""
+        y = x.reshape((nb_blk, sk.SUBS, sk.LANES) + x.shape[1:])
+        return jnp.transpose(y, (0, 3, 4, 1, 2))
+
+    def from_lanes3(y):
+        """(nb, S, K, 8, 128) -> (B, S, K)."""
+        x = jnp.transpose(y, (0, 3, 4, 1, 2))
+        return x.reshape((B,) + x.shape[3:])
+
+    def sc_l(x):
+        """(B,) -> (nb, 8, 128) lanes scalar (pure reshape)."""
+        return x.reshape(nb_blk, sk.SUBS, sk.LANES)
+
+    def sc_B(y):
+        """(nb, 8, 128) -> (B,)."""
+        return y.reshape(B)
+
+    def stage_flat(zl, n):
+        """lanes stage slice -> (B, K)."""
+        x = jnp.transpose(zl[:, n], (0, 2, 3, 1))
+        return x.reshape(B, -1)
+
+    # ---- trace-time constants -------------------------------------------
+    idx_np = np.zeros((Np1, NB), np.int32)
+    sel_np = np.zeros((Np1, NZ, NB), np.float32)  # one-time init gather
+    for n in range(Np1):
+        nun = dims.nu[n]
+        for k in range(dims.nb[n]):
+            j = int(dims.idxb[n][k])
+            jp = j if j < nun else NU + (j - nun)
+            idx_np[n, k] = jp
+            sel_np[n, jp, k] = 1.0
+    idxT = jnp.asarray(idx_np)
+    Sel = jnp.asarray(sel_np, dt)
+
+    mb1 = qp.nb_mask                                   # (B, Np1, NB)
+    mb_st = jnp.concatenate([mb1, mb1], -1)            # (B, Np1, 2NB)
+    dcat_st = jnp.concatenate([qp.d_lb, qp.d_ub], -1)
+    mbL = to_lanes3(mb_st)
+    dcatL = to_lanes3(dcat_st)
+    g_st = qp.g * qp.z_mask
+    gL = to_lanes3(g_st)
+    reg = jnp.asarray(cfg.reg_eps, dt)
+    pdregL = to_lanes3(qp.pad_diag + reg)
+    bL = to_lanes3(qp.b)
+    zmaskL = to_lanes3(qp.z_mask)
+    xmaskL = to_lanes3(qp.x_mask[:, 1:])
+    Hl = sk._to_lanes(sk.sym_compress(qp.H.astype(dt)), B)
+    Fl = sk._to_lanes(qp.F.astype(dt), B)
+
+    # general constraints (tiny flat XLA streams, as in ipm_fast)
+    if n_ng:
+        C_act = [qp.C[:, n] for n in ng_stages]        # each (B, NG, NZ)
+        Ct1, Ct2 = sk.sym_pair_streams(
+            jnp.stack(C_act, 1).astype(jnp.float32), NZ
+        )
+        mgF = jnp.concatenate([qp.ng_mask[:, n] for n in ng_stages], 1)
+        dg_lo = jnp.concatenate([qp.d_lg[:, n] for n in ng_stages], 1)
+        dg_up = jnp.concatenate([qp.d_ug[:, n] for n in ng_stages], 1)
+        dg_cat = jnp.concatenate([dg_lo, dg_up], 1)
+        mg2 = jnp.concatenate([mgF, mgF], 1)
+        sgn_g = jnp.concatenate(
+            [jnp.ones((1, NGF), dt), -jnp.ones((1, NGF), dt)], 1
+        )
+
+        def cz_of(zl):
+            outs = [
+                jnp.einsum("bgz,bz->bg", C_act[k], stage_flat(zl, n))
+                for k, n in enumerate(ng_stages)
+            ]
+            return jnp.concatenate(outs, 1)
+
+        def ct_add_lanes(gl, v):
+            """gl[:, n] += lanes(C_n' v_n) on the active stages."""
+            for k, n in enumerate(ng_stages):
+                contrib = jnp.einsum(
+                    "bg,bgz->bz", v[:, k * NG : (k + 1) * NG], C_act[k]
+                )
+                cl = jnp.transpose(
+                    contrib.reshape(nb_blk, sk.SUBS, sk.LANES, NZ),
+                    (0, 3, 1, 2),
+                )
+                gl = gl.at[:, n].add(cl)
+            return gl
+
+        def fold_g(v):
+            return v[:, :NGF] + v[:, NGF:]
+
+        def ngl_of(Qx_g):
+            Qg = Qx_g.reshape(B, n_ng, NG).astype(jnp.float32)
+            ngt = jnp.einsum(
+                "bngt,bng,bngt->bnt", Ct1, Qg, Ct2, precision=HI
+            )
+            return sk._to_lanes_flat(
+                ngt.reshape(B, -1).astype(dt), B, (n_ng, NT)
+            )
+    else:
+        mg2 = jnp.zeros((B, 0), dt)
+        ngl0 = jnp.zeros((nb_blk, 1, NT, sk.SUBS, sk.LANES), dt)
+
+    def cat2(v):
+        return jnp.concatenate([v, v], 1)
+
+    def min_ratio(a, v, dv, m):
+        if v.shape[1] == 0:
+            return a
+        pred = (dv < 0.0) & (m > 0.0)
+        ratio = jnp.where(pred, -v / jnp.where(pred, dv, -1.0), jnp.inf)
+        return jnp.minimum(a, jnp.min(ratio, axis=1))
+
+    mu_scal = jnp.asarray(1.0 / n_constr, dt)
+    mu_tol = jnp.asarray(cfg.mu_tol, dt)
+    mu_tol_low = jnp.asarray(max(cfg.mu_tol, cfg.mu_switch), dt)
+    alpha_min = jnp.asarray(cfg.alpha_min, dt)
+    k_max = cfg.k_max
+    thr0 = jnp.asarray(0.1, dt)
+    mu0 = jnp.asarray(cfg.mu0, dt)
+
+    fused = _FUSED_SWEEPS
+
+    def kkt_factor_solve(dvecL, ngl, geffL, rhsL):
+        if fused:
+            return sk.factor_solve_folded_flat_fused(
+                Hl, dvecL, ngl, ng_stages, geffL, Fl, rhsL,
+                NU, NZ, NX, lanes_io=True,
+            )
+        return sk.factor_solve_folded_flat(
+            Hl, dvecL, ngl, ng_stages, geffL, Fl, rhsL,
+            NU, NZ, NX, want_pi=False, lanes_io=True,
+        )
+
+    def kkt_resolve(fstate, geffL, rhsL):
+        Ll_l, Lxx_l, Pb_l = fstate
+        fn = sk.solve_flat_fused if fused else sk.solve_flat
+        return fn(Ll_l, Lxx_l, Pb_l, geffL, Fl, rhsL, NU, NZ, NX,
+                  lanes_io=True)
+
+    # gating: mask (B,) broadcast per field layout
+    def gate(m, new, old):
+        m_l = sc_l(m)
+        out = []
+        for f, a, b in zip(_LState._fields, new, old):
+            if f == "stat":
+                mm = m[None, None, :]
+            elif a.ndim >= 4:
+                mm = m_l.reshape(
+                    (nb_blk,) + (1,) * (a.ndim - 3) + (sk.SUBS, sk.LANES)
+                )
+            else:
+                mm = m.reshape((B,) + (1,) * (a.ndim - 1))
+            out.append(jnp.where(mm, a, b))
+        return _LState(*out)
+
+    def gate_res(m, new, old):
+        m_l = sc_l(m)
+        out = []
+        for a, b in zip(new, old):
+            if a.ndim >= 4:
+                mm = m_l.reshape(
+                    (nb_blk,) + (1,) * (a.ndim - 3) + (sk.SUBS, sk.LANES)
+                )
+            else:
+                mm = m.reshape((B,) + (1,) * (a.ndim - 1))
+            out.append(jnp.where(mm, a, b))
+        return _LRes(*out)
+
+    def bcast5(a2, like):
+        """(B,) -> broadcastable against a 5-D lanes array."""
+        return sc_l(a2).reshape(
+            (nb_blk,) + (1,) * (like.ndim - 3) + (sk.SUBS, sk.LANES)
+        )
+
+    # ---- init (exact reference branching; ipm.init_vars twin) ------------
+    d_lb3, d_ub3 = qp.d_lb, qp.d_ub                      # (B, Np1, NB)
+    zb0 = jnp.zeros((B, Np1, NB), dt)                    # gather of z0 = 0
+    t_lo0 = zb0 - d_lb3
+    t_up0 = d_ub3 - zb0
+    both = (t_lo0 < thr0) & (t_up0 < thr0)
+    lo_only = (t_lo0 < thr0) & ~both
+    up_only = (t_up0 < thr0) & ~both
+    t_lo = jnp.where(both | lo_only, thr0, t_lo0)
+    t_up = jnp.where(both | up_only, thr0, t_up0)
+    z_corr = jnp.where(
+        both, (d_lb3 - d_ub3) * 0.5,
+        jnp.where(lo_only, d_lb3 + thr0,
+                  jnp.where(up_only, d_ub3 - thr0, zb0)),
+    )
+    changed = ((both | lo_only | up_only) & (mb1 > 0)).astype(dt)
+    z0 = jnp.einsum("bnk,nzk->bnz", changed * z_corr, Sel, precision=HI)
+    # (z0 was all-zero, so the (1 - scatter(changed)) factor is moot)
+
+    t_b0 = jnp.concatenate([t_lo, t_up], -1)
+    t_b0 = jnp.where(mb_st > 0, t_b0, 1.0)
+    lam_b0 = jnp.where(mb_st > 0, mu0 / t_b0, 0.0)
+
+    zL0 = to_lanes3(z0)
+    if n_ng:
+        czv = cz_of(zL0)
+        t_g0 = jnp.maximum(thr0, sgn_g * (cat2(czv) - dg_cat))
+        t_g0 = jnp.where(mg2 > 0, t_g0, 1.0)
+        lam_g0 = jnp.where(mg2 > 0, mu0 / t_g0, 0.0)
+    else:
+        t_g0 = jnp.ones((B, 0), dt)
+        lam_g0 = jnp.zeros((B, 0), dt)
+
+    s0_state = _LState(
+        zL=zL0, piL=jnp.zeros((nb_blk, N, NX, sk.SUBS, sk.LANES), dt),
+        lamL=to_lanes3(lam_b0), tL=to_lanes3(t_b0),
+        lam_g=lam_g0, t_g=t_g0,
+        mu=jnp.full((B,), mu0, dt),
+        alpha=jnp.ones((B,), dt),
+        kk=jnp.zeros((B,), jnp.int32),
+        stat=jnp.zeros((5, k_max, B), dt),
+    )
+
+    kiota = jnp.arange(k_max, dtype=jnp.int32)
+
+    def stat_update(stat, kk, row):
+        mask = kiota[None, :, None] == kk[None, None, :]
+        return jnp.where(mask, row[:, None, :], stat)
+
+    def finish_alpha_sums(outs, czn_fn, lam_g, t_g, dtg, dlg):
+        """Combine kernel partials with the (tiny) ng contributions."""
+        _, _, aminL, s0L, s1L, s2L = outs
+        amin = sc_B(jnp.min(aminL, axis=1))
+        s0 = sc_B(jnp.sum(s0L, axis=1))
+        s1 = sc_B(jnp.sum(s1L, axis=1))
+        s2 = sc_B(jnp.sum(s2L, axis=1))
+        if n_ng:
+            amin = min_ratio(amin, lam_g, dlg, mg2)
+            amin = min_ratio(amin, t_g, dtg, mg2)
+            s0 = s0 + jnp.sum(lam_g * t_g * mg2, axis=1)
+            s1 = s1 + jnp.sum(lam_g * dtg + t_g * dlg, axis=1)
+            s2 = s2 + jnp.sum(dlg * dtg, axis=1)
+        alpha = jnp.minimum(jnp.ones((B,), dt), amin)
+        return alpha, s0, s1, s2
+
+    # ---- phase 1 (delta formulation) -------------------------------------
+    def phase1_body(s):
+        if n_ng:
+            t_inv_g = jnp.where(mg2 > 0, 1.0 / s.t_g, 0.0)
+            lamt_g = s.lam_g * t_inv_g
+            Qx_g = fold_g(lamt_g) * mgF
+            qx_g = fold_g(-sgn_g * s.lam_g - lamt_g * dg_cat) * mgF
+            ngl = ngl_of(Qx_g)
+        else:
+            t_inv_g = lamt_g = jnp.zeros((B, 0), dt)
+            ngl = ngl0
+
+        dvecL, geffL = stk.prep_flat(
+            idxT, s.lamL, s.tL, dcatL, None, mbL, gL, pdregL,
+            NB=NB, NZ=NZ, phase2=False,
+        )
+        if n_ng:
+            geffL = ct_add_lanes(geffL, qx_g)
+        dzL, _, fstate = kkt_factor_solve(dvecL, ngl, geffL, bL)
+
+        aff = stk.alpha_sums_flat(
+            idxT, dzL, s.lamL, s.tL, dcatL, None, None, mbL,
+            NB=NB, NZ=NZ, phase2=False,
+        )
+        if n_ng:
+            czn = cz_of(dzL)
+            dtg = (sgn_g * (cat2(czn) - dg_cat) - s.t_g) * mg2
+            dlg = (-lamt_g * dtg - s.lam_g) * mg2
+        else:
+            dtg = dlg = jnp.zeros((B, 0), dt)
+        alpha_aff, a0, a1, a2c = finish_alpha_sums(
+            aff, None, s.lam_g, s.t_g, dtg, dlg
+        )
+        a = 0.995 * alpha_aff
+        mu_aff = (a0 + a * a1 + a * a * a2c) * mu_scal
+        sigma = (mu_aff / s.mu) ** 3
+        sm = sigma * s.mu
+
+        geff2L, dl2L = stk.corr_geff_flat(
+            idxT, s.lamL, s.tL, dcatL, None, aff[0], aff[1],
+            sc_l(sm)[:, None], gL, mbL, NB=NB, NZ=NZ, phase2=False,
+        )
+        if n_ng:
+            dl2g = t_inv_g * (sm[:, None] - dlg * dtg) * mg2
+            qx_g2 = qx_g + fold_g(-sgn_g * dl2g) * mgF
+            geff2L = ct_add_lanes(geff2L, qx_g2)
+        dz2L, dpi2L = kkt_resolve(fstate, geff2L, bL)
+
+        corr = stk.alpha_sums_flat(
+            idxT, dz2L, s.lamL, s.tL, dcatL, None, dl2L, mbL,
+            NB=NB, NZ=NZ, phase2=False,
+        )
+        if n_ng:
+            czn2 = cz_of(dz2L)
+            dtg2 = (sgn_g * (cat2(czn2) - dg_cat) - s.t_g) * mg2
+            dlg2 = (dl2g - lamt_g * dtg2 - s.lam_g) * mg2
+        else:
+            dtg2 = dlg2 = jnp.zeros((B, 0), dt)
+        alpha2, b0, b1, b2 = finish_alpha_sums(
+            corr, None, s.lam_g, s.t_g, dtg2, dlg2
+        )
+        a2 = 0.995 * alpha2
+        mu_new = (b0 + a2 * b1 + a2 * a2 * b2) * mu_scal
+
+        a2z = bcast5(a2, s.zL)
+        z_new = s.zL + a2z * (dz2L - s.zL)
+        pi_new = s.piL + bcast5(a2, s.piL) * (dpi2L - s.piL)
+        lam_n = s.lamL + bcast5(a2, s.lamL) * corr[1]
+        t_n = s.tL + bcast5(a2, s.tL) * corr[0]
+        lam_g_n = s.lam_g + a2[:, None] * dlg2
+        t_g_n = s.t_g + a2[:, None] * dtg2
+
+        row = jnp.stack([sigma, alpha_aff, mu_aff, alpha2, mu_new])
+        s_new = _LState(
+            zL=z_new, piL=pi_new, lamL=lam_n, tL=t_n,
+            lam_g=lam_g_n, t_g=t_g_n,
+            mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
+            stat=stat_update(s.stat, s.kk, row),
+        )
+        ok = jnp.isfinite(mu_new)
+        return gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
+
+    def phase1_pred_b(s):
+        return (s.kk < k_max) & (s.mu > mu_tol_low) & (s.alpha >= alpha_min)
+
+    def gated1(s):
+        return gate(phase1_pred_b(s), phase1_body(s), s)
+
+    s1 = lax.while_loop(lambda s: jnp.any(phase1_pred_b(s)), gated1, s0_state)
+
+    # ---- residuals (S6 + tiny ng XLA) ------------------------------------
+    def residuals(zL, piL, lamL, tL, lam_g, t_g):
+        rqL, rbL, rdL, rmL, musumL = stk.resid_full_flat(
+            idxT, Hl, Fl, zL, piL, gL, bL, lamL, tL, dcatL, mbL,
+            zmaskL, xmaskL, NB=NB, NU=NU, NZ=NZ, NX=NX,
+        )
+        rbL = rbL[:, :N]
+        mu = sc_B(jnp.sum(musumL, axis=1))
+        if n_ng:
+            rqL = ct_add_lanes(rqL, fold_g(-sgn_g * lam_g) * mgF)
+            czn = cz_of(zL)
+            rd_g = (dg_cat - cat2(czn) + sgn_g * t_g) * mg2
+            rm_g = lam_g * t_g * mg2
+            mu = mu + jnp.sum(rm_g, axis=1)
+        else:
+            rd_g = rm_g = jnp.zeros((B, 0), dt)
+        return _LRes(rqL, rbL, rdL, rmL, rd_g, rm_g, mu * mu_scal)
+
+    res1 = residuals(s1.zL, s1.piL, s1.lamL, s1.tL, s1.lam_g, s1.t_g)
+    s1 = s1._replace(mu=res1.mu)
+
+    # ---- phase 2 (full-residual formulation) ------------------------------
+    def phase2_body(carry):
+        s, res = carry
+        if n_ng:
+            t_inv_g = jnp.where(mg2 > 0, 1.0 / s.t_g, 0.0)
+            lamt_g = s.lam_g * t_inv_g
+            Qx_g = fold_g(lamt_g) * mgF
+            ngl = ngl_of(Qx_g)
+
+            def qxg_from(rm_g):
+                return fold_g(
+                    sgn_g * t_inv_g * rm_g - lamt_g * res.rd_g
+                ) * mgF
+
+            qx_g = qxg_from(res.rm_g)
+        else:
+            t_inv_g = lamt_g = jnp.zeros((B, 0), dt)
+            ngl = ngl0
+
+        dvecL, geffL = stk.prep_flat(
+            idxT, s.lamL, s.tL, res.rdL, res.rmL, mbL, res.rqL, pdregL,
+            NB=NB, NZ=NZ, phase2=True,
+        )
+        if n_ng:
+            geffL = ct_add_lanes(geffL, qx_g)
+        dzL, _, fstate = kkt_factor_solve(dvecL, ngl, geffL, res.rbL)
+
+        aff = stk.alpha_sums_flat(
+            idxT, dzL, s.lamL, s.tL, res.rdL, res.rmL, None, mbL,
+            NB=NB, NZ=NZ, phase2=True,
+        )
+        if n_ng:
+            cdz = cz_of(dzL)
+            dtg = sgn_g * (cat2(cdz) - res.rd_g) * mg2
+            dlg = -t_inv_g * (s.lam_g * dtg + res.rm_g) * mg2
+        else:
+            dtg = dlg = jnp.zeros((B, 0), dt)
+        alpha_aff, a0, a1, a2c = finish_alpha_sums(
+            aff, None, s.lam_g, s.t_g, dtg, dlg
+        )
+        a = 0.995 * alpha_aff
+        mu_aff = (a0 + a * a1 + a * a * a2c) * mu_scal
+        sigma = (mu_aff / s.mu) ** 3
+        sm = sigma * s.mu
+
+        geff2L, rm2L = stk.corr_geff_flat(
+            idxT, s.lamL, s.tL, res.rdL, res.rmL, aff[0], aff[1],
+            sc_l(sm)[:, None], res.rqL, mbL, NB=NB, NZ=NZ, phase2=True,
+        )
+        if n_ng:
+            rm_g2 = res.rm_g + (dtg * dlg - sm[:, None]) * mg2
+            geff2L = ct_add_lanes(geff2L, qxg_from(rm_g2))
+        dz2L, dpi2L = kkt_resolve(fstate, geff2L, res.rbL)
+
+        corr = stk.alpha_sums_flat(
+            idxT, dz2L, s.lamL, s.tL, res.rdL, rm2L, None, mbL,
+            NB=NB, NZ=NZ, phase2=True,
+        )
+        if n_ng:
+            cdz2 = cz_of(dz2L)
+            dtg2 = sgn_g * (cat2(cdz2) - res.rd_g) * mg2
+            dlg2 = -t_inv_g * (s.lam_g * dtg2 + rm_g2) * mg2
+        else:
+            dtg2 = dlg2 = jnp.zeros((B, 0), dt)
+        alpha2, _, _, _ = finish_alpha_sums(
+            corr, None, s.lam_g, s.t_g, dtg2, dlg2
+        )
+        a2 = 0.995 * alpha2
+
+        z_new = s.zL + bcast5(a2, s.zL) * dz2L
+        pi_new = s.piL + bcast5(a2, s.piL) * dpi2L
+        lam_n = s.lamL + bcast5(a2, s.lamL) * corr[1]
+        t_n = s.tL + bcast5(a2, s.tL) * corr[0]
+        lam_g_n = s.lam_g + a2[:, None] * dlg2
+        t_g_n = s.t_g + a2[:, None] * dtg2
+
+        res_new = residuals(z_new, pi_new, lam_n, t_n, lam_g_n, t_g_n)
+        mu_new = res_new.mu
+        row = jnp.stack([sigma, alpha_aff, mu_aff, alpha2, mu_new])
+        s_new = _LState(
+            zL=z_new, piL=pi_new, lamL=lam_n, tL=t_n,
+            lam_g=lam_g_n, t_g=t_g_n,
+            mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
+            stat=stat_update(s.stat, s.kk, row),
+        )
+        ok = jnp.isfinite(mu_new)
+        s_new = gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
+        res_new = gate_res(ok, res_new, res)
+        return (s_new, res_new)
+
+    def phase2_pred_b(carry):
+        s, _ = carry
+        return (s.kk < k_max) & (s.mu > mu_tol) & (s.alpha >= alpha_min)
+
+    def gated2(c):
+        s_new, r_new = phase2_body(c)
+        m = phase2_pred_b(c)
+        return (gate(m, s_new, c[0]), gate_res(m, r_new, c[1]))
+
+    s2, res_f = lax.while_loop(
+        lambda c: jnp.any(phase2_pred_b(c)), gated2, (s1, res1)
+    )
+
+    status = jnp.where(
+        s2.mu <= mu_tol, 0, jnp.where(s2.kk >= k_max, 1, 2)
+    ).astype(jnp.int32)
+
+    def absmax_l(y):
+        return sc_B(jnp.max(jnp.abs(y), axis=tuple(range(1, y.ndim - 2))))
+
+    def absmax_f(x):
+        if x.shape[1] == 0:
+            return jnp.zeros((B,), dt)
+        return jnp.max(jnp.abs(x), axis=1)
+
+    inf_norm_res = jnp.stack([
+        absmax_l(res_f.rqL),
+        absmax_l(res_f.rbL),
+        jnp.maximum(absmax_l(res_f.rdL), absmax_f(res_f.rd_g)),
+        res_f.mu,
+    ], axis=1)
+
+    # ---- structured outputs (IPMSolution contract) ------------------------
+    z = from_lanes3(s2.zL)
+    pi = from_lanes3(s2.piL)
+    lam_b_s = from_lanes3(s2.lamL).reshape(B, Np1, 2, NB)
+    t_b_s = from_lanes3(s2.tL).reshape(B, Np1, 2, NB)
+    lam_g_s = jnp.zeros((B, Np1, 2, NG), dt)
+    t_g_s = jnp.ones((B, Np1, 2, NG), dt)
+    for k, n in enumerate(ng_stages):
+        sl = slice(k * NG, (k + 1) * NG)
+        lam_g_s = lam_g_s.at[:, n, 0].set(s2.lam_g[:, sl])
+        lam_g_s = lam_g_s.at[:, n, 1].set(s2.lam_g[:, NGF:][:, sl])
+        t_g_s = t_g_s.at[:, n, 0].set(s2.t_g[:, sl])
+        t_g_s = t_g_s.at[:, n, 1].set(s2.t_g[:, NGF:][:, sl])
+
+    return _ipm.IPMSolution(
+        z=z, pi=pi,
+        lam_b=lam_b_s, t_b=t_b_s, lam_g=lam_g_s, t_g=t_g_s,
+        kk=s2.kk, status=status,
+        stat=jnp.transpose(s2.stat, (2, 1, 0)),
+        inf_norm_res=inf_norm_res,
+    )

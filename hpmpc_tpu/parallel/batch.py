@@ -40,7 +40,14 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
     algorithm, TPU-tile-friendly (B, flat) loop state and fused Pallas
     Riccati/residual kernels.  Other batch sizes take the vmapped
     structured path (which itself uses the Pallas stage kernels through
-    ``custom_vmap`` when the batch allows)."""
+    ``custom_vmap`` when the batch allows).
+
+    ``HPMPC_LANES_LOOP=1`` (hardware A/B knob) further routes eligible
+    f32 solves to the lanes-resident engine (:mod:`..models.ipm_lanes`):
+    all step primitives as Pallas kernels, zero per-iteration transposes
+    and selection matmuls."""
+    import os
+
     B = qp.b.shape[0]
     if (
         cfg.use_pallas
@@ -49,6 +56,14 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
         and dims.idxb is not None
         and B % 1024 == 0
     ):
+        if (
+            os.environ.get("HPMPC_LANES_LOOP", "0") == "1"
+            and dims.NB > 0
+            and int(getattr(cfg, "iter_ref", 0)) == 0
+        ):
+            from ..models import ipm_lanes
+
+            return ipm_lanes.solve_batched_lanes(dims, qp, cfg)
         from ..models import ipm_fast
 
         return ipm_fast.solve_batched_flat(dims, qp, cfg)

@@ -1,0 +1,152 @@
+"""Lanes-resident engine parity (interpret mode): ipm_lanes must drive the
+IPM to the same iterates as the flat engine / structured solver."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from hpmpc_tpu.models import ipm
+from hpmpc_tpu.parallel import batch as pbatch
+from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    yield
+
+
+def _batch_qp(N=4, B=1024, ngN=0, ng=0, dtype=jnp.float32):
+    dims, qp = mass_spring_qp(8, 3, N, ng=ng, ngN=ngN, dtype=dtype)
+    qpb = pbatch.broadcast_qp(qp, B)
+    rng = np.random.default_rng(0)
+    qpb = dataclasses.replace(
+        qpb,
+        b=qpb.b * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(B), dtype
+        )[:, None, None],
+    )
+    return dims, qpb
+
+
+def _solve_lanes(dims, qpb, cfg):
+    from hpmpc_tpu.models import ipm_lanes
+
+    return jax.jit(
+        lambda q: ipm_lanes.solve_batched_lanes(dims, q, cfg)
+    )(qpb)
+
+
+@pytest.mark.parametrize("ngN", [0, 4])
+def test_lanes_engine_matches_flat_engine(interpret_pallas, ngN):
+    """f32, box (+ general) constraints: iterate-for-iterate agreement with
+    the flat engine (same kernels under the sweeps; the step primitives
+    move from XLA to Pallas — fp-order differs, so tolerances are fp32
+    round-off scale, not exact)."""
+    from hpmpc_tpu.models import ipm_fast
+
+    dims, qpb = _batch_qp(ngN=ngN)
+    cfg = dataclasses.replace(
+        ipm.IPMConfig(k_max=3, mu_tol=1e-4), use_pallas=True
+    )
+    sol_f = jax.jit(
+        lambda q: ipm_fast.solve_batched_flat(dims, q, cfg)
+    )(qpb)
+    sol_l = _solve_lanes(dims, qpb, cfg)
+    assert np.mean(np.asarray(sol_f.kk) == np.asarray(sol_l.kk)) > 0.99
+    same = np.asarray(sol_f.kk) == np.asarray(sol_l.kk)
+    np.testing.assert_allclose(
+        np.asarray(sol_l.z)[same], np.asarray(sol_f.z)[same],
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.stat)[same], np.asarray(sol_f.stat)[same],
+        rtol=2e-2, atol=2e-4,
+    )
+
+
+def test_lanes_engine_f64_matches_structured(interpret_pallas):
+    """f64 end-to-end (interpret mode): the lanes engine must reproduce the
+    structured golden-parity solver tightly, including multipliers,
+    residual norms and the status/iteration bookkeeping.  Box-only: the
+    small-N mass-spring general-constraint configs are infeasible QPs
+    (unreachable terminal equality — documented in tests/test_ipm.py) and
+    diverge in every solver; ng coverage is the shallow test below."""
+    dims, qpb = _batch_qp(N=5, ngN=0, dtype=jnp.float64)
+    cfg = ipm.IPMConfig(k_max=12, mu_tol=1e-10)
+    sol_x = jax.jit(
+        lambda q: jax.vmap(lambda qq: ipm.solve(dims, qq, cfg))(q)
+    )(qpb)
+    cfg_l = dataclasses.replace(cfg, use_pallas=True)
+    sol_l = _solve_lanes(dims, qpb, cfg_l)
+    assert bool(jnp.all(sol_x.kk == sol_l.kk))
+    assert bool(jnp.all(sol_x.status == sol_l.status))
+    np.testing.assert_allclose(
+        np.asarray(sol_l.z), np.asarray(sol_x.z), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.pi), np.asarray(sol_x.pi), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.lam_b), np.asarray(sol_x.lam_b), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.t_b), np.asarray(sol_x.t_b), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.inf_norm_res), np.asarray(sol_x.inf_norm_res),
+        rtol=1e-3, atol=1e-9,
+    )
+
+
+def test_lanes_engine_f64_ng_shallow(interpret_pallas):
+    """f64 with active general constraints, shallow iteration budget (the
+    deep run is infeasible by construction): iterate-for-iterate stat
+    parity against the structured solver."""
+    dims, qpb = _batch_qp(N=3, ngN=4, dtype=jnp.float64)
+    cfg = ipm.IPMConfig(k_max=4, mu_tol=1e-10)
+    sol_x = jax.jit(
+        lambda q: jax.vmap(lambda qq: ipm.solve(dims, qq, cfg))(q)
+    )(qpb)
+    cfg_l = dataclasses.replace(cfg, use_pallas=True)
+    sol_l = _solve_lanes(dims, qpb, cfg_l)
+    assert bool(jnp.all(sol_x.kk == sol_l.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_l.stat), np.asarray(sol_x.stat),
+        rtol=1e-6, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.z), np.asarray(sol_x.z), atol=1e-7
+    )
+
+
+def test_lanes_engine_dispatch_knob(interpret_pallas, monkeypatch):
+    """HPMPC_LANES_LOOP=1 routes solve_batched to the lanes engine."""
+    import hpmpc_tpu.models.ipm_lanes as ipm_lanes
+
+    called = {}
+    orig = ipm_lanes.solve_batched_lanes
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ipm_lanes, "solve_batched_lanes", spy)
+    monkeypatch.setenv("HPMPC_LANES_LOOP", "1")
+    dims, qpb = _batch_qp(N=3)
+    cfg = dataclasses.replace(
+        ipm.IPMConfig(k_max=2, mu_tol=1e-4), use_pallas=True
+    )
+    sol = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
+    assert called.get("yes")
+    assert np.isfinite(np.asarray(sol.z)).all()
