@@ -161,13 +161,18 @@ def main():
 
     per_solve_s = (times[10] - times[2]) / (10 - 2)
     solves_per_s = (BATCH * mean_kk / K_MAX) / per_solve_s
+    knobs = "".join(
+        f" {k}=1" for k in ("HPMPC_LANES_LOOP", "HPMPC_FUSED_SWEEPS")
+        if os.environ.get(k, "0") == "1"
+    )
     payload = {
         "metric": "ipm_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": (
             f"equivalent 8-iteration solves/s (mass-spring nx=8 nu=3 N=30 "
             f"nb=7 ngN=8, batch={BATCH}, f32, mean_iters={mean_kk:.2f}, "
-            f"slope K=2..10 in-graph, {per_solve_s*1e3:.3f} ms/batch)"
+            f"slope K=2..10 in-graph, {per_solve_s*1e3:.3f} ms/batch"
+            f"{knobs})"
         ),
         "vs_baseline": round(solves_per_s / _BASELINE, 2),
     }
