@@ -62,8 +62,10 @@ from jax import lax
 # pallas_call; trs+fwd likewise).  Interpret-mode-proven and parity-
 # tested, but built during a relay outage — flip the default once one
 # real-Mosaic run confirms compilation (HPMPC_FUSED_SWEEPS=1 python
-# bench.py A/Bs it without code edits).
-_FUSED_SWEEPS = os.environ.get("HPMPC_FUSED_SWEEPS", "0") == "1"
+# bench.py A/Bs it without code edits).  Read per trace (not at import)
+# so in-process A/B harnesses that toggle os.environ stay truthful.
+def _fused_sweeps() -> bool:
+    return os.environ.get("HPMPC_FUSED_SWEEPS", "0") == "1"
 
 from ..ocp import OCPDims, OCPQP
 from . import ipm as _ipm
@@ -351,7 +353,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
         # the affine solve's pi is dead in both IPM phases (only the
         # corrector's dpi is used) — skip it and the whole Lxx forward
         # stream unless iterative refinement consumes it
-        if _FUSED_SWEEPS and not iter_ref:
+        if _fused_sweeps() and not iter_ref:
             zF, piF, (Ll_l, Lxx_l, Pb_l) = sk.factor_solve_folded_flat_fused(
                 Hl, dvecF.astype(kdt), ngl, ng_stages,
                 g_eff.astype(kdt), Fl, rhs_bF.astype(kdt), NU, NZ, NX,
@@ -374,7 +376,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
         if kkt is not None:
             return kkt.resolve(fstate, g_eff, rhs_bF)
         Ll_l, Lxx_l, Pb_l, dvecF, Qx_g = fstate
-        resolve_fn = sk.solve_flat_fused if _FUSED_SWEEPS else sk.solve_flat
+        resolve_fn = sk.solve_flat_fused if _fused_sweeps() else sk.solve_flat
         zF, piF = resolve_fn(
             Ll_l, Lxx_l, Pb_l, g_eff.astype(kdt), Fl, rhs_bF.astype(kdt),
             NU, NZ, NX

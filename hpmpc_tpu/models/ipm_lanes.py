@@ -28,7 +28,6 @@ Dispatched from :func:`hpmpc_tpu.parallel.batch.solve_batched` when
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import jax
@@ -39,7 +38,11 @@ from jax import lax
 from ..ocp import OCPDims, OCPQP
 from . import ipm as _ipm
 
-_FUSED_SWEEPS = os.environ.get("HPMPC_FUSED_SWEEPS", "0") == "1"
+
+def _ipm_fast_knob() -> bool:
+    from . import ipm_fast as _ipf
+
+    return _ipf._fused_sweeps()
 
 
 class _LState(NamedTuple):
@@ -94,16 +97,14 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     NGF = n_ng * NG
     NT = sk._sym_nt(NZ)
 
-    # ---- lanes-layout helpers -------------------------------------------
+    # ---- lanes-layout helpers (the canonical stage_kernel transposes) ----
     def to_lanes3(x):
         """(B, S, K) -> (nb, S, K, 8, 128)."""
-        y = x.reshape((nb_blk, sk.SUBS, sk.LANES) + x.shape[1:])
-        return jnp.transpose(y, (0, 3, 4, 1, 2))
+        return sk._to_lanes(x, B)
 
     def from_lanes3(y):
         """(nb, S, K, 8, 128) -> (B, S, K)."""
-        x = jnp.transpose(y, (0, 3, 4, 1, 2))
-        return x.reshape((B,) + x.shape[3:])
+        return sk._from_lanes(y, B)
 
     def sc_l(x):
         """(B,) -> (nb, 8, 128) lanes scalar (pure reshape)."""
@@ -214,7 +215,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     thr0 = jnp.asarray(0.1, dt)
     mu0 = jnp.asarray(cfg.mu0, dt)
 
-    fused = _FUSED_SWEEPS
+    fused = _ipm_fast_knob()
 
     def kkt_factor_solve(dvecL, ngl, geffL, rhsL):
         if fused:
@@ -317,7 +318,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         mask = kiota[None, :, None] == kk[None, None, :]
         return jnp.where(mask, row[:, None, :], stat)
 
-    def finish_alpha_sums(outs, czn_fn, lam_g, t_g, dtg, dlg):
+    def finish_alpha_sums(outs, lam_g, t_g, dtg, dlg):
         """Combine kernel partials with the (tiny) ng contributions."""
         _, _, aminL, s0L, s1L, s2L = outs
         amin = sc_B(jnp.min(aminL, axis=1))
@@ -364,7 +365,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         else:
             dtg = dlg = jnp.zeros((B, 0), dt)
         alpha_aff, a0, a1, a2c = finish_alpha_sums(
-            aff, None, s.lam_g, s.t_g, dtg, dlg
+            aff, s.lam_g, s.t_g, dtg, dlg
         )
         a = 0.995 * alpha_aff
         mu_aff = (a0 + a * a1 + a * a * a2c) * mu_scal
@@ -392,7 +393,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         else:
             dtg2 = dlg2 = jnp.zeros((B, 0), dt)
         alpha2, b0, b1, b2 = finish_alpha_sums(
-            corr, None, s.lam_g, s.t_g, dtg2, dlg2
+            corr, s.lam_g, s.t_g, dtg2, dlg2
         )
         a2 = 0.995 * alpha2
         mu_new = (b0 + a2 * b1 + a2 * a2 * b2) * mu_scal
@@ -482,7 +483,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         else:
             dtg = dlg = jnp.zeros((B, 0), dt)
         alpha_aff, a0, a1, a2c = finish_alpha_sums(
-            aff, None, s.lam_g, s.t_g, dtg, dlg
+            aff, s.lam_g, s.t_g, dtg, dlg
         )
         a = 0.995 * alpha_aff
         mu_aff = (a0 + a * a1 + a * a * a2c) * mu_scal
@@ -509,7 +510,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         else:
             dtg2 = dlg2 = jnp.zeros((B, 0), dt)
         alpha2, _, _, _ = finish_alpha_sums(
-            corr, None, s.lam_g, s.t_g, dtg2, dlg2
+            corr, s.lam_g, s.t_g, dtg2, dlg2
         )
         a2 = 0.995 * alpha2
 

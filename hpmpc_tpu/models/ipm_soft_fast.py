@@ -411,7 +411,7 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact_mehrotra_soft):
         g_eff2 = ct_apply(g_eff2, qx_g2)
         from . import ipm_fast as _ipf
         resolve_fn = (
-            sk.solve_flat_fused if _ipf._FUSED_SWEEPS else sk.solve_flat
+            sk.solve_flat_fused if _ipf._fused_sweeps() else sk.solve_flat
         )
         dz2, dpi2 = resolve_fn(
             Ll_l, Lxx_l, Pb_l, g_eff2, Fl, bF, NU, NZ, NX

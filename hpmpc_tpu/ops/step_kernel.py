@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stage_kernel import BI, LANES, SUBS
+from .stage_kernel import LANES, SUBS
 
 # ---------------------------------------------------------------------------
 # shared in-kernel box math (trace-time helpers on (k, 8, 128) bulk arrays)
@@ -309,16 +309,13 @@ def _corr_kernel(NB, NZ, phase2, has_m,
         # rm2 = rm + (dt*dl - sigma*mu); qx2 = fold(sgn*t_inv*rm2 - lamt*rd)
         rm2 = (M + (dtb * dlb - sm)) * mb
         co_ref[0, 0] = rm2
-        q_lo = t_inv[:NB] * rm2[:NB] - lamt[:NB] * A[:NB]
-        q_up = -t_inv[NB:] * rm2[NB:] - lamt[NB:] * A[NB:]
-        qx_f = (q_lo + q_up) * mb[:NB]
+        _, qx_f = _qx_fold(NB, True, lam, t, mb, A, rm2)
     else:
         # dl2 = t_inv*(sigma*mu - dl*dt); qx2 = qx + fold(-sgn*dl2)
         dl2 = t_inv * (sm - dlb * dtb) * mb
         co_ref[0, 0] = dl2
-        q_lo = -lam[:NB] - lamt[:NB] * A[:NB] - dl2[:NB]
-        q_up = lam[NB:] - lamt[NB:] * A[NB:] + dl2[NB:]
-        qx_f = (q_lo + q_up) * mb[:NB]
+        _, qx0 = _qx_fold(NB, False, lam, t, mb, A, None)
+        qx_f = qx0 + (dl2[NB:] - dl2[:NB]) * mb[:NB]
 
     geff_ref[0, 0] = base_ref[0, 0]
     _scatter_add_box(geff_ref, idx_ref, qx_f, NB)

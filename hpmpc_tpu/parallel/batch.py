@@ -60,6 +60,7 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
             os.environ.get("HPMPC_LANES_LOOP", "0") == "1"
             and dims.NB > 0
             and int(getattr(cfg, "iter_ref", 0)) == 0
+            and qp.dtype == jnp.float32  # mixed precision stays on ipm_fast
         ):
             from ..models import ipm_lanes
 

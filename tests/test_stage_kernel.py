@@ -478,7 +478,7 @@ def test_flat_engine_fused_sweeps_flag(interpret_pallas, monkeypatch):
     dims, qpb = _batch_qp(ngN=4)
     cfg = ipm.IPMConfig(k_max=3, mu_tol=1e-4, use_pallas=True)
     sol_d = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
-    monkeypatch.setattr(ipm_fast, "_FUSED_SWEEPS", True)
+    monkeypatch.setenv("HPMPC_FUSED_SWEEPS", "1")
     sol_f = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
     assert bool(jnp.all(sol_d.kk == sol_f.kk))
     np.testing.assert_allclose(
@@ -518,7 +518,7 @@ def test_soft_engine_fused_sweeps_flag(interpret_pallas, monkeypatch):
     sol_d = jax.jit(
         lambda q, s: pbatch.solve_batched_soft(dims, q, s, cfg, idxbs=idxbs)
     )(qps, softs)
-    monkeypatch.setattr(ipm_fast, "_FUSED_SWEEPS", True)
+    monkeypatch.setenv("HPMPC_FUSED_SWEEPS", "1")
     sol_f = jax.jit(
         lambda q, s: pbatch.solve_batched_soft(dims, q, s, cfg, idxbs=idxbs)
     )(qps, softs)
