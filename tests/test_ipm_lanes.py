@@ -130,6 +130,41 @@ def test_lanes_engine_f64_ng_shallow(interpret_pallas):
     )
 
 
+def test_lanes_engine_tv_sizes(interpret_pallas):
+    """Ragged per-stage nx/nu/nb (masked padding, stages with zero box
+    constraints): the SMEM index table and mask streams must reproduce
+    the structured solver exactly at f64."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_tv_sizes import _tv_problem
+
+    dims, qp = _tv_problem()
+    qpb = pbatch.broadcast_qp(qp, 1024)
+    rng = np.random.default_rng(0)
+    qpb = dataclasses.replace(
+        qpb,
+        b=qpb.b * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(1024), qpb.b.dtype
+        )[:, None, None],
+    )
+    cfg = ipm.IPMConfig(k_max=12, mu_tol=1e-10)
+    sol_x = jax.jit(
+        lambda q: jax.vmap(lambda qq: ipm.solve(dims, qq, cfg))(q)
+    )(qpb)
+    cfg_l = dataclasses.replace(cfg, use_pallas=True)
+    sol_l = _solve_lanes(dims, qpb, cfg_l)
+    assert bool(jnp.all(sol_x.kk == sol_l.kk))
+    zm = np.asarray(qpb.z_mask)
+    np.testing.assert_allclose(
+        np.asarray(sol_l.z) * zm, np.asarray(sol_x.z) * zm, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.stat), np.asarray(sol_x.stat),
+        rtol=1e-6, atol=1e-12,
+    )
+
+
 def test_lanes_engine_dispatch_knob(interpret_pallas, monkeypatch):
     """HPMPC_LANES_LOOP=1 routes solve_batched to the lanes engine."""
     import hpmpc_tpu.models.ipm_lanes as ipm_lanes
