@@ -39,8 +39,9 @@ def main():
     p.add_argument("--peak-gbs", type=float, default=819.0,
                    help="per-chip HBM bandwidth for normalization (v5e)")
     p.add_argument("--only", default=None,
-                   help="run a single case (sv|trs|resid) — each case costs "
-                        "two remote compiles; split runs to fit timeouts")
+                   help="run a single case (sv|trs|resid|prep|alpha|corr|"
+                        "residfull) — each case costs two remote compiles; "
+                        "split runs to fit timeouts")
     args = p.parse_args()
 
     dtype = jnp.float32
@@ -144,12 +145,92 @@ def main():
         hz, fz, fp = sk.resid_terms_flat(Hl, Fl, zF * s, piF * s, NZ, NX)
         return jnp.sum(hz) + jnp.sum(fz) + jnp.sum(fp)
 
+    # ---- step-primitive kernels (ops/step_kernel.py, lanes engine) ------
+    from hpmpc_tpu.ops import step_kernel as stk
+
+    NB = dims.NB
+    NB2 = 2 * NB
+    idx_np = np.zeros((Np1, NB), np.int32)
+    for n in range(Np1):
+        nun = dims.nu[n]
+        for k in range(dims.nb[n]):
+            j = int(dims.idxb[n][k])
+            idx_np[n, k] = j if j < nun else NU + (j - nun)
+    idxT = jnp.asarray(idx_np)
+
+    def lanes3(x):
+        return sk._to_lanes(x, B)
+
+    mb1 = qpb.nb_mask
+    mbL = lanes3(jnp.concatenate([mb1, mb1], -1))
+    dcatL = lanes3(jnp.concatenate([qpb.d_lb, qpb.d_ub], -1))
+    rng0 = np.random.default_rng(0)
+    lamL = lanes3(jnp.asarray(
+        rng0.uniform(0.1, 2.0, (B, Np1, NB2)), dtype))
+    tL = lanes3(jnp.asarray(
+        rng0.uniform(0.1, 2.0, (B, Np1, NB2)), dtype))
+    gL = lanes3(qpb.g * qpb.z_mask)
+    pdL = lanes3(qpb.pad_diag)
+    bLn = lanes3(qpb.b)
+    zLn = lanes3(qpb.g * 0.1)
+    piLn = lanes3(qpb.b * 0.1)
+    zmL = lanes3(qpb.z_mask)
+    xmL = lanes3(qpb.x_mask[:, 1:])
+    smL = jnp.full((B // sk.BI, 1, sk.SUBS, sk.LANES), 0.05, dtype)
+
+    def k_prep(s):
+        dv, ge = stk.prep_flat(
+            idxT, lamL * s, tL, dcatL, None, mbL, gL, pdL,
+            NB=NB, NZ=NZ, phase2=False,
+        )
+        return jnp.sum(dv) + jnp.sum(ge)
+
+    def k_alpha(s):
+        outs = stk.alpha_sums_flat(
+            idxT, zLn * s, lamL, tL, dcatL, None, None, mbL,
+            NB=NB, NZ=NZ, phase2=False,
+        )
+        return sum(jnp.sum(o) for o in outs[:2]) + jnp.sum(outs[2])
+
+    def k_corr(s):
+        ge2, co = stk.corr_geff_flat(
+            idxT, lamL * s, tL, dcatL, None, lamL, tL, smL, gL, mbL,
+            NB=NB, NZ=NZ, phase2=False,
+        )
+        return jnp.sum(ge2) + jnp.sum(co)
+
+    def k_residfull(s):
+        outs = stk.resid_full_flat(
+            idxT, Hl, Fl, zLn * s, piLn, gL, bLn, lamL, tL, dcatL, mbL,
+            zmL, xmL, NB=NB, NU=NU, NZ=NZ, NX=NX,
+        )
+        return sum(jnp.sum(o) for o in outs)
+
+    bytes_prep = f4 * B * (4 * Np1 * NB2 + 4 * Np1 * NZ)
+    bytes_alpha = f4 * B * (
+        Np1 * NZ + 4 * Np1 * NB2 + 2 * Np1 * NB2 + 4 * Np1
+    )
+    bytes_corr = f4 * B * (6 * Np1 * NB2 + 1 + 2 * Np1 * NZ + Np1 * NB2)
+    bytes_residfull = f4 * B * (
+        Np1 * NT + Np1 * NZ * NX + 2 * Np1 * NZ + 2 * Np1 * NX  # H F z z+
+        + Np1 * NZ + Np1 * NX                                    # g b
+        + 4 * Np1 * NB2 + Np1 * NZ + Np1 * NX                    # box, masks
+        + Np1 * NZ + Np1 * NX + 2 * Np1 * NB2 + Np1              # outs
+    )
+    flops_step = 2 * B * Np1 * (10 * NB2 + NB)  # order-of-magnitude
+    flops_residfull = flops_resid + 2 * B * Np1 * 6 * NB2
+
     cases = [
         ("sv", "riccati_sv_fused", k_factor, bytes_bwd + bytes_fwd,
          flops_bwd + flops_fwd),
         ("trs", "riccati_trs_fused", k_trs, bytes_trs + bytes_fwd,
          flops_bwd / 3 + flops_fwd),
         ("resid", "residual_matvecs", k_resid, bytes_resid, flops_resid),
+        ("prep", "step_prep", k_prep, bytes_prep, flops_step),
+        ("alpha", "step_alpha_sums", k_alpha, bytes_alpha, flops_step),
+        ("corr", "step_corr_geff", k_corr, bytes_corr, flops_step),
+        ("residfull", "step_resid_full", k_residfull, bytes_residfull,
+         flops_residfull),
     ]
     cases = [(n, f, b, fl) for key, n, f, b, fl in cases
              if args.only in (None, key)]
