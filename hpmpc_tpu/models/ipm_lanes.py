@@ -45,6 +45,85 @@ def _ipm_fast_knob() -> bool:
     return _ipf._fused_sweeps()
 
 
+
+def make_ng_lanes(dims, qp, ng_stages, dt, B):
+    """General-constraint machinery over lanes-resident z streams.
+
+    The ng streams are a few (B, NG) vectors on a few stages, so they run
+    as tiny XLA einsums (exactly ipm_fast's scheme) while everything else
+    lives in kernels.  Shared by the hard and soft lanes engines."""
+    import types
+
+    from ..ops import stage_kernel as sk
+
+    NG, NZ = dims.NG, dims.NZ
+    n_ng = len(ng_stages)
+    NGF = n_ng * NG
+    NT = sk._sym_nt(NZ)
+    nb_blk = B // sk.BI
+    HI = jax.lax.Precision.HIGHEST
+
+    def stage_flat(zl, n):
+        x = jnp.transpose(zl[:, n], (0, 2, 3, 1))
+        return x.reshape(B, -1)
+
+    ns = types.SimpleNamespace(n_ng=n_ng, NGF=NGF)
+    ns.ngl0 = jnp.zeros((nb_blk, max(n_ng, 1), NT, sk.SUBS, sk.LANES), dt)
+    if not n_ng:
+        ns.mgF = ns.dg_cat = ns.mg2 = ns.sgn_g = jnp.zeros((B, 0), dt)
+        ns.cz_of = lambda zl: jnp.zeros((B, 0), dt)
+        ns.ct_add_lanes = lambda gl, v: gl
+        ns.fold_g = lambda v: v
+        ns.ngl_of = lambda Qx_g: ns.ngl0
+        return ns
+
+    C_act = [qp.C[:, n] for n in ng_stages]            # each (B, NG, NZ)
+    Ct1, Ct2 = sk.sym_pair_streams(
+        jnp.stack(C_act, 1).astype(jnp.float32), NZ
+    )
+    ns.mgF = jnp.concatenate([qp.ng_mask[:, n] for n in ng_stages], 1)
+    dg_lo = jnp.concatenate([qp.d_lg[:, n] for n in ng_stages], 1)
+    dg_up = jnp.concatenate([qp.d_ug[:, n] for n in ng_stages], 1)
+    ns.dg_cat = jnp.concatenate([dg_lo, dg_up], 1)
+    ns.mg2 = jnp.concatenate([ns.mgF, ns.mgF], 1)
+    ns.sgn_g = jnp.concatenate(
+        [jnp.ones((1, NGF), dt), -jnp.ones((1, NGF), dt)], 1
+    )
+
+    def cz_of(zl):
+        outs = [
+            jnp.einsum("bgz,bz->bg", C_act[k], stage_flat(zl, n))
+            for k, n in enumerate(ng_stages)
+        ]
+        return jnp.concatenate(outs, 1)
+
+    def ct_add_lanes(gl, v):
+        """gl[:, n] += lanes(C_n' v_n) on the active stages."""
+        for k, n in enumerate(ng_stages):
+            contrib = jnp.einsum(
+                "bg,bgz->bz", v[:, k * NG : (k + 1) * NG], C_act[k]
+            )
+            cl = jnp.transpose(
+                contrib.reshape(nb_blk, sk.SUBS, sk.LANES, NZ),
+                (0, 3, 1, 2),
+            )
+            gl = gl.at[:, n].add(cl)
+        return gl
+
+    def ngl_of(Qx_g):
+        Qg = Qx_g.reshape(B, n_ng, NG).astype(jnp.float32)
+        ngt = jnp.einsum("bngt,bng,bngt->bnt", Ct1, Qg, Ct2, precision=HI)
+        return sk._to_lanes_flat(
+            ngt.reshape(B, -1).astype(dt), B, (n_ng, NT)
+        )
+
+    ns.cz_of = cz_of
+    ns.ct_add_lanes = ct_add_lanes
+    ns.fold_g = lambda v: v[:, :NGF] + v[:, NGF:]
+    ns.ngl_of = ngl_of
+    return ns
+
+
 class _LState(NamedTuple):
     zL: jax.Array      # (nb, N+1, NZ, 8, 128)
     piL: jax.Array     # (nb, N, NX, 8, 128)
@@ -148,54 +227,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     Fl = sk._to_lanes(qp.F.astype(dt), B)
 
     # general constraints (tiny flat XLA streams, as in ipm_fast)
-    if n_ng:
-        C_act = [qp.C[:, n] for n in ng_stages]        # each (B, NG, NZ)
-        Ct1, Ct2 = sk.sym_pair_streams(
-            jnp.stack(C_act, 1).astype(jnp.float32), NZ
-        )
-        mgF = jnp.concatenate([qp.ng_mask[:, n] for n in ng_stages], 1)
-        dg_lo = jnp.concatenate([qp.d_lg[:, n] for n in ng_stages], 1)
-        dg_up = jnp.concatenate([qp.d_ug[:, n] for n in ng_stages], 1)
-        dg_cat = jnp.concatenate([dg_lo, dg_up], 1)
-        mg2 = jnp.concatenate([mgF, mgF], 1)
-        sgn_g = jnp.concatenate(
-            [jnp.ones((1, NGF), dt), -jnp.ones((1, NGF), dt)], 1
-        )
-
-        def cz_of(zl):
-            outs = [
-                jnp.einsum("bgz,bz->bg", C_act[k], stage_flat(zl, n))
-                for k, n in enumerate(ng_stages)
-            ]
-            return jnp.concatenate(outs, 1)
-
-        def ct_add_lanes(gl, v):
-            """gl[:, n] += lanes(C_n' v_n) on the active stages."""
-            for k, n in enumerate(ng_stages):
-                contrib = jnp.einsum(
-                    "bg,bgz->bz", v[:, k * NG : (k + 1) * NG], C_act[k]
-                )
-                cl = jnp.transpose(
-                    contrib.reshape(nb_blk, sk.SUBS, sk.LANES, NZ),
-                    (0, 3, 1, 2),
-                )
-                gl = gl.at[:, n].add(cl)
-            return gl
-
-        def fold_g(v):
-            return v[:, :NGF] + v[:, NGF:]
-
-        def ngl_of(Qx_g):
-            Qg = Qx_g.reshape(B, n_ng, NG).astype(jnp.float32)
-            ngt = jnp.einsum(
-                "bngt,bng,bngt->bnt", Ct1, Qg, Ct2, precision=HI
-            )
-            return sk._to_lanes_flat(
-                ngt.reshape(B, -1).astype(dt), B, (n_ng, NT)
-            )
-    else:
-        mg2 = jnp.zeros((B, 0), dt)
-        ngl0 = jnp.zeros((nb_blk, 1, NT, sk.SUBS, sk.LANES), dt)
+    ngh = make_ng_lanes(dims, qp, ng_stages, dt, B)
+    mgF, dg_cat, mg2, sgn_g = ngh.mgF, ngh.dg_cat, ngh.mg2, ngh.sgn_g
+    cz_of, ct_add_lanes, fold_g, ngl_of = (
+        ngh.cz_of, ngh.ct_add_lanes, ngh.fold_g, ngh.ngl_of
+    )
+    ngl0 = ngh.ngl0
 
     def cat2(v):
         return jnp.concatenate([v, v], 1)

@@ -501,3 +501,336 @@ def resid_full_flat(idx_tab, Hl, Fl, z_l, pi_l, gl, bl, lam, t, dcat, mb,
     )(idx_tab, Hl, Fl, z_l, z_l, pi_l, pi_l, gl, bl, lam, t, dcat, mb,
       zmask_l, xmask_l)
     return rq_l, rb_l, rd_l, rm_l, musum
+
+
+# ---------------------------------------------------------------------------
+# SOFT-constraint step kernels (d_ip2_mpc_soft_tv twins: the 4-slack-family
+# step primitives of mpc_solvers/{c99,avx}/d_aux_ip_soft_lib4.c, including
+# the per-iteration slack Schur elimination at :167 and the corrector
+# gradient at :508).  The soft Schur quantities (Zl, zl, lamt families) are
+# cheap elementwise functions of the state and constants, so every kernel
+# RECOMPUTES them instead of streaming them between kernels.
+#
+# Extra layout invariants:
+#   - soft streams are stage-major 4-family blocks (nb, N+1, 4*NS, 8, 128)
+#     ordered [lo; up; s_lo; s_up];
+#   - soft constants pack as ONE (nb, N+1, 6*NS, 8, 128) stream ordered
+#     [d_lbs; d_ubs; Z0; Z1; zlin0; zlin1];
+#   - ``idxs_tab[n, k]`` is the PADDED-z coordinate of soft variable k at
+#     stage n (the engine's idxbs_static); padded entries point at 0 with
+#     a zero ms mask.
+# ---------------------------------------------------------------------------
+
+
+def _soft4(a, NS):
+    return a[:NS], a[NS : 2 * NS], a[2 * NS : 3 * NS], a[3 * NS :]
+
+
+def _soft_schur(NS, lam_s, t_s, ms, c):
+    """Per-stage soft slack Schur elimination; returns the dict of every
+    quantity the step formulas consume."""
+    dlbs = c[:NS]
+    dubs = c[NS : 2 * NS]
+    Z0 = c[2 * NS : 3 * NS]
+    Z1 = c[3 * NS : 4 * NS]
+    zl0F = c[4 * NS : 5 * NS]
+    zl1F = c[5 * NS :]
+    ms4 = jnp.concatenate([ms, ms, ms, ms], axis=0)
+    rec = 1.0 / jnp.where(ms4 > 0, t_s, 1.0)
+    t_inv_s = rec * ms4
+    lamt_s = lam_s * t_inv_s
+    lts0, lts1, lts2, lts3 = _soft4(lamt_s, NS)
+    ls0, ls1, ls2, ls3 = _soft4(lam_s, NS)
+    rQx0, rQx1 = lts0, lts1
+    rqx0 = ls0 + lts0 * dlbs
+    rqx1 = ls1 - lts1 * dubs
+    Zl0 = jnp.where(ms > 0, 1.0 / jnp.where(ms > 0, Z0 + rQx0 + lts2, 1.0),
+                    0.0)
+    Zl1 = jnp.where(ms > 0, 1.0 / jnp.where(ms > 0, Z1 + rQx1 + lts3, 1.0),
+                    0.0)
+    zl0 = -zl0F + rqx0 + ls2
+    zl1 = -zl1F + rqx1 + ls3
+    return dict(
+        ms4=ms4, t_inv_s=t_inv_s, lamt_s=lamt_s,
+        lts=(lts0, lts1, lts2, lts3),
+        rQx0=rQx0, rQx1=rQx1, rqx0=rqx0, rqx1=rqx1,
+        Zl0=Zl0, Zl1=Zl1, zl0=zl0, zl1=zl1,
+        dlbs=dlbs, dubs=dubs,
+    )
+
+
+def _soft_qx(NS, ms, S):
+    """(Qx_s, qx_s) per soft variable from the Schur dict."""
+    rqx0e = S["rqx0"] - S["rQx0"] * S["zl0"] * S["Zl0"]
+    rqx1e = S["rqx1"] - S["rQx1"] * S["zl1"] * S["Zl1"]
+    rQx0e = S["rQx0"] - S["rQx0"] * S["rQx0"] * S["Zl0"]
+    rQx1e = S["rQx1"] - S["rQx1"] * S["rQx1"] * S["Zl1"]
+    return (rQx0e + rQx1e) * ms, (rqx1e - rqx0e) * ms
+
+
+def _soft_dt_dls(NS, lam_s, t_s, ms, S, zs, dl0_s, zl0x, zl1x):
+    """Soft (dt, dlam) for gathered direction values ``zs`` against the
+    CURRENT zl pair (affine: zl; corrector: zl + dl2 fold)."""
+    lts0, lts1, _, _ = S["lts"]
+    ms4 = S["ms4"]
+    ts0, ts1, ts2, ts3 = _soft4(t_s, NS)
+    ds_lo = (zl0x - lts0 * zs) * S["Zl0"]
+    ds_up = (zl1x + lts1 * zs) * S["Zl1"]
+    dts = jnp.concatenate([
+        ds_lo + zs - S["dlbs"] - ts0,
+        ds_up - zs + S["dubs"] - ts1,
+        ds_lo - ts2,
+        ds_up - ts3,
+    ], axis=0) * ms4
+    dls = (dl0_s - S["lamt_s"] * dts - lam_s) * ms4
+    return dts, dls
+
+
+def _soft_prep_kernel(NB, NS, NZ,
+                      idxb_ref, idxs_ref, lam_ref, t_ref, dcat_ref, mb_ref,
+                      lams_ref, ts_ref, sc_ref, ms_ref, base_ref, pd_ref,
+                      dvec_ref, geff_ref):
+    lam = lam_ref[0, 0]
+    t = t_ref[0, 0]
+    A = dcat_ref[0, 0]
+    mb = mb_ref[0, 0]
+    Qx_f, qx_f = _qx_fold(NB, False, lam, t, mb, A, None)
+
+    lam_s = lams_ref[0, 0]
+    t_s = ts_ref[0, 0]
+    ms = ms_ref[0, 0]
+    S = _soft_schur(NS, lam_s, t_s, ms, sc_ref[0, 0])
+    Qx_s, qx_s = _soft_qx(NS, ms, S)
+
+    dvec_ref[0, 0] = pd_ref[0, 0]
+    _scatter_add_box(dvec_ref, idxb_ref, Qx_f, NB)
+    _scatter_add_box(dvec_ref, idxs_ref, Qx_s, NS)
+    geff_ref[0, 0] = base_ref[0, 0]
+    _scatter_add_box(geff_ref, idxb_ref, qx_f, NB)
+    _scatter_add_box(geff_ref, idxs_ref, qx_s, NS)
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "NS", "NZ"))
+def soft_prep_flat(idxb_tab, idxs_tab, lam, t, dcat, mb,
+                   lam_s, t_s, soft_c, ms, base, pdreg, NB, NS, NZ):
+    """Soft-IPM barrier diag + effective gradient: box fold + slack Schur
+    elimination + both scatters in one pass.  Returns (dvec_l, geff_l)."""
+    nb, Np1 = lam.shape[0], lam.shape[1]
+    dt = lam.dtype
+
+    def bspec(K):
+        return pl.BlockSpec((1, 1, K, SUBS, LANES),
+                            lambda bb, s: (bb, s, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def ispec(K):
+        return pl.BlockSpec((1, K), lambda bb, s: (s, 0),
+                            memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_soft_prep_kernel, NB, NS, NZ)
+    dvec_l, geff_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=[ispec(NB), ispec(NS), bspec(2 * NB), bspec(2 * NB),
+                  bspec(2 * NB), bspec(2 * NB), bspec(4 * NS),
+                  bspec(4 * NS), bspec(6 * NS), bspec(NS), bspec(NZ),
+                  bspec(NZ)],
+        out_specs=[bspec(NZ), bspec(NZ)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+        ],
+    )(idxb_tab, idxs_tab, lam, t, dcat, mb, lam_s, t_s, soft_c, ms,
+      base, pdreg)
+    return dvec_l, geff_l
+
+
+def _soft_alpha_kernel(NB, NS, NZ, corrector,
+                       idxb_ref, idxs_ref, dz_ref, lam_ref, t_ref,
+                       dcat_ref, mb_ref, lams_ref, ts_ref, sc_ref, ms_ref,
+                       *rest):
+    rest = list(rest)
+    dl0b = rest.pop(0)[0, 0] if corrector else 0.0
+    dl2s = rest.pop(0)[0, 0] if corrector else None
+    (dtb_ref, dlb_ref, dts_ref, dls_ref,
+     amin_ref, s0_ref, s1_ref, s2_ref) = rest
+
+    lam = lam_ref[0, 0]
+    t = t_ref[0, 0]
+    A = dcat_ref[0, 0]
+    mb = mb_ref[0, 0]
+    zb = _gather_box(dz_ref, idxb_ref, NB)
+    dt_b, dl_b = _dt_dlam(NB, False, lam, t, mb, A, None, zb, dl0b)
+    dtb_ref[0, 0] = dt_b
+    dlb_ref[0, 0] = dl_b
+
+    lam_s = lams_ref[0, 0]
+    t_s = ts_ref[0, 0]
+    ms = ms_ref[0, 0]
+    S = _soft_schur(NS, lam_s, t_s, ms, sc_ref[0, 0])
+    zs = _gather_box(dz_ref, idxs_ref, NS) * ms
+    if corrector:
+        d0, d1, d2, d3 = _soft4(dl2s, NS)
+        zl0x = S["zl0"] + d0 + d2
+        zl1x = S["zl1"] + d1 + d3
+        dl0_s = dl2s
+    else:
+        zl0x, zl1x = S["zl0"], S["zl1"]
+        dl0_s = 0.0
+    dt_s, dl_s = _soft_dt_dls(NS, lam_s, t_s, ms, S, zs, dl0_s, zl0x, zl1x)
+    dts_ref[0, 0] = dt_s
+    dls_ref[0, 0] = dl_s
+
+    ms4 = S["ms4"]
+    cand = jnp.minimum(
+        jnp.minimum(_alpha_cands(lam, dl_b, mb), _alpha_cands(t, dt_b, mb)
+                    ).min(axis=0),
+        jnp.minimum(_alpha_cands(lam_s, dl_s, ms4),
+                    _alpha_cands(t_s, dt_s, ms4)).min(axis=0),
+    )
+    amin_ref[0, 0] = cand
+    s0_ref[0, 0] = (jnp.sum(lam * t * mb, axis=0)
+                    + jnp.sum(lam_s * t_s * ms4, axis=0))
+    s1_ref[0, 0] = (jnp.sum(lam * dt_b + t * dl_b, axis=0)
+                    + jnp.sum(lam_s * dt_s + t_s * dl_s, axis=0))
+    s2_ref[0, 0] = (jnp.sum(dl_b * dt_b, axis=0)
+                    + jnp.sum(dl_s * dt_s, axis=0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("NB", "NS", "NZ", "corrector")
+)
+def soft_alpha_sums_flat(idxb_tab, idxs_tab, dz_l, lam, t, dcat, mb,
+                         lam_s, t_s, soft_c, ms, dl0b, dl2s,
+                         NB, NS, NZ, corrector):
+    """Box + soft direction steps, stage alpha minima and mu-sum partials.
+    Returns (dtb, dlb, dts, dls, amin, s0, s1, s2)."""
+    nb, Np1 = lam.shape[0], lam.shape[1]
+    dt = lam.dtype
+
+    def bspec(K):
+        return pl.BlockSpec((1, 1, K, SUBS, LANES),
+                            lambda bb, s: (bb, s, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def ispec(K):
+        return pl.BlockSpec((1, K), lambda bb, s: (s, 0),
+                            memory_space=pltpu.SMEM)
+
+    r_spec = pl.BlockSpec((1, 1, SUBS, LANES),
+                          lambda bb, s: (bb, s, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    args = [idxb_tab, idxs_tab, dz_l, lam, t, dcat, mb, lam_s, t_s,
+            soft_c, ms]
+    in_specs = [ispec(NB), ispec(NS), bspec(NZ), bspec(2 * NB),
+                bspec(2 * NB), bspec(2 * NB), bspec(2 * NB),
+                bspec(4 * NS), bspec(4 * NS), bspec(6 * NS), bspec(NS)]
+    if corrector:
+        args += [dl0b, dl2s]
+        in_specs += [bspec(2 * NB), bspec(4 * NS)]
+
+    kernel = functools.partial(_soft_alpha_kernel, NB, NS, NZ, corrector)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=in_specs,
+        out_specs=[bspec(2 * NB), bspec(2 * NB), bspec(4 * NS),
+                   bspec(4 * NS), r_spec, r_spec, r_spec, r_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, 2 * NB, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, 2 * NB, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, 4 * NS, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, 4 * NS, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, SUBS, LANES), dt),
+        ],
+    )(*args)
+    return outs
+
+
+def _soft_corr_kernel(NB, NS, NZ, exact,
+                      idxb_ref, idxs_ref, lam_ref, t_ref, dcat_ref, mb_ref,
+                      lams_ref, ts_ref, sc_ref, ms_ref,
+                      dtb_ref, dlb_ref, dts_ref, dls_ref, sm_ref, base_ref,
+                      geff_ref, dl2b_ref, dl2s_ref):
+    lam = lam_ref[0, 0]
+    t = t_ref[0, 0]
+    A = dcat_ref[0, 0]
+    mb = mb_ref[0, 0]
+    sm = sm_ref[0, 0]
+    t_inv, lamt = _t_inv_lamt(lam, t, mb)
+    dtb = dtb_ref[0, 0]
+    dlb = dlb_ref[0, 0]
+    dl2b = t_inv * (sm - dlb * dtb) * mb
+    dl2b_ref[0, 0] = dl2b
+    _, qx0 = _qx_fold(NB, False, lam, t, mb, A, None)
+    qx_f = qx0 + (dl2b[NB:] - dl2b[:NB]) * mb[:NB]
+
+    lam_s = lams_ref[0, 0]
+    t_s = ts_ref[0, 0]
+    ms = ms_ref[0, 0]
+    S = _soft_schur(NS, lam_s, t_s, ms, sc_ref[0, 0])
+    Qx_s, qx_s = _soft_qx(NS, ms, S)
+    dts = dts_ref[0, 0]
+    dls = dls_ref[0, 0]
+    dl2s = S["t_inv_s"] * (sm - dls * dts) * S["ms4"]
+    dl2s_ref[0, 0] = dl2s
+    if exact:
+        d0, d1, d2, d3 = _soft4(dl2s, NS)
+        rqx0c = d0 - S["rQx0"] * (d0 + d2) * S["Zl0"]
+        rqx1c = d1 - S["rQx1"] * (d1 + d3) * S["Zl1"]
+        qx_s2 = qx_s + (rqx1c - rqx0c) * ms
+    else:  # reference compat (stale-pointer bug, see ipm_soft)
+        qx_s2 = qx_s
+
+    geff_ref[0, 0] = base_ref[0, 0]
+    _scatter_add_box(geff_ref, idxb_ref, qx_f, NB)
+    _scatter_add_box(geff_ref, idxs_ref, qx_s2, NS)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("NB", "NS", "NZ", "exact")
+)
+def soft_corr_flat(idxb_tab, idxs_tab, lam, t, dcat, mb, lam_s, t_s,
+                   soft_c, ms, dtb_l, dlb_l, dts_l, dls_l, sm_l, base,
+                   NB, NS, NZ, exact):
+    """Soft corrector gradient pass: centering corrections for both
+    families plus the second effective gradient.  Returns
+    (geff2_l, dl2b_l, dl2s_l)."""
+    nb, Np1 = lam.shape[0], lam.shape[1]
+    dt = lam.dtype
+
+    def bspec(K):
+        return pl.BlockSpec((1, 1, K, SUBS, LANES),
+                            lambda bb, s: (bb, s, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def ispec(K):
+        return pl.BlockSpec((1, K), lambda bb, s: (s, 0),
+                            memory_space=pltpu.SMEM)
+
+    sm_spec = pl.BlockSpec((1, 1, SUBS, LANES),
+                           lambda bb, s: (bb, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_soft_corr_kernel, NB, NS, NZ, exact)
+    geff2_l, dl2b_l, dl2s_l = pl.pallas_call(
+        kernel,
+        grid=(nb, Np1),
+        in_specs=[ispec(NB), ispec(NS), bspec(2 * NB), bspec(2 * NB),
+                  bspec(2 * NB), bspec(2 * NB), bspec(4 * NS),
+                  bspec(4 * NS), bspec(6 * NS), bspec(NS),
+                  bspec(2 * NB), bspec(2 * NB), bspec(4 * NS),
+                  bspec(4 * NS), sm_spec, bspec(NZ)],
+        out_specs=[bspec(NZ), bspec(2 * NB), bspec(4 * NS)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, 2 * NB, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, 4 * NS, SUBS, LANES), dt),
+        ],
+    )(idxb_tab, idxs_tab, lam, t, dcat, mb, lam_s, t_s, soft_c, ms,
+      dtb_l, dlb_l, dts_l, dls_l, sm_l, base)
+    return geff2_l, dl2b_l, dl2s_l

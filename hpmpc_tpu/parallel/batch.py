@@ -94,9 +94,23 @@ def solve_batched_soft(
         and idxbs is not None
         and B % 1024 == 0
     ):
-        from ..models import ipm_soft_fast
+        import os
 
         idxbs_t = tuple(tuple(int(i) for i in row) for row in idxbs)
+        if (
+            os.environ.get("HPMPC_LANES_LOOP", "0") == "1"
+            and dims.NB > 0
+            and soft.ns_mask.shape[-1] > 0
+            and qp.dtype == jnp.float32
+        ):
+            from ..models import ipm_soft_lanes
+
+            return ipm_soft_lanes.solve_batched_soft_lanes(
+                dims, qp, soft, cfg, idxbs_t,
+                exact_mehrotra_soft=exact_mehrotra_soft,
+            )
+        from ..models import ipm_soft_fast
+
         return ipm_soft_fast.solve_batched_flat(
             dims, qp, soft, cfg, idxbs_t,
             exact_mehrotra_soft=exact_mehrotra_soft,
