@@ -68,14 +68,17 @@ def make_ng_lanes(dims, qp, ng_stages, dt, B):
         return x.reshape(B, -1)
 
     ns = types.SimpleNamespace(n_ng=n_ng, NGF=NGF)
-    ns.ngl0 = jnp.zeros((nb_blk, max(n_ng, 1), NT, sk.SUBS, sk.LANES), dt)
     if not n_ng:
+        # the zero barrier-term stream for the ng-less kernels; only this
+        # path ever consumes it (ngl_of covers n_ng > 0)
+        ns.ngl0 = jnp.zeros((nb_blk, 1, NT, sk.SUBS, sk.LANES), dt)
         ns.mgF = ns.dg_cat = ns.mg2 = ns.sgn_g = jnp.zeros((B, 0), dt)
         ns.cz_of = lambda zl: jnp.zeros((B, 0), dt)
         ns.ct_add_lanes = lambda gl, v: gl
         ns.fold_g = lambda v: v
         ns.ngl_of = lambda Qx_g: ns.ngl0
         return ns
+    ns.ngl0 = None
 
     C_act = [qp.C[:, n] for n in ng_stages]            # each (B, NG, NZ)
     Ct1, Ct2 = sk.sym_pair_streams(
@@ -121,6 +124,160 @@ def make_ng_lanes(dims, qp, ng_stages, dt, B):
     ns.ct_add_lanes = ct_add_lanes
     ns.fold_g = lambda v: v[:, :NGF] + v[:, NGF:]
     ns.ngl_of = ngl_of
+    return ns
+
+
+
+def make_lanes_common(dims, qp, cfg):
+    """Shared scaffolding of the lanes-resident engines (hard and soft):
+    layout helpers, SMEM index table, box constant streams, the
+    d_init_var box initialization, state gating, and the alpha/mu-sum
+    finisher.  One copy so a fix cannot land in one engine only."""
+    import types
+
+    from ..ops import stage_kernel as sk
+
+    dt = qp.dtype
+    N, NU, NZ, NB = dims.N, dims.NU, dims.NZ, dims.NB
+    Np1 = N + 1
+    B = qp.b.shape[0]
+    nb_blk = B // sk.BI
+    ns = types.SimpleNamespace(B=B, nb_blk=nb_blk, dt=dt)
+
+    # ---- layout helpers (the canonical stage_kernel transposes) ---------
+    ns.to_lanes3 = lambda x: sk._to_lanes(x, B)
+    ns.from_lanes3 = lambda y: sk._from_lanes(y, B)
+    ns.sc_l = lambda x: x.reshape(nb_blk, sk.SUBS, sk.LANES)
+    ns.sc_B = lambda y: y.reshape(B)
+    ns.cat2 = lambda v: jnp.concatenate([v, v], 1)
+
+    def min_ratio(a, v, dv, m):
+        if v.shape[1] == 0:
+            return a
+        pred = (dv < 0.0) & (m > 0.0)
+        ratio = jnp.where(pred, -v / jnp.where(pred, dv, -1.0), jnp.inf)
+        return jnp.minimum(a, jnp.min(ratio, axis=1))
+
+    ns.min_ratio = min_ratio
+
+    def gate(m, new, old):
+        m_l = ns.sc_l(m)
+        out = []
+        for f, a, b in zip(new._fields, new, old):
+            if f == "stat":
+                mm = m[None, None, :]
+            elif a.ndim >= 4:
+                mm = m_l.reshape(
+                    (nb_blk,) + (1,) * (a.ndim - 3) + (sk.SUBS, sk.LANES)
+                )
+            else:
+                mm = m.reshape((B,) + (1,) * (a.ndim - 1))
+            out.append(jnp.where(mm, a, b))
+        return type(new)(*out)
+
+    ns.gate = gate
+
+    def bcast5(a2, like):
+        return ns.sc_l(a2).reshape(
+            (nb_blk,) + (1,) * (like.ndim - 3) + (sk.SUBS, sk.LANES)
+        )
+
+    ns.bcast5 = bcast5
+
+    kiota = jnp.arange(cfg.k_max, dtype=jnp.int32)
+
+    def stat_update(stat, kk, row):
+        mask = kiota[None, :, None] == kk[None, None, :]
+        return jnp.where(mask, row[:, None, :], stat)
+
+    ns.stat_update = stat_update
+
+    def finish_alpha_sums(outs, ngh, lam_g, t_g, dtg, dlg):
+        """Combine the step kernel's per-stage (amin, s0, s1, s2) partials
+        (last four entries of ``outs``) with the tiny ng contributions."""
+        amin_l, s0_l, s1_l, s2_l = outs[-4:]
+        amin = ns.sc_B(jnp.min(amin_l, axis=1))
+        s0 = ns.sc_B(jnp.sum(s0_l, axis=1))
+        s1 = ns.sc_B(jnp.sum(s1_l, axis=1))
+        s2 = ns.sc_B(jnp.sum(s2_l, axis=1))
+        if ngh.n_ng:
+            amin = min_ratio(amin, lam_g, dlg, ngh.mg2)
+            amin = min_ratio(amin, t_g, dtg, ngh.mg2)
+            s0 = s0 + jnp.sum(lam_g * t_g * ngh.mg2, axis=1)
+            s1 = s1 + jnp.sum(lam_g * dtg + t_g * dlg, axis=1)
+            s2 = s2 + jnp.sum(dlg * dtg, axis=1)
+        alpha = jnp.minimum(jnp.ones((B,), dt), amin)
+        return alpha, s0, s1, s2
+
+    ns.finish_alpha_sums = finish_alpha_sums
+
+    # ---- SMEM box index table + one-time init selection -----------------
+    idx_np = np.zeros((Np1, NB), np.int32)
+    sel_np = np.zeros((Np1, NZ, NB), np.float32)
+    for n in range(Np1):
+        nun = dims.nu[n]
+        for k in range(dims.nb[n]):
+            j = int(dims.idxb[n][k])
+            jp = j if j < nun else NU + (j - nun)
+            idx_np[n, k] = jp
+            sel_np[n, jp, k] = 1.0
+    ns.idxT = jnp.asarray(idx_np)
+    Sel = jnp.asarray(sel_np, dt)
+
+    # ---- box constant streams ------------------------------------------
+    mb1 = qp.nb_mask                                   # (B, Np1, NB)
+    ns.mb_st = jnp.concatenate([mb1, mb1], -1)         # (B, Np1, 2NB)
+    ns.mbL = ns.to_lanes3(ns.mb_st)
+    ns.dcatL = ns.to_lanes3(jnp.concatenate([qp.d_lb, qp.d_ub], -1))
+    ns.gL = ns.to_lanes3(qp.g * qp.z_mask)
+    reg = jnp.asarray(cfg.reg_eps, dt)
+    ns.pdregL = ns.to_lanes3(qp.pad_diag + reg)
+    ns.bL = ns.to_lanes3(qp.b)
+    ns.Hl = sk._to_lanes(sk.sym_compress(qp.H.astype(dt)), B)
+    ns.Fl = sk._to_lanes(qp.F.astype(dt), B)
+
+    # ---- init (exact reference branching; ipm.init_vars twin) ------------
+    thr0 = jnp.asarray(0.1, dt)
+    mu0 = jnp.asarray(cfg.mu0, dt)
+    d_lb3, d_ub3 = qp.d_lb, qp.d_ub
+    zb0 = jnp.zeros((B, Np1, NB), dt)                  # gather of z0 = 0
+    t_lo0 = zb0 - d_lb3
+    t_up0 = d_ub3 - zb0
+    both = (t_lo0 < thr0) & (t_up0 < thr0)
+    lo_only = (t_lo0 < thr0) & ~both
+    up_only = (t_up0 < thr0) & ~both
+    t_lo = jnp.where(both | lo_only, thr0, t_lo0)
+    t_up = jnp.where(both | up_only, thr0, t_up0)
+    z_corr = jnp.where(
+        both, (d_lb3 - d_ub3) * 0.5,
+        jnp.where(lo_only, d_lb3 + thr0,
+                  jnp.where(up_only, d_ub3 - thr0, zb0)),
+    )
+    changed = ((both | lo_only | up_only) & (mb1 > 0)).astype(dt)
+    z0 = jnp.einsum(
+        "bnk,nzk->bnz", changed * z_corr, Sel,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    t_b0 = jnp.concatenate([t_lo, t_up], -1)
+    t_b0 = jnp.where(ns.mb_st > 0, t_b0, 1.0)
+    lam_b0 = jnp.where(ns.mb_st > 0, mu0 / t_b0, 0.0)
+    ns.zL0 = ns.to_lanes3(z0)
+    ns.lamL0 = ns.to_lanes3(lam_b0)
+    ns.tL0 = ns.to_lanes3(t_b0)
+
+    def ng_init(ngh):
+        """Slack/multiplier init for the general-constraint streams."""
+        if not ngh.n_ng:
+            return (jnp.zeros((B, 0), dt), jnp.ones((B, 0), dt))
+        czv = ngh.cz_of(ns.zL0)
+        t_g0 = jnp.maximum(
+            thr0, ngh.sgn_g * (ns.cat2(czv) - ngh.dg_cat)
+        )
+        t_g0 = jnp.where(ngh.mg2 > 0, t_g0, 1.0)
+        lam_g0 = jnp.where(ngh.mg2 > 0, mu0 / t_g0, 0.0)
+        return lam_g0, t_g0
+
+    ns.ng_init = ng_init
     return ns
 
 
@@ -174,57 +331,17 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     ng_stages = tuple(n for n in range(Np1) if dims.ng[n] > 0)
     n_ng = len(ng_stages)
     NGF = n_ng * NG
-    NT = sk._sym_nt(NZ)
 
-    # ---- lanes-layout helpers (the canonical stage_kernel transposes) ----
-    def to_lanes3(x):
-        """(B, S, K) -> (nb, S, K, 8, 128)."""
-        return sk._to_lanes(x, B)
-
-    def from_lanes3(y):
-        """(nb, S, K, 8, 128) -> (B, S, K)."""
-        return sk._from_lanes(y, B)
-
-    def sc_l(x):
-        """(B,) -> (nb, 8, 128) lanes scalar (pure reshape)."""
-        return x.reshape(nb_blk, sk.SUBS, sk.LANES)
-
-    def sc_B(y):
-        """(nb, 8, 128) -> (B,)."""
-        return y.reshape(B)
-
-    def stage_flat(zl, n):
-        """lanes stage slice -> (B, K)."""
-        x = jnp.transpose(zl[:, n], (0, 2, 3, 1))
-        return x.reshape(B, -1)
-
-    # ---- trace-time constants -------------------------------------------
-    idx_np = np.zeros((Np1, NB), np.int32)
-    sel_np = np.zeros((Np1, NZ, NB), np.float32)  # one-time init gather
-    for n in range(Np1):
-        nun = dims.nu[n]
-        for k in range(dims.nb[n]):
-            j = int(dims.idxb[n][k])
-            jp = j if j < nun else NU + (j - nun)
-            idx_np[n, k] = jp
-            sel_np[n, jp, k] = 1.0
-    idxT = jnp.asarray(idx_np)
-    Sel = jnp.asarray(sel_np, dt)
-
-    mb1 = qp.nb_mask                                   # (B, Np1, NB)
-    mb_st = jnp.concatenate([mb1, mb1], -1)            # (B, Np1, 2NB)
-    dcat_st = jnp.concatenate([qp.d_lb, qp.d_ub], -1)
-    mbL = to_lanes3(mb_st)
-    dcatL = to_lanes3(dcat_st)
-    g_st = qp.g * qp.z_mask
-    gL = to_lanes3(g_st)
-    reg = jnp.asarray(cfg.reg_eps, dt)
-    pdregL = to_lanes3(qp.pad_diag + reg)
-    bL = to_lanes3(qp.b)
+    # ---- shared scaffolding (one copy for hard and soft engines) --------
+    cm = make_lanes_common(dims, qp, cfg)
+    to_lanes3, from_lanes3 = cm.to_lanes3, cm.from_lanes3
+    sc_l, sc_B, cat2, min_ratio = cm.sc_l, cm.sc_B, cm.cat2, cm.min_ratio
+    gate, bcast5, stat_update = cm.gate, cm.bcast5, cm.stat_update
+    idxT = cm.idxT
+    mbL, dcatL, gL, pdregL, bL = cm.mbL, cm.dcatL, cm.gL, cm.pdregL, cm.bL
+    Hl, Fl = cm.Hl, cm.Fl
     zmaskL = to_lanes3(qp.z_mask)
     xmaskL = to_lanes3(qp.x_mask[:, 1:])
-    Hl = sk._to_lanes(sk.sym_compress(qp.H.astype(dt)), B)
-    Fl = sk._to_lanes(qp.F.astype(dt), B)
 
     # general constraints (tiny flat XLA streams, as in ipm_fast)
     ngh = make_ng_lanes(dims, qp, ng_stages, dt, B)
@@ -234,22 +351,11 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     )
     ngl0 = ngh.ngl0
 
-    def cat2(v):
-        return jnp.concatenate([v, v], 1)
-
-    def min_ratio(a, v, dv, m):
-        if v.shape[1] == 0:
-            return a
-        pred = (dv < 0.0) & (m > 0.0)
-        ratio = jnp.where(pred, -v / jnp.where(pred, dv, -1.0), jnp.inf)
-        return jnp.minimum(a, jnp.min(ratio, axis=1))
-
     mu_scal = jnp.asarray(1.0 / n_constr, dt)
     mu_tol = jnp.asarray(cfg.mu_tol, dt)
     mu_tol_low = jnp.asarray(max(cfg.mu_tol, cfg.mu_switch), dt)
     alpha_min = jnp.asarray(cfg.alpha_min, dt)
     k_max = cfg.k_max
-    thr0 = jnp.asarray(0.1, dt)
     mu0 = jnp.asarray(cfg.mu0, dt)
 
     fused = _ipm_fast_knob()
@@ -271,77 +377,14 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         return fn(Ll_l, Lxx_l, Pb_l, geffL, Fl, rhsL, NU, NZ, NX,
                   lanes_io=True)
 
-    # gating: mask (B,) broadcast per field layout
-    def gate(m, new, old):
-        m_l = sc_l(m)
-        out = []
-        for f, a, b in zip(_LState._fields, new, old):
-            if f == "stat":
-                mm = m[None, None, :]
-            elif a.ndim >= 4:
-                mm = m_l.reshape(
-                    (nb_blk,) + (1,) * (a.ndim - 3) + (sk.SUBS, sk.LANES)
-                )
-            else:
-                mm = m.reshape((B,) + (1,) * (a.ndim - 1))
-            out.append(jnp.where(mm, a, b))
-        return _LState(*out)
+    gate_res = gate  # generic over NamedTuples
 
-    def gate_res(m, new, old):
-        m_l = sc_l(m)
-        out = []
-        for a, b in zip(new, old):
-            if a.ndim >= 4:
-                mm = m_l.reshape(
-                    (nb_blk,) + (1,) * (a.ndim - 3) + (sk.SUBS, sk.LANES)
-                )
-            else:
-                mm = m.reshape((B,) + (1,) * (a.ndim - 1))
-            out.append(jnp.where(mm, a, b))
-        return _LRes(*out)
-
-    def bcast5(a2, like):
-        """(B,) -> broadcastable against a 5-D lanes array."""
-        return sc_l(a2).reshape(
-            (nb_blk,) + (1,) * (like.ndim - 3) + (sk.SUBS, sk.LANES)
-        )
-
-    # ---- init (exact reference branching; ipm.init_vars twin) ------------
-    d_lb3, d_ub3 = qp.d_lb, qp.d_ub                      # (B, Np1, NB)
-    zb0 = jnp.zeros((B, Np1, NB), dt)                    # gather of z0 = 0
-    t_lo0 = zb0 - d_lb3
-    t_up0 = d_ub3 - zb0
-    both = (t_lo0 < thr0) & (t_up0 < thr0)
-    lo_only = (t_lo0 < thr0) & ~both
-    up_only = (t_up0 < thr0) & ~both
-    t_lo = jnp.where(both | lo_only, thr0, t_lo0)
-    t_up = jnp.where(both | up_only, thr0, t_up0)
-    z_corr = jnp.where(
-        both, (d_lb3 - d_ub3) * 0.5,
-        jnp.where(lo_only, d_lb3 + thr0,
-                  jnp.where(up_only, d_ub3 - thr0, zb0)),
-    )
-    changed = ((both | lo_only | up_only) & (mb1 > 0)).astype(dt)
-    z0 = jnp.einsum("bnk,nzk->bnz", changed * z_corr, Sel, precision=HI)
-    # (z0 was all-zero, so the (1 - scatter(changed)) factor is moot)
-
-    t_b0 = jnp.concatenate([t_lo, t_up], -1)
-    t_b0 = jnp.where(mb_st > 0, t_b0, 1.0)
-    lam_b0 = jnp.where(mb_st > 0, mu0 / t_b0, 0.0)
-
-    zL0 = to_lanes3(z0)
-    if n_ng:
-        czv = cz_of(zL0)
-        t_g0 = jnp.maximum(thr0, sgn_g * (cat2(czv) - dg_cat))
-        t_g0 = jnp.where(mg2 > 0, t_g0, 1.0)
-        lam_g0 = jnp.where(mg2 > 0, mu0 / t_g0, 0.0)
-    else:
-        t_g0 = jnp.ones((B, 0), dt)
-        lam_g0 = jnp.zeros((B, 0), dt)
+    # ---- init (exact reference branching; ipm.init_vars twin, in cm) -----
+    lam_g0, t_g0 = cm.ng_init(ngh)
 
     s0_state = _LState(
-        zL=zL0, piL=jnp.zeros((nb_blk, N, NX, sk.SUBS, sk.LANES), dt),
-        lamL=to_lanes3(lam_b0), tL=to_lanes3(t_b0),
+        zL=cm.zL0, piL=jnp.zeros((nb_blk, N, NX, sk.SUBS, sk.LANES), dt),
+        lamL=cm.lamL0, tL=cm.tL0,
         lam_g=lam_g0, t_g=t_g0,
         mu=jnp.full((B,), mu0, dt),
         alpha=jnp.ones((B,), dt),
@@ -349,27 +392,8 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         stat=jnp.zeros((5, k_max, B), dt),
     )
 
-    kiota = jnp.arange(k_max, dtype=jnp.int32)
-
-    def stat_update(stat, kk, row):
-        mask = kiota[None, :, None] == kk[None, None, :]
-        return jnp.where(mask, row[:, None, :], stat)
-
     def finish_alpha_sums(outs, lam_g, t_g, dtg, dlg):
-        """Combine kernel partials with the (tiny) ng contributions."""
-        _, _, aminL, s0L, s1L, s2L = outs
-        amin = sc_B(jnp.min(aminL, axis=1))
-        s0 = sc_B(jnp.sum(s0L, axis=1))
-        s1 = sc_B(jnp.sum(s1L, axis=1))
-        s2 = sc_B(jnp.sum(s2L, axis=1))
-        if n_ng:
-            amin = min_ratio(amin, lam_g, dlg, mg2)
-            amin = min_ratio(amin, t_g, dtg, mg2)
-            s0 = s0 + jnp.sum(lam_g * t_g * mg2, axis=1)
-            s1 = s1 + jnp.sum(lam_g * dtg + t_g * dlg, axis=1)
-            s2 = s2 + jnp.sum(dlg * dtg, axis=1)
-        alpha = jnp.minimum(jnp.ones((B,), dt), amin)
-        return alpha, s0, s1, s2
+        return cm.finish_alpha_sums(outs, ngh, lam_g, t_g, dtg, dlg)
 
     # ---- phase 1 (delta formulation) -------------------------------------
     def phase1_body(s):

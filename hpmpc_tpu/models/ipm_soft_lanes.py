@@ -27,7 +27,7 @@ from jax import lax
 
 from ..ocp import OCPDims, OCPQP
 from . import ipm_soft as _soft
-from .ipm_lanes import make_ng_lanes
+from .ipm_lanes import _ipm_fast_knob, make_lanes_common, make_ng_lanes
 
 
 class _LSState(NamedTuple):
@@ -74,41 +74,17 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact):
     n_ng = len(ng_stages)
     NGF = n_ng * NG
 
-    def to_lanes3(x):
-        return sk._to_lanes(x, B)
-
-    def from_lanes3(y):
-        return sk._from_lanes(y, B)
-
-    def sc_l(x):
-        return x.reshape(nb_blk, sk.SUBS, sk.LANES)
-
-    def sc_B(y):
-        return y.reshape(B)
-
-    # ---- trace-time constants -------------------------------------------
-    idx_np = np.zeros((Np1, NB), np.int32)
-    for n in range(Np1):
-        nun = dims.nu[n]
-        for k in range(dims.nb[n]):
-            j = int(dims.idxb[n][k])
-            idx_np[n, k] = j if j < nun else NU + (j - nun)
-    idxT = jnp.asarray(idx_np)
+    # ---- shared scaffolding (one copy for hard and soft engines) --------
+    cm = make_lanes_common(dims, qp, cfg)
+    to_lanes3, from_lanes3 = cm.to_lanes3, cm.from_lanes3
+    sc_l, sc_B, cat2, min_ratio = cm.sc_l, cm.sc_B, cm.cat2, cm.min_ratio
+    gate, bcast5, stat_update = cm.gate, cm.bcast5, cm.stat_update
+    idxT = cm.idxT
+    mbL, dcatL, gL, pdregL, bL = cm.mbL, cm.dcatL, cm.gL, cm.pdregL, cm.bL
+    Hl, Fl = cm.Hl, cm.Fl
     idxS = jnp.asarray(
         np.asarray(idxbs_static, np.int32).reshape(Np1, NS)
     )
-
-    mb1 = qp.nb_mask
-    mb_st = jnp.concatenate([mb1, mb1], -1)
-    dcat_st = jnp.concatenate([qp.d_lb, qp.d_ub], -1)
-    mbL = to_lanes3(mb_st)
-    dcatL = to_lanes3(dcat_st)
-    gL = to_lanes3(qp.g * qp.z_mask)
-    reg = jnp.asarray(cfg.reg_eps, dt)
-    pdregL = to_lanes3(qp.pad_diag + reg)
-    bL = to_lanes3(qp.b)
-    Hl = sk._to_lanes(sk.sym_compress(qp.H.astype(dt)), B)
-    Fl = sk._to_lanes(qp.F.astype(dt), B)
 
     ms1 = soft.ns_mask                                   # (B, Np1, NS)
     ms4_st = jnp.concatenate([ms1] * 4, -1)              # (B, Np1, 4NS)
@@ -123,16 +99,6 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact):
     ngh = make_ng_lanes(dims, qp, ng_stages, dt, B)
     mgF, dg_cat, mg2, sgn_g = ngh.mgF, ngh.dg_cat, ngh.mg2, ngh.sgn_g
 
-    def cat2(v):
-        return jnp.concatenate([v, v], 1)
-
-    def min_ratio(a, v, dv, m):
-        if v.shape[1] == 0:
-            return a
-        pred = (dv < 0.0) & (m > 0.0)
-        ratio = jnp.where(pred, -v / jnp.where(pred, dv, -1.0), jnp.inf)
-        return jnp.minimum(a, jnp.min(ratio, axis=1))
-
     # mu scaling: 2 nb + 2 ng + 4 ns (d_ip2_soft.c:268-271)
     n_hard = 2 * sum(dims.nb) + 2 * sum(dims.ng)
     mu_scal = 1.0 / (
@@ -141,12 +107,9 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact):
     mu_tol = jnp.asarray(cfg.mu_tol, dt)
     alpha_min = jnp.asarray(cfg.alpha_min, dt)
     k_max = cfg.k_max
-    thr0 = jnp.asarray(0.1, dt)
     mu0 = jnp.asarray(cfg.mu0, dt)
 
-    fused = __import__(
-        "hpmpc_tpu.models.ipm_fast", fromlist=["_fused_sweeps"]
-    )._fused_sweeps()
+    fused = _ipm_fast_knob()
 
     def kkt_factor_solve(dvecL, ngl, geffL):
         if fused:
@@ -165,70 +128,14 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact):
         return fn(Ll_l, Lxx_l, Pb_l, geffL, Fl, bL, NU, NZ, NX,
                   lanes_io=True)
 
-    def gate(m, new, old):
-        m_l = sc_l(m)
-        out = []
-        for f, a, b in zip(_LSState._fields, new, old):
-            if f == "stat":
-                mm = m[None, None, :]
-            elif a.ndim >= 4:
-                mm = m_l.reshape(
-                    (nb_blk,) + (1,) * (a.ndim - 3) + (sk.SUBS, sk.LANES)
-                )
-            else:
-                mm = m.reshape((B,) + (1,) * (a.ndim - 1))
-            out.append(jnp.where(mm, a, b))
-        return _LSState(*out)
-
-    def bcast5(a2, like):
-        return sc_l(a2).reshape(
-            (nb_blk,) + (1,) * (like.ndim - 3) + (sk.SUBS, sk.LANES)
-        )
-
-    # ---- init (d_init_var_mpc_soft_tv; box == ipm_lanes) -----------------
-    d_lb3, d_ub3 = qp.d_lb, qp.d_ub
-    zb0 = jnp.zeros((B, Np1, NB), dt)
-    t_lo0 = zb0 - d_lb3
-    t_up0 = d_ub3 - zb0
-    both = (t_lo0 < thr0) & (t_up0 < thr0)
-    lo_only = (t_lo0 < thr0) & ~both
-    up_only = (t_up0 < thr0) & ~both
-    t_lo = jnp.where(both | lo_only, thr0, t_lo0)
-    t_up = jnp.where(both | up_only, thr0, t_up0)
-    z_corr = jnp.where(
-        both, (d_lb3 - d_ub3) * 0.5,
-        jnp.where(lo_only, d_lb3 + thr0,
-                  jnp.where(up_only, d_ub3 - thr0, zb0)),
-    )
-    changed = ((both | lo_only | up_only) & (mb1 > 0)).astype(dt)
-    sel_np = np.zeros((Np1, NZ, NB), np.float32)
-    for n in range(Np1):
-        for k in range(dims.nb[n]):
-            sel_np[n, idx_np[n, k], k] = 1.0
-    z0 = jnp.einsum(
-        "bnk,nzk->bnz", changed * z_corr, jnp.asarray(sel_np, dt),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-    t_b0 = jnp.concatenate([t_lo, t_up], -1)
-    t_b0 = jnp.where(mb_st > 0, t_b0, 1.0)
-    lam_b0 = jnp.where(mb_st > 0, mu0 / t_b0, 0.0)
-
-    zL0 = to_lanes3(z0)
-    if n_ng:
-        czv = ngh.cz_of(zL0)
-        t_g0 = jnp.maximum(thr0, sgn_g * (cat2(czv) - dg_cat))
-        t_g0 = jnp.where(mg2 > 0, t_g0, 1.0)
-        lam_g0 = jnp.where(mg2 > 0, mu0 / t_g0, 0.0)
-    else:
-        t_g0 = jnp.ones((B, 0), dt)
-        lam_g0 = jnp.zeros((B, 0), dt)
+    # ---- init (d_init_var_mpc_soft_tv; box/ng init shared via cm) --------
+    lam_g0, t_g0 = cm.ng_init(ngh)
     t_s0 = jnp.ones((B, Np1, 4 * NS), dt)
     lam_s0 = jnp.where(ms4_st > 0, mu0, 0.0)
 
     s0 = _LSState(
-        zL=zL0, piL=jnp.zeros((nb_blk, N, NX, sk.SUBS, sk.LANES), dt),
-        lamL=to_lanes3(lam_b0), tL=to_lanes3(t_b0),
+        zL=cm.zL0, piL=jnp.zeros((nb_blk, N, NX, sk.SUBS, sk.LANES), dt),
+        lamL=cm.lamL0, tL=cm.tL0,
         lam_g=lam_g0, t_g=t_g0,
         lamsL=to_lanes3(lam_s0), tsL=to_lanes3(t_s0),
         mu=jnp.full((B,), mu0, dt),
@@ -237,23 +144,8 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact):
         stat=jnp.zeros((5, k_max, B), dt),
     )
 
-    kiota = jnp.arange(k_max, dtype=jnp.int32)
-
-    def stat_update(stat, kk, row):
-        mask = kiota[None, :, None] == kk[None, None, :]
-        return jnp.where(mask, row[:, None, :], stat)
-
     def finish(outs, lam_g, t_g, dtg, dlg):
-        amin = sc_B(jnp.min(outs[4], axis=1))
-        sums = [sc_B(jnp.sum(o, axis=1)) for o in outs[5:8]]
-        if n_ng:
-            amin = min_ratio(amin, lam_g, dlg, mg2)
-            amin = min_ratio(amin, t_g, dtg, mg2)
-            sums[0] = sums[0] + jnp.sum(lam_g * t_g * mg2, axis=1)
-            sums[1] = sums[1] + jnp.sum(lam_g * dtg + t_g * dlg, axis=1)
-            sums[2] = sums[2] + jnp.sum(dlg * dtg, axis=1)
-        alpha = jnp.minimum(jnp.ones((B,), dt), amin)
-        return alpha, sums[0], sums[1], sums[2]
+        return cm.finish_alpha_sums(outs, ngh, lam_g, t_g, dtg, dlg)
 
     # ---- single loop (d_ip2_mpc_soft_tv, lanes) --------------------------
     def body(s):
