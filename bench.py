@@ -162,7 +162,7 @@ def main():
     per_solve_s = (times[10] - times[2]) / (10 - 2)
     solves_per_s = (BATCH * mean_kk / K_MAX) / per_solve_s
     knobs = "".join(
-        f" {k}=1" for k in ("HPMPC_LANES_LOOP", "HPMPC_FUSED_SWEEPS")
+        f" {k}=1" for k in ("HPMPC_LANES_LOOP", "HPMPC_MEGA_SWEEPS", "HPMPC_FUSED_SWEEPS")
         if os.environ.get(k, "0") == "1"
     )
     payload = {

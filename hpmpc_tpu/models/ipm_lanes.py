@@ -28,6 +28,7 @@ Dispatched from :func:`hpmpc_tpu.parallel.batch.solve_batched` when
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -37,6 +38,13 @@ from jax import lax
 
 from ..ocp import OCPDims, OCPQP
 from . import ipm as _ipm
+
+
+def _mega_sweeps() -> bool:
+    """HPMPC_MEGA_SWEEPS=1 routes each half-iteration through ONE
+    mega-sweep pallas_call (ops/mega_kernel.py: prep+sv+fwd+alpha /
+    corr+trs+fwd+alpha).  Read per trace, like the other A/B knobs."""
+    return os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
 
 
 def _ipm_fast_knob() -> bool:
@@ -72,11 +80,13 @@ def make_ng_lanes(dims, qp, ng_stages, dt, B):
         # the zero barrier-term stream for the ng-less kernels; only this
         # path ever consumes it (ngl_of covers n_ng > 0)
         ns.ngl0 = jnp.zeros((nb_blk, 1, NT, sk.SUBS, sk.LANES), dt)
+        ns.ngadd0 = jnp.zeros((nb_blk, 1, NZ, sk.SUBS, sk.LANES), dt)
         ns.mgF = ns.dg_cat = ns.mg2 = ns.sgn_g = jnp.zeros((B, 0), dt)
         ns.cz_of = lambda zl: jnp.zeros((B, 0), dt)
         ns.ct_add_lanes = lambda gl, v: gl
         ns.fold_g = lambda v: v
         ns.ngl_of = lambda Qx_g: ns.ngl0
+        ns.ct_lanes_stream = lambda v: ns.ngadd0
         return ns
     ns.ngl0 = None
 
@@ -120,8 +130,23 @@ def make_ng_lanes(dims, qp, ng_stages, dt, B):
             ngt.reshape(B, -1).astype(dt), B, (n_ng, NT)
         )
 
+    def ct_lanes_stream(v):
+        """(B, NGF) -> per-active-stage C' v contributions as an
+        (nb, n_ng, NZ, 8, 128) stream (the mega kernels' ngadd input)."""
+        outs = []
+        for k, n in enumerate(ng_stages):
+            contrib = jnp.einsum(
+                "bg,bgz->bz", v[:, k * NG : (k + 1) * NG], C_act[k]
+            )
+            outs.append(jnp.transpose(
+                contrib.reshape(nb_blk, sk.SUBS, sk.LANES, NZ),
+                (0, 3, 1, 2),
+            ))
+        return jnp.stack(outs, 1)
+
     ns.cz_of = cz_of
     ns.ct_add_lanes = ct_add_lanes
+    ns.ct_lanes_stream = ct_lanes_stream
     ns.fold_g = lambda v: v[:, :NGF] + v[:, NGF:]
     ns.ngl_of = ngl_of
     return ns
@@ -379,6 +404,67 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
 
     gate_res = gate  # generic over NamedTuples
 
+    mega = _mega_sweeps()
+    if mega:
+        from ..ops import mega_kernel as mk
+
+    def affine_half(lamL, tL, A_L, M_L, baseL, rhsL, qx_g, ngl, phase2):
+        """prep + factor + affine solve + affine alpha/sums: ONE
+        mega pallas_call when HPMPC_MEGA_SWEEPS=1, else the 3-kernel
+        sequence.  Returns (dzL, fstate, aff) with aff's last four
+        entries the per-stage alpha/sum partials."""
+        if mega:
+            ngaddl = ngh.ct_lanes_stream(qx_g) if n_ng else ngh.ngadd0
+            z_l, fstate, dt_l, dl_l, amin, s0, s1, s2 = (
+                mk.factor_solve_mega(
+                    idxT, lamL, tL, A_L, M_L, mbL, baseL, pdregL, Hl,
+                    ngl, ngaddl, ng_stages, Fl, rhsL,
+                    NB=NB, NU=NU, NZ=NZ, NX=NX, phase2=phase2,
+                )
+            )
+            return z_l, fstate, (dt_l, dl_l, amin, s0, s1, s2)
+        dvecL, geffL = stk.prep_flat(
+            idxT, lamL, tL, A_L, M_L, mbL, baseL, pdregL,
+            NB=NB, NZ=NZ, phase2=phase2,
+        )
+        if n_ng:
+            geffL = ct_add_lanes(geffL, qx_g)
+        dzL, _, fstate = kkt_factor_solve(dvecL, ngl, geffL, rhsL)
+        aff = stk.alpha_sums_flat(
+            idxT, dzL, lamL, tL, A_L, M_L, None, mbL,
+            NB=NB, NZ=NZ, phase2=phase2,
+        )
+        return dzL, fstate, aff
+
+    def corr_half(lamL, tL, A_L, M_L, fstate, aff, smL, baseL, rhsL,
+                  qx_g2, phase2):
+        """corrector gradient + resolve + corrector alpha/sums (one
+        mega pallas_call or the 3-kernel sequence).  Returns
+        (dz2L, dpi2L, corr)."""
+        if mega:
+            ngadd2 = ngh.ct_lanes_stream(qx_g2) if n_ng else ngh.ngadd0
+            outs = mk.solve_mega(
+                idxT, fstate, lamL, tL, A_L, M_L, mbL, aff[0], aff[1],
+                smL, baseL, ngadd2, ng_stages, Fl, rhsL,
+                NB=NB, NU=NU, NZ=NZ, NX=NX, phase2=phase2,
+            )
+            z2_l, pi2_l = outs[0], outs[1]
+            return z2_l, pi2_l, outs[2:]
+        geff2L, coL = stk.corr_geff_flat(
+            idxT, lamL, tL, A_L, M_L, aff[0], aff[1], smL, baseL, mbL,
+            NB=NB, NZ=NZ, phase2=phase2,
+        )
+        if n_ng:
+            geff2L = ct_add_lanes(geff2L, qx_g2)
+        dz2L, dpi2L = kkt_resolve(fstate, geff2L, rhsL)
+        corr = stk.alpha_sums_flat(
+            idxT, dz2L, lamL, tL, A_L,
+            coL if phase2 else None,
+            coL if not phase2 else None, mbL,
+            NB=NB, NZ=NZ, phase2=phase2,
+        )
+        return dz2L, dpi2L, corr
+
     # ---- init (exact reference branching; ipm.init_vars twin, in cm) -----
     lam_g0, t_g0 = cm.ng_init(ngh)
 
@@ -407,17 +493,9 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             t_inv_g = lamt_g = jnp.zeros((B, 0), dt)
             ngl = ngl0
 
-        dvecL, geffL = stk.prep_flat(
-            idxT, s.lamL, s.tL, dcatL, None, mbL, gL, pdregL,
-            NB=NB, NZ=NZ, phase2=False,
-        )
-        if n_ng:
-            geffL = ct_add_lanes(geffL, qx_g)
-        dzL, _, fstate = kkt_factor_solve(dvecL, ngl, geffL, bL)
-
-        aff = stk.alpha_sums_flat(
-            idxT, dzL, s.lamL, s.tL, dcatL, None, None, mbL,
-            NB=NB, NZ=NZ, phase2=False,
+        qx_g_cur = qx_g if n_ng else None
+        dzL, fstate, aff = affine_half(
+            s.lamL, s.tL, dcatL, None, gL, bL, qx_g_cur, ngl, False
         )
         if n_ng:
             czn = cz_of(dzL)
@@ -433,19 +511,14 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         sigma = (mu_aff / s.mu) ** 3
         sm = sigma * s.mu
 
-        geff2L, dl2L = stk.corr_geff_flat(
-            idxT, s.lamL, s.tL, dcatL, None, aff[0], aff[1],
-            sc_l(sm)[:, None], gL, mbL, NB=NB, NZ=NZ, phase2=False,
-        )
         if n_ng:
             dl2g = t_inv_g * (sm[:, None] - dlg * dtg) * mg2
             qx_g2 = qx_g + fold_g(-sgn_g * dl2g) * mgF
-            geff2L = ct_add_lanes(geff2L, qx_g2)
-        dz2L, dpi2L = kkt_resolve(fstate, geff2L, bL)
-
-        corr = stk.alpha_sums_flat(
-            idxT, dz2L, s.lamL, s.tL, dcatL, None, dl2L, mbL,
-            NB=NB, NZ=NZ, phase2=False,
+        else:
+            qx_g2 = None
+        dz2L, dpi2L, corr = corr_half(
+            s.lamL, s.tL, dcatL, None, fstate, aff, sc_l(sm)[:, None],
+            gL, bL, qx_g2, False,
         )
         if n_ng:
             czn2 = cz_of(dz2L)
@@ -525,17 +598,10 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
             t_inv_g = lamt_g = jnp.zeros((B, 0), dt)
             ngl = ngl0
 
-        dvecL, geffL = stk.prep_flat(
-            idxT, s.lamL, s.tL, res.rdL, res.rmL, mbL, res.rqL, pdregL,
-            NB=NB, NZ=NZ, phase2=True,
-        )
-        if n_ng:
-            geffL = ct_add_lanes(geffL, qx_g)
-        dzL, _, fstate = kkt_factor_solve(dvecL, ngl, geffL, res.rbL)
-
-        aff = stk.alpha_sums_flat(
-            idxT, dzL, s.lamL, s.tL, res.rdL, res.rmL, None, mbL,
-            NB=NB, NZ=NZ, phase2=True,
+        qx_g_cur = qx_g if n_ng else None
+        dzL, fstate, aff = affine_half(
+            s.lamL, s.tL, res.rdL, res.rmL, res.rqL, res.rbL,
+            qx_g_cur, ngl, True,
         )
         if n_ng:
             cdz = cz_of(dzL)
@@ -551,18 +617,14 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
         sigma = (mu_aff / s.mu) ** 3
         sm = sigma * s.mu
 
-        geff2L, rm2L = stk.corr_geff_flat(
-            idxT, s.lamL, s.tL, res.rdL, res.rmL, aff[0], aff[1],
-            sc_l(sm)[:, None], res.rqL, mbL, NB=NB, NZ=NZ, phase2=True,
-        )
         if n_ng:
             rm_g2 = res.rm_g + (dtg * dlg - sm[:, None]) * mg2
-            geff2L = ct_add_lanes(geff2L, qxg_from(rm_g2))
-        dz2L, dpi2L = kkt_resolve(fstate, geff2L, res.rbL)
-
-        corr = stk.alpha_sums_flat(
-            idxT, dz2L, s.lamL, s.tL, res.rdL, rm2L, None, mbL,
-            NB=NB, NZ=NZ, phase2=True,
+            qx_g2 = qxg_from(rm_g2)
+        else:
+            qx_g2 = None
+        dz2L, dpi2L, corr = corr_half(
+            s.lamL, s.tL, res.rdL, res.rmL, fstate, aff,
+            sc_l(sm)[:, None], res.rqL, res.rbL, qx_g2, True,
         )
         if n_ng:
             cdz2 = cz_of(dz2L)

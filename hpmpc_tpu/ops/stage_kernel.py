@@ -263,11 +263,19 @@ def _folded_bwd_stage(NU, NX, NZ, N, ng_stage_ids, s,
         for t in range(NT):
             Hp[t] = Hp[t] + jnp.where(stage_match, ng_ref[0, 0, t], 0.0)
     g = _vec(g_ref, NZ)
+    return _folded_bwd_core(NU, NX, NZ, s, Hp, g, F_ref, b_ref,
+                            Lxx_c, px_c)
 
+
+def _folded_bwd_core(NU, NX, NZ, s, Hp, g, F_ref, b_ref, Lxx_c, px_c):
+    """The trmm/syrk/Cholesky/eu/px core on an ALREADY-ASSEMBLED packed
+    effective Hessian ``Hp`` and gradient ``g`` (lists of tiles) — shared
+    by the folded sweep kernels and the mega-sweep kernels (which build
+    Hp/g from the barrier state in the same grid step)."""
     # terminal stage (s == 0): zero the carry BEFORE it is read, so the
     # interior formulas collapse EXACTLY to the terminal ones (W = F·0 = 0
     # -> M = H bit-for-bit, Pb = 0, m = g) — no per-entry selects
-    zero_t = dv[0] * 0.0
+    zero_t = Hp[0] * 0.0
 
     @pl.when(s == 0)
     def _():

@@ -185,3 +185,48 @@ def test_lanes_engine_dispatch_knob(interpret_pallas, monkeypatch):
     sol = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
     assert called.get("yes")
     assert np.isfinite(np.asarray(sol.z)).all()
+
+
+@pytest.mark.parametrize("ngN", [0, 4])
+def test_lanes_engine_mega_sweeps_flag(interpret_pallas, monkeypatch, ngN):
+    """HPMPC_MEGA_SWEEPS=1 routes each half-iteration through one
+    mega-sweep pallas_call; iterates must match the default lanes path."""
+    dims, qpb = _batch_qp(N=4, ngN=ngN)
+    cfg = dataclasses.replace(
+        ipm.IPMConfig(k_max=3, mu_tol=1e-4), use_pallas=True
+    )
+    sol_ref = _solve_lanes(dims, qpb, cfg)
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "1")
+    sol_m = _solve_lanes(dims, qpb, cfg)
+    assert np.mean(np.asarray(sol_ref.kk) == np.asarray(sol_m.kk)) > 0.99
+    same = np.asarray(sol_ref.kk) == np.asarray(sol_m.kk)
+    np.testing.assert_allclose(
+        np.asarray(sol_m.z)[same], np.asarray(sol_ref.z)[same],
+        rtol=1e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_m.stat)[same], np.asarray(sol_ref.stat)[same],
+        rtol=2e-2, atol=2e-4,
+    )
+
+
+def test_lanes_engine_mega_f64_matches_structured(interpret_pallas,
+                                                  monkeypatch):
+    """Mega path at f64 must still reproduce the structured solver
+    (kk, status, solution) on the converging box problem."""
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "1")
+    dims, qpb = _batch_qp(N=5, ngN=0, dtype=jnp.float64)
+    cfg = ipm.IPMConfig(k_max=12, mu_tol=1e-10)
+    sol_x = jax.jit(
+        lambda q: jax.vmap(lambda qq: ipm.solve(dims, qq, cfg))(q)
+    )(qpb)
+    cfg_l = dataclasses.replace(cfg, use_pallas=True)
+    sol_l = _solve_lanes(dims, qpb, cfg_l)
+    assert bool(jnp.all(sol_x.kk == sol_l.kk))
+    assert bool(jnp.all(sol_x.status == sol_l.status))
+    np.testing.assert_allclose(
+        np.asarray(sol_l.z), np.asarray(sol_x.z), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.pi), np.asarray(sol_x.pi), atol=1e-7
+    )

@@ -25,6 +25,7 @@ run bench            1700 python bench.py
 run bench-fused      1700 HPMPC_FUSED_SWEEPS=1 python bench.py
 run bench-lanes      1700 HPMPC_LANES_LOOP=1 python bench.py
 run bench-lanes-fused 1700 HPMPC_LANES_LOOP=1 HPMPC_FUSED_SWEEPS=1 python bench.py
+run bench-mega       1700 HPMPC_LANES_LOOP=1 HPMPC_MEGA_SWEEPS=1 python bench.py
 run iter_split       3000 python tools/bench_iter_split.py
 run bench_tree       2400 python tools/bench_tree.py
 run bench_soft       1700 python tools/bench_soft.py
