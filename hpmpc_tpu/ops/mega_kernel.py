@@ -36,38 +36,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import stage_kernel as sk
 from .stage_kernel import (
-    LANES, SUBS, _cat_slab, _dinv_ll, _folded_bwd_core, _mat, _mat_sym,
-    _pi_of_x, _root_x0, _sym_idx, _sym_nt, _trs_stage, _u_of_x, _vec,
-    _x_next_of,
+    LANES, SUBS, _cat_slab, _dinv_ll, _folded_bwd_core, _mat, _pi_of_x,
+    _root_x0, _sym_idx, _sym_nt, _trs_stage, _u_of_x, _vec, _x_next_of,
 )
-from .step_kernel import _alpha_cands, _dt_dlam, _qx_fold, _t_inv_lamt
-
-
-def _scatter_scratch(scr, idx_ref, v, K):
-    """scr (NZ, 8, 128) VMEM scratch slots += v[k] (dynamic tile RMW)."""
-    for k in range(K):
-        sl = pl.ds(idx_ref[0, k], 1)
-        scr[sl] = scr[sl] + v[k : k + 1]
+from .step_kernel import (
+    _alpha_store, _corr_co_qx, _dt_dlam, _gather_box, _qx_fold,
+    _scatter_add_box,
+)
 
 
 def _alpha_from_out(NB, NZ, phase2, idx_ref, z_ref, lam, t, A, M, mb, dl0,
                     dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref):
     """The per-stage alpha/sums pass reading the iterate from the
     just-written z output block (same grid step)."""
-    rows = [z_ref[0, 0, pl.ds(idx_ref[0, k], 1)] for k in range(NB)]
-    zb = jnp.concatenate(rows, axis=0)
+    zb = _gather_box(z_ref, idx_ref, NB)
     dt_b, dl_b = _dt_dlam(NB, phase2, lam, t, mb, A, M, zb, dl0)
-    dt_ref[0, 0] = dt_b
-    dl_ref[0, 0] = dl_b
-    cand = jnp.minimum(
-        _alpha_cands(lam, dl_b, mb), _alpha_cands(t, dt_b, mb)
-    )
-    amin_ref[0, 0] = jnp.min(cand, axis=0)
-    s0_ref[0, 0] = jnp.sum(lam * t * mb, axis=0)
-    s1_ref[0, 0] = jnp.sum(lam * dt_b + t * dl_b, axis=0)
-    s2_ref[0, 0] = jnp.sum(dl_b * dt_b, axis=0)
+    _alpha_store(lam, t, mb, dt_b, dl_b,
+                 dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref)
 
 
 def _sv_mega_kernel(NB, NU, NX, NZ, N, ng_stage_ids, phase2, has_m,
@@ -79,7 +65,6 @@ def _sv_mega_kernel(NB, NU, NX, NZ, N, ng_stage_ids, phase2, has_m,
     idx_ref = next(it)
     lamb_ref, tb_ref, ab_ref = next(it), next(it), next(it)
     mb_b_ref = next(it)
-    mbf_ref = None
     m_b_ref = m_f_ref = None
     if has_m:
         m_b_ref = next(it)
@@ -117,9 +102,9 @@ def _sv_mega_kernel(NB, NU, NX, NZ, N, ng_stage_ids, phase2, has_m,
         M = m_b_ref[0, 0] if has_m else None
         Qx_f, qx_f = _qx_fold(NB, phase2, lam, t, mb, A, M)
         dv_s[:] = pd_ref[0, 0]
-        _scatter_scratch(dv_s, idx_ref, Qx_f, NB)
+        _scatter_add_box(dv_s, idx_ref, Qx_f, NB)
         ge_s[:] = base_ref[0, 0]
-        _scatter_scratch(ge_s, idx_ref, qx_f, NB)
+        _scatter_add_box(ge_s, idx_ref, qx_f, NB)
 
         stage_match = None
         for stg in ng_stage_ids:
@@ -400,20 +385,16 @@ def _trs_mega_kernel(NB, NU, NX, NZ, N, ng_stage_ids, phase2, has_m,
         A = ab_ref[0, 0]
         mb = mb_b_ref[0, 0]
         sm = sm_ref[0, 0]
-        t_inv, lamt = _t_inv_lamt(lam, t, mb)
         dtb = dtb_ref[0, 0]
         dlb = dlb_ref[0, 0]
-        if phase2:
-            co = (m_b_ref[0, 0] + (dtb * dlb - sm)) * mb
-            _, qx_f = _qx_fold(NB, True, lam, t, mb, A, co)
-        else:
-            co = t_inv * (sm - dlb * dtb) * mb
-            _, qx0 = _qx_fold(NB, False, lam, t, mb, A, None)
-            qx_f = qx0 + (co[NB:] - co[:NB]) * mb[:NB]
+        co, qx_f = _corr_co_qx(
+            NB, phase2, lam, t, mb, A,
+            m_b_ref[0, 0] if has_m else None, dtb, dlb, sm,
+        )
         co_s[pl.ds(k, 1), :, :] = _cat_slab([co[i] for i in range(NB2)])
 
         ge_s[:] = base_ref[0, 0]
-        _scatter_scratch(ge_s, idx_ref, qx_f, NB)
+        _scatter_add_box(ge_s, idx_ref, qx_f, NB)
         if ng_stage_ids:
             stage_match = None
             for stg in ng_stage_ids:

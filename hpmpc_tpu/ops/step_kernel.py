@@ -88,12 +88,17 @@ def _gather_box(ref, idx_ref, NB):
     return jnp.concatenate(rows, axis=0)
 
 
-def _scatter_add_box(out_ref, idx_ref, v, NB):
-    """out_ref (1, 1, NZ, 8, 128) slots += v[k] (dynamic tile RMW).
-    Padded constraints carry v[k] == 0 and point at slot 0 (harmless)."""
+def _scatter_add_box(ref, idx_ref, v, NB):
+    """ref slots += v[k] (dynamic tile RMW) — ref is a (1, 1, NZ, 8, 128)
+    output block or a (NZ, 8, 128) VMEM scratch.  Padded constraints
+    carry v[k] == 0 and point at slot 0 (harmless)."""
+    blocked = len(ref.shape) > 3
     for k in range(NB):
         sl = pl.ds(idx_ref[0, k], 1)
-        out_ref[0, 0, sl] = out_ref[0, 0, sl] + v[k : k + 1]
+        if blocked:
+            ref[0, 0, sl] = ref[0, 0, sl] + v[k : k + 1]
+        else:
+            ref[sl] = ref[sl] + v[k : k + 1]
 
 
 def _dt_dlam(NB, phase2, lam, t, mb, A, M, zb, dl0):
@@ -122,6 +127,38 @@ def _alpha_cands(v, dv, mb):
     """Fraction-to-boundary candidates: -v/dv where dv < 0 (masked)."""
     pred = (dv < 0.0) & (mb > 0.0)
     return jnp.where(pred, -v / jnp.where(pred, dv, -1.0), jnp.inf)
+
+
+def _alpha_store(lam, t, mb, dt_b, dl_b,
+                 dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref):
+    """Store the direction streams and the per-stage alpha/mu-sum
+    partials (shared tail of the alpha kernels and the mega twins)."""
+    dt_ref[0, 0] = dt_b
+    dl_ref[0, 0] = dl_b
+    cand = jnp.minimum(
+        _alpha_cands(lam, dl_b, mb), _alpha_cands(t, dt_b, mb)
+    )
+    amin_ref[0, 0] = jnp.min(cand, axis=0)
+    # mu(alpha) = (S0 + a*S1 + a^2*S2) / n_constr, accumulated masked:
+    s0_ref[0, 0] = jnp.sum(lam * t * mb, axis=0)
+    s1_ref[0, 0] = jnp.sum(lam * dt_b + t * dl_b, axis=0)
+    s2_ref[0, 0] = jnp.sum(dl_b * dt_b, axis=0)
+
+
+def _corr_co_qx(NB, phase2, lam, t, mb, A, M, dtb, dlb, sm):
+    """Centering/corrector stream + corrected gradient fold (shared by
+    _corr_kernel and the mega trs twin).  Returns (co, qx_f)."""
+    t_inv, lamt = _t_inv_lamt(lam, t, mb)
+    if phase2:
+        # rm2 = rm + (dt*dl - sigma*mu); qx2 = fold(sgn*t_inv*rm2 - lamt*rd)
+        co = (M + (dtb * dlb - sm)) * mb
+        _, qx_f = _qx_fold(NB, True, lam, t, mb, A, co)
+    else:
+        # dl2 = t_inv*(sigma*mu - dl*dt); qx2 = qx + fold(-sgn*dl2)
+        co = t_inv * (sm - dlb * dtb) * mb
+        _, qx0 = _qx_fold(NB, False, lam, t, mb, A, None)
+        qx_f = qx0 + (co[NB:] - co[:NB]) * mb[:NB]
+    return co, qx_f
 
 
 # ---------------------------------------------------------------------------
@@ -209,18 +246,8 @@ def _alpha_kernel(NB, NZ, phase2, has_m, has_dl0,
 
     zb = _gather_box(dz_ref, idx_ref, NB)
     dt_b, dl_b = _dt_dlam(NB, phase2, lam, t, mb, A, M, zb, dl0)
-    dt_ref[0, 0] = dt_b
-    dl_ref[0, 0] = dl_b
-
-    cand = jnp.minimum(
-        _alpha_cands(lam, dl_b, mb), _alpha_cands(t, dt_b, mb)
-    )
-    amin_ref[0, 0] = jnp.min(cand, axis=0)
-
-    # mu(alpha) = (S0 + a*S1 + a^2*S2) / n_constr, accumulated masked:
-    s0_ref[0, 0] = jnp.sum(lam * t * mb, axis=0)
-    s1_ref[0, 0] = jnp.sum(lam * dt_b + t * dl_b, axis=0)
-    s2_ref[0, 0] = jnp.sum(dl_b * dt_b, axis=0)
+    _alpha_store(lam, t, mb, dt_b, dl_b,
+                 dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref)
 
 
 @functools.partial(
@@ -304,18 +331,8 @@ def _corr_kernel(NB, NZ, phase2, has_m,
     dlb = dlb_ref[0, 0]
     sm = sm_ref[0, 0]  # (8, 128), broadcasts over slots
 
-    t_inv, lamt = _t_inv_lamt(lam, t, mb)
-    if phase2:
-        # rm2 = rm + (dt*dl - sigma*mu); qx2 = fold(sgn*t_inv*rm2 - lamt*rd)
-        rm2 = (M + (dtb * dlb - sm)) * mb
-        co_ref[0, 0] = rm2
-        _, qx_f = _qx_fold(NB, True, lam, t, mb, A, rm2)
-    else:
-        # dl2 = t_inv*(sigma*mu - dl*dt); qx2 = qx + fold(-sgn*dl2)
-        dl2 = t_inv * (sm - dlb * dtb) * mb
-        co_ref[0, 0] = dl2
-        _, qx0 = _qx_fold(NB, False, lam, t, mb, A, None)
-        qx_f = qx0 + (dl2[NB:] - dl2[:NB]) * mb[:NB]
+    co, qx_f = _corr_co_qx(NB, phase2, lam, t, mb, A, M, dtb, dlb, sm)
+    co_ref[0, 0] = co
 
     geff_ref[0, 0] = base_ref[0, 0]
     _scatter_add_box(geff_ref, idx_ref, qx_f, NB)

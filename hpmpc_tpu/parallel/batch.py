@@ -57,7 +57,12 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
         and B % 1024 == 0
     ):
         if (
-            os.environ.get("HPMPC_LANES_LOOP", "0") == "1"
+            (
+                os.environ.get("HPMPC_LANES_LOOP", "0") == "1"
+                # MEGA implies the lanes engine (the mega kernels only
+                # exist there) — one knob is enough for the A/B run
+                or os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
+            )
             and dims.NB > 0
             and int(getattr(cfg, "iter_ref", 0)) == 0
             and qp.dtype == jnp.float32  # mixed precision stays on ipm_fast

@@ -197,7 +197,18 @@ def test_lanes_engine_mega_sweeps_flag(interpret_pallas, monkeypatch, ngN):
     )
     sol_ref = _solve_lanes(dims, qpb, cfg)
     monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "1")
+    import hpmpc_tpu.ops.mega_kernel as mk
+
+    called = {}
+    orig = mk.factor_solve_mega
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mk, "factor_solve_mega", spy)
     sol_m = _solve_lanes(dims, qpb, cfg)
+    assert called.get("yes"), "mega path did not run"
     assert np.mean(np.asarray(sol_ref.kk) == np.asarray(sol_m.kk)) > 0.99
     same = np.asarray(sol_ref.kk) == np.asarray(sol_m.kk)
     np.testing.assert_allclose(
@@ -229,4 +240,23 @@ def test_lanes_engine_mega_f64_matches_structured(interpret_pallas,
     )
     np.testing.assert_allclose(
         np.asarray(sol_l.pi), np.asarray(sol_x.pi), atol=1e-7
+    )
+
+
+def test_lanes_engine_mega_phase2_ng(interpret_pallas, monkeypatch):
+    """Phase 2 with active general constraints through the mega path
+    (mu_switch=1e9 skips phase 1 entirely), vs the default lanes path."""
+    dims, qpb = _batch_qp(N=4, ngN=4)
+    cfg = dataclasses.replace(
+        ipm.IPMConfig(k_max=3, mu_tol=1e-4, mu_switch=1e9),
+        use_pallas=True,
+    )
+    sol_ref = _solve_lanes(dims, qpb, cfg)
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "1")
+    sol_m = _solve_lanes(dims, qpb, cfg)
+    assert np.mean(np.asarray(sol_ref.kk) == np.asarray(sol_m.kk)) > 0.99
+    same = np.asarray(sol_ref.kk) == np.asarray(sol_m.kk)
+    np.testing.assert_allclose(
+        np.asarray(sol_m.z)[same], np.asarray(sol_ref.z)[same],
+        rtol=1e-3, atol=2e-3,
     )

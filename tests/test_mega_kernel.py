@@ -111,7 +111,7 @@ def _reference_affine(idx, lam, t, A, M, mb, base, pdreg, Hl, Fl, bl,
 
 
 @pytest.mark.parametrize("phase2,with_ng", [
-    (False, False), (True, False), (False, True),
+    (False, False), (True, False), (False, True), (True, True),
 ])
 def test_factor_solve_mega_matches_composition(interpret_pallas, phase2,
                                                with_ng):
@@ -140,7 +140,7 @@ def test_factor_solve_mega_matches_composition(interpret_pallas, phase2,
 
 
 @pytest.mark.parametrize("phase2,with_ng", [
-    (False, False), (True, False), (False, True),
+    (False, False), (True, False), (False, True), (True, True),
 ])
 def test_solve_mega_matches_composition(interpret_pallas, phase2,
                                         with_ng):
