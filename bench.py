@@ -161,9 +161,13 @@ def main():
 
     per_solve_s = (times[10] - times[2]) / (10 - 2)
     solves_per_s = (BATCH * mean_kk / K_MAX) / per_solve_s
+    # stamp the EFFECTIVE engine knobs (lanes + mega default ON since the
+    # hardware A/B: flat 372k < lanes 416k < mega 481k solves/s on v5e)
     knobs = "".join(
-        f" {k}=1" for k in ("HPMPC_LANES_LOOP", "HPMPC_MEGA_SWEEPS", "HPMPC_FUSED_SWEEPS")
-        if os.environ.get(k, "0") == "1"
+        f" {k}=1"
+        for k, dflt in (("HPMPC_LANES_LOOP", "1"), ("HPMPC_MEGA_SWEEPS", "1"),
+                        ("HPMPC_FUSED_SWEEPS", "0"))
+        if os.environ.get(k, dflt) == "1"
     )
     payload = {
         "metric": "ipm_solves_per_s_per_chip",

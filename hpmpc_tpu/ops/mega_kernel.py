@@ -46,11 +46,12 @@ from .step_kernel import (
 )
 
 
-def _alpha_from_out(NB, NZ, phase2, idx_ref, z_ref, lam, t, A, M, mb, dl0,
-                    dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref):
+def _alpha_from_out(NB, NZ, phase2, idx_ref, row, z_ref, lam, t, A, M, mb,
+                    dl0, dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref):
     """The per-stage alpha/sums pass reading the iterate from the
-    just-written z output block (same grid step)."""
-    zb = _gather_box(z_ref, idx_ref, NB)
+    just-written z output block (same grid step).  ``row`` indexes the
+    full-table SMEM index ref (this grid step's stage)."""
+    zb = _gather_box(z_ref, idx_ref, NB, row)
     dt_b, dl_b = _dt_dlam(NB, phase2, lam, t, mb, A, M, zb, dl0)
     _alpha_store(lam, t, mb, dt_b, dl_b,
                  dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref)
@@ -102,9 +103,9 @@ def _sv_mega_kernel(NB, NU, NX, NZ, N, ng_stage_ids, phase2, has_m,
         M = m_b_ref[0, 0] if has_m else None
         Qx_f, qx_f = _qx_fold(NB, phase2, lam, t, mb, A, M)
         dv_s[:] = pd_ref[0, 0]
-        _scatter_add_box(dv_s, idx_ref, Qx_f, NB)
+        _scatter_add_box(dv_s, idx_ref, Qx_f, NB, N - s)
         ge_s[:] = base_ref[0, 0]
-        _scatter_add_box(ge_s, idx_ref, qx_f, NB)
+        _scatter_add_box(ge_s, idx_ref, qx_f, NB, N - s)
 
         stage_match = None
         for stg in ng_stage_ids:
@@ -188,7 +189,7 @@ def _sv_mega_kernel(NB, NU, NX, NZ, N, ng_stage_ids, phase2, has_m,
             x_c[j] = xn[j]
 
         _alpha_from_out(
-            NB, NZ, phase2, idx_ref, z_ref,
+            NB, NZ, phase2, idx_ref, sb, z_ref,
             lamf_ref[0, 0], tf_ref[0, 0], af_ref[0, 0],
             m_f_ref[0, 0] if has_m else None, mbf_ref[0, 0], 0.0,
             dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref,
@@ -239,9 +240,7 @@ def factor_solve_mega(idx_tab, lam, t, A, M, mb, base, pdreg, Hl, ngl,
         return slot
 
     idx_spec = pl.BlockSpec(
-        (1, NB),
-        lambda bb, s: (jnp.where(s <= N, N - s, s - (N + 1)), 0),
-        memory_space=pltpu.SMEM,
+        (Np1, NB), lambda bb, s: (0, 0), memory_space=pltpu.SMEM,
     )
     r_spec = pl.BlockSpec(
         (1, 1, SUBS, LANES), lambda bb, s: fwd(bb, s)[:2] + (0, 0),
@@ -394,7 +393,7 @@ def _trs_mega_kernel(NB, NU, NX, NZ, N, ng_stage_ids, phase2, has_m,
         co_s[pl.ds(k, 1), :, :] = _cat_slab([co[i] for i in range(NB2)])
 
         ge_s[:] = base_ref[0, 0]
-        _scatter_add_box(ge_s, idx_ref, qx_f, NB)
+        _scatter_add_box(ge_s, idx_ref, qx_f, NB, k)
         if ng_stage_ids:
             stage_match = None
             for stg in ng_stage_ids:
@@ -468,7 +467,7 @@ def _trs_mega_kernel(NB, NU, NX, NZ, N, ng_stage_ids, phase2, has_m,
              for i in range(NB2)], axis=0,
         )
         _alpha_from_out(
-            NB, NZ, phase2, idx_ref, z_ref,
+            NB, NZ, phase2, idx_ref, sb, z_ref,
             lamf_ref[0, 0], tf_ref[0, 0], af_ref[0, 0],
             co if phase2 else None, mbf_ref[0, 0],
             0.0 if phase2 else co,
@@ -518,9 +517,7 @@ def solve_mega(idx_tab, fstate, lam, t, A, M, mb, dtb_l, dlb_l, sm_l,
         return slot
 
     idx_spec = pl.BlockSpec(
-        (1, NB),
-        lambda bb, s: (jnp.where(s <= N, N - s, s - (N + 1)), 0),
-        memory_space=pltpu.SMEM,
+        (Np1, NB), lambda bb, s: (0, 0), memory_space=pltpu.SMEM,
     )
     sm_spec = pl.BlockSpec((1, 1, SUBS, LANES),
                            lambda bb, s: (bb, 0, 0, 0),

@@ -81,20 +81,24 @@ def _qx_fold(NB, phase2, lam, t, mb, A, M):
     return (lamt[:NB] + lamt[NB:]) * mbl, (q_lo + q_up) * mbl
 
 
-def _gather_box(ref, idx_ref, NB):
+def _gather_box(ref, idx_ref, NB, row=0):
     """z-space block ref (1, 1, NZ, 8, 128) -> (NB, 8, 128) gathered via
-    the SMEM index table (dynamic tile loads)."""
-    rows = [ref[0, 0, pl.ds(idx_ref[0, k], 1)] for k in range(NB)]
+    the SMEM index table (dynamic tile loads).  ``idx_ref`` holds the FULL
+    (N+1, NB) table (Mosaic requires whole-array SMEM blocks when the row
+    count isn't a sublane multiple); ``row`` selects this grid step's
+    stage."""
+    rows = [ref[0, 0, pl.ds(idx_ref[row, k], 1)] for k in range(NB)]
     return jnp.concatenate(rows, axis=0)
 
 
-def _scatter_add_box(ref, idx_ref, v, NB):
+def _scatter_add_box(ref, idx_ref, v, NB, row=0):
     """ref slots += v[k] (dynamic tile RMW) — ref is a (1, 1, NZ, 8, 128)
     output block or a (NZ, 8, 128) VMEM scratch.  Padded constraints
-    carry v[k] == 0 and point at slot 0 (harmless)."""
+    carry v[k] == 0 and point at slot 0 (harmless).  ``row`` as in
+    :func:`_gather_box`."""
     blocked = len(ref.shape) > 3
     for k in range(NB):
-        sl = pl.ds(idx_ref[0, k], 1)
+        sl = pl.ds(idx_ref[row, k], 1)
         if blocked:
             ref[0, 0, sl] = ref[0, 0, sl] + v[k : k + 1]
         else:
@@ -181,10 +185,11 @@ def _prep_kernel(NB, NZ, phase2, has_m,
 
     Qx_f, qx_f = _qx_fold(NB, phase2, lam, t, mb, A, M)
 
+    row = pl.program_id(1)
     dvec_ref[0, 0] = pd_ref[0, 0]
-    _scatter_add_box(dvec_ref, idx_ref, Qx_f, NB)
+    _scatter_add_box(dvec_ref, idx_ref, Qx_f, NB, row)
     geff_ref[0, 0] = base_ref[0, 0]
-    _scatter_add_box(geff_ref, idx_ref, qx_f, NB)
+    _scatter_add_box(geff_ref, idx_ref, qx_f, NB, row)
 
 
 @functools.partial(jax.jit, static_argnames=("NB", "NZ", "phase2"))
@@ -205,7 +210,7 @@ def prep_flat(idx_tab, lam, t, A, M, mb, base, pdreg, NB, NZ, phase2):
     z_spec = pl.BlockSpec((1, 1, NZ, SUBS, LANES),
                           lambda bb, s: (bb, s, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, NB), lambda bb, s: (s, 0),
+    idx_spec = pl.BlockSpec((Np1, NB), lambda bb, s: (0, 0),
                             memory_space=pltpu.SMEM)
 
     has_m = M is not None
@@ -244,7 +249,7 @@ def _alpha_kernel(NB, NZ, phase2, has_m, has_dl0,
     A = a_ref[0, 0]
     mb = mb_ref[0, 0]
 
-    zb = _gather_box(dz_ref, idx_ref, NB)
+    zb = _gather_box(dz_ref, idx_ref, NB, pl.program_id(1))
     dt_b, dl_b = _dt_dlam(NB, phase2, lam, t, mb, A, M, zb, dl0)
     _alpha_store(lam, t, mb, dt_b, dl_b,
                  dt_ref, dl_ref, amin_ref, s0_ref, s1_ref, s2_ref)
@@ -275,7 +280,7 @@ def alpha_sums_flat(idx_tab, dz_l, lam, t, A, M, dl0, mb, NB, NZ, phase2):
     r_spec = pl.BlockSpec((1, 1, SUBS, LANES),
                           lambda bb, s: (bb, s, 0, 0),
                           memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, NB), lambda bb, s: (s, 0),
+    idx_spec = pl.BlockSpec((Np1, NB), lambda bb, s: (0, 0),
                             memory_space=pltpu.SMEM)
 
     has_m = M is not None
@@ -335,7 +340,7 @@ def _corr_kernel(NB, NZ, phase2, has_m,
     co_ref[0, 0] = co
 
     geff_ref[0, 0] = base_ref[0, 0]
-    _scatter_add_box(geff_ref, idx_ref, qx_f, NB)
+    _scatter_add_box(geff_ref, idx_ref, qx_f, NB, pl.program_id(1))
 
 
 @functools.partial(jax.jit, static_argnames=("NB", "NZ", "phase2"))
@@ -360,7 +365,7 @@ def corr_geff_flat(idx_tab, lam, t, A, M, dtb_l, dlb_l, sm_l, base, mb,
     sm_spec = pl.BlockSpec((1, 1, SUBS, LANES),
                            lambda bb, s: (bb, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, NB), lambda bb, s: (s, 0),
+    idx_spec = pl.BlockSpec((Np1, NB), lambda bb, s: (0, 0),
                             memory_space=pltpu.SMEM)
 
     has_m = M is not None
@@ -426,7 +431,7 @@ def _resid_kernel(NB, NU, NX, NZ, N,
     lam = lam_ref[0, 0]
     mb = mb_ref[0, 0]
     lam_f = (lam[NB:] - lam[:NB]) * mb[:NB]  # fold(-sgn*lam)
-    _scatter_add_box(rq_ref, idx_ref, lam_f, NB)
+    _scatter_add_box(rq_ref, idx_ref, lam_f, NB, s)
     rq_ref[0, 0] = rq_ref[0, 0] * zm_ref[0, 0]
 
     # rb_n = (b_n + F_n' z_n - x_{n+1}) * x_mask  (garbage written at the
@@ -442,7 +447,7 @@ def _resid_kernel(NB, NU, NX, NZ, N,
     # box slack/complementarity residuals + the mu partial sum
     t_b = t_ref[0, 0]
     dcat = dcat_ref[0, 0]
-    zb = _gather_box(z_ref, idx_ref, NB)
+    zb = _gather_box(z_ref, idx_ref, NB, s)
     zb2 = jnp.concatenate([zb, zb], axis=0)
     sg = jnp.concatenate(
         [jnp.ones_like(zb), -jnp.ones_like(zb)], axis=0
@@ -497,7 +502,7 @@ def resid_full_flat(idx_tab, Hl, Fl, z_l, pi_l, gl, bl, lam, t, dcat, mb,
     rbo_spec = pl.BlockSpec((1, 1, NX, SUBS, LANES),
                             lambda bb, s: (bb, s, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    idx_spec = pl.BlockSpec((1, NB), lambda bb, s: (s, 0),
+    idx_spec = pl.BlockSpec((Np1, NB), lambda bb, s: (0, 0),
                             memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_resid_kernel, NB, NU, NX, NZ, N)
@@ -619,12 +624,13 @@ def _soft_prep_kernel(NB, NS, NZ,
     S = _soft_schur(NS, lam_s, t_s, ms, sc_ref[0, 0])
     Qx_s, qx_s = _soft_qx(NS, ms, S)
 
+    row = pl.program_id(1)
     dvec_ref[0, 0] = pd_ref[0, 0]
-    _scatter_add_box(dvec_ref, idxb_ref, Qx_f, NB)
-    _scatter_add_box(dvec_ref, idxs_ref, Qx_s, NS)
+    _scatter_add_box(dvec_ref, idxb_ref, Qx_f, NB, row)
+    _scatter_add_box(dvec_ref, idxs_ref, Qx_s, NS, row)
     geff_ref[0, 0] = base_ref[0, 0]
-    _scatter_add_box(geff_ref, idxb_ref, qx_f, NB)
-    _scatter_add_box(geff_ref, idxs_ref, qx_s, NS)
+    _scatter_add_box(geff_ref, idxb_ref, qx_f, NB, row)
+    _scatter_add_box(geff_ref, idxs_ref, qx_s, NS, row)
 
 
 @functools.partial(jax.jit, static_argnames=("NB", "NS", "NZ"))
@@ -641,7 +647,7 @@ def soft_prep_flat(idxb_tab, idxs_tab, lam, t, dcat, mb,
                             memory_space=pltpu.VMEM)
 
     def ispec(K):
-        return pl.BlockSpec((1, K), lambda bb, s: (s, 0),
+        return pl.BlockSpec((Np1, K), lambda bb, s: (0, 0),
                             memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_soft_prep_kernel, NB, NS, NZ)
@@ -672,11 +678,12 @@ def _soft_alpha_kernel(NB, NS, NZ, corrector,
     (dtb_ref, dlb_ref, dts_ref, dls_ref,
      amin_ref, s0_ref, s1_ref, s2_ref) = rest
 
+    row = pl.program_id(1)
     lam = lam_ref[0, 0]
     t = t_ref[0, 0]
     A = dcat_ref[0, 0]
     mb = mb_ref[0, 0]
-    zb = _gather_box(dz_ref, idxb_ref, NB)
+    zb = _gather_box(dz_ref, idxb_ref, NB, row)
     dt_b, dl_b = _dt_dlam(NB, False, lam, t, mb, A, None, zb, dl0b)
     dtb_ref[0, 0] = dt_b
     dlb_ref[0, 0] = dl_b
@@ -685,7 +692,7 @@ def _soft_alpha_kernel(NB, NS, NZ, corrector,
     t_s = ts_ref[0, 0]
     ms = ms_ref[0, 0]
     S = _soft_schur(NS, lam_s, t_s, ms, sc_ref[0, 0])
-    zs = _gather_box(dz_ref, idxs_ref, NS) * ms
+    zs = _gather_box(dz_ref, idxs_ref, NS, row) * ms
     if corrector:
         d0, d1, d2, d3 = _soft4(dl2s, NS)
         zl0x = S["zl0"] + d0 + d2
@@ -731,7 +738,7 @@ def soft_alpha_sums_flat(idxb_tab, idxs_tab, dz_l, lam, t, dcat, mb,
                             memory_space=pltpu.VMEM)
 
     def ispec(K):
-        return pl.BlockSpec((1, K), lambda bb, s: (s, 0),
+        return pl.BlockSpec((Np1, K), lambda bb, s: (0, 0),
                             memory_space=pltpu.SMEM)
 
     r_spec = pl.BlockSpec((1, 1, SUBS, LANES),
@@ -803,9 +810,10 @@ def _soft_corr_kernel(NB, NS, NZ, exact,
     else:  # reference compat (stale-pointer bug, see ipm_soft)
         qx_s2 = qx_s
 
+    row = pl.program_id(1)
     geff_ref[0, 0] = base_ref[0, 0]
-    _scatter_add_box(geff_ref, idxb_ref, qx_f, NB)
-    _scatter_add_box(geff_ref, idxs_ref, qx_s2, NS)
+    _scatter_add_box(geff_ref, idxb_ref, qx_f, NB, row)
+    _scatter_add_box(geff_ref, idxs_ref, qx_s2, NS, row)
 
 
 @functools.partial(
@@ -826,7 +834,7 @@ def soft_corr_flat(idxb_tab, idxs_tab, lam, t, dcat, mb, lam_s, t_s,
                             memory_space=pltpu.VMEM)
 
     def ispec(K):
-        return pl.BlockSpec((1, K), lambda bb, s: (s, 0),
+        return pl.BlockSpec((Np1, K), lambda bb, s: (0, 0),
                             memory_space=pltpu.SMEM)
 
     sm_spec = pl.BlockSpec((1, 1, SUBS, LANES),

@@ -58,7 +58,10 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
     ):
         if (
             (
-                os.environ.get("HPMPC_LANES_LOOP", "0") == "1"
+                # default ON: hardware-validated fastest hard-path engine
+                # (480k vs 372k solves/s on v5e); set =0 to A/B the
+                # flat-state engine
+                os.environ.get("HPMPC_LANES_LOOP", "1") == "1"
                 # MEGA implies the lanes engine (the mega kernels only
                 # exist there) — one knob is enough for the A/B run
                 or os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
