@@ -79,6 +79,28 @@ def _watchdog(budget_s: float):
     # measurement printed normally; nothing to do
 
 
+def _engine_knobs() -> str:
+    """The engine knobs ACTUALLY in effect, mirroring
+    hpmpc_tpu.parallel.batch.solve_batched's dispatch (lanes selected by
+    LANES_LOOP default-ON or MEGA=1; mega only inside the lanes engine,
+    ipm_lanes default-ON)."""
+    lanes_on = (
+        os.environ.get("HPMPC_LANES_LOOP", "1") == "1"
+        or os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
+    )
+    mega_on = lanes_on and os.environ.get("HPMPC_MEGA_SWEEPS", "1") == "1"
+    fused_on = os.environ.get("HPMPC_FUSED_SWEEPS", "0") == "1"
+    return "".join(
+        f" {k}=1"
+        for k, on in (
+            ("HPMPC_LANES_LOOP", lanes_on),
+            ("HPMPC_MEGA_SWEEPS", mega_on),
+            ("HPMPC_FUSED_SWEEPS", fused_on),
+        )
+        if on
+    )
+
+
 def main():
     budget = float(os.environ.get("HPMPC_BENCH_BUDGET_S", "1380"))
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
@@ -162,13 +184,10 @@ def main():
     per_solve_s = (times[10] - times[2]) / (10 - 2)
     solves_per_s = (BATCH * mean_kk / K_MAX) / per_solve_s
     # stamp the EFFECTIVE engine knobs (lanes + mega default ON since the
-    # hardware A/B: flat 372k < lanes 416k < mega 481k solves/s on v5e)
-    knobs = "".join(
-        f" {k}=1"
-        for k, dflt in (("HPMPC_LANES_LOOP", "1"), ("HPMPC_MEGA_SWEEPS", "1"),
-                        ("HPMPC_FUSED_SWEEPS", "0"))
-        if os.environ.get(k, dflt) == "1"
-    )
+    # hardware A/B: flat 372k < lanes 416k < mega 481k solves/s on v5e).
+    # Replicates batch.py's dispatch: MEGA only runs inside the lanes
+    # engine, so a flat-engine A/B (LANES=0, MEGA unset) stamps neither.
+    knobs = _engine_knobs()
     payload = {
         "metric": "ipm_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),

@@ -131,8 +131,12 @@ def pack_problem(
     # nx[n] is the COLUMN count of A[n] (A[n]: (nx[n+1], nx[n]) maps stage
     # n to n+1); the terminal size comes from Q[N].  Inferring from
     # B[n].shape[0] would shift time-varying state sizes by one stage.
+    # Terminal-stage inputs (nu[N] > 0, e.g. slack variables of the
+    # soft-as-hard augmentation) are inferred from R[N] — zero-size R[N]
+    # keeps the classic nu[N] = 0.
     nx_v = [np.asarray(An).shape[1] for An in A] + [np.asarray(Q[-1]).shape[0]]
-    nu_v = [np.asarray(Bn).shape[1] for Bn in B] + [0]
+    nuN = int(np.asarray(R[-1]).shape[0]) if len(R) == N + 1 else 0
+    nu_v = [np.asarray(Bn).shape[1] for Bn in B] + [nuN]
     for n, Bn in enumerate(B):
         if np.asarray(Bn).shape[0] != nx_v[n + 1]:
             raise ValueError(
@@ -223,6 +227,35 @@ def _jit_single_newton(dims: OCPDims, cfg: _ipm.IPMConfig):
             dims, qq, cfg, *it, return_carry=True
         )
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_soft(dims: OCPDims, cfg: _ipm.IPMConfig):
+    """Cached jitted soft solve + exact residuals (one executable per
+    problem geometry — the soft twin of :func:`_jit_direct`; repeated
+    ``solve_ocp_soft`` calls at fixed dims do not recompile)."""
+    import jax
+
+    from .models import ipm_soft as _soft
+
+    def run(qq, ss):
+        sol = _soft.solve(dims, qq, ss, cfg)
+        return sol, _soft.compute_residuals(dims, qq, ss, sol)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_soft_warm(dims: OCPDims, cfg: _ipm.IPMConfig):
+    import jax
+
+    from .models import ipm_soft as _soft
+
+    def run(qq, ss, z0, pi0):
+        sol = _soft.solve(dims, qq, ss, cfg, z0=z0, pi0=pi0)
+        return sol, _soft.compute_residuals(dims, qq, ss, sol)
+
+    return jax.jit(run)
 
 
 def _unpack_result(dims: OCPDims, sol) -> OCPResult:
@@ -484,32 +517,14 @@ def pack_dynamics_native(dims: OCPDims, A, B, b):
     return F, bb
 
 
-def solve_ocp_soft(
-    N,
-    A, B, b,
-    Q, S, R, q, r,
-    idxb, lb, ub,           # hard box constraints
-    idxs, lbs, ubs, Zs, zs,  # soft box constraints (logical [u;x] indices)
-    x0=None,
-    k_max=30,
-    mu0=100.0,
-    mu_tol=1e-8,
-    alpha_min=1e-8,
-):
-    """Soft-constrained front door (the reference's
-    ``fortran_order_d_ip_ocp_soft_tv`` surface, ``test_d_ip_soft.c:420``):
-    per-stage soft bounds ``lbs/ubs`` on logical ``[u;x]`` entries ``idxs``
-    with slack penalties ``Zs`` (quadratic) / ``zs`` (linear), each a
-    per-stage sequence of (ns_n,) arrays (or 2*ns_n for split lower/upper)."""
-    import jax
+def _build_soft_spec(dims: OCPDims, idxs, lbs, ubs, Zs, zs, dtype):
+    """Per-stage soft data -> padded :class:`~.models.ipm_soft.SoftSpec`
+    (logical [u;x] coords mapped to padded z coords)."""
     import jax.numpy as jnp
 
     from .models import ipm_soft as _soft
 
-    dims, qp = pack_problem(
-        N, A, B, b, Q, S, R, q, r, idxb=idxb, lb=lb, ub=ub, x0=x0
-    )
-    NU = dims.NU
+    N, NU = dims.N, dims.NU
     NS = max(max(len(np.asarray(i)) for i in idxs), 1)
     Np1 = N + 1
     idxbs = np.zeros((Np1, NS), dtype=np.int32)
@@ -533,8 +548,8 @@ def solve_ocp_soft(
             zp[n, 0, k] = zrow[k]
             zp[n, 1, k] = zrow[ns_n + k] if len(zrow) >= 2 * ns_n else zrow[k]
 
-    as_j = lambda x: jnp.asarray(x, qp.dtype)
-    spec = _soft.SoftSpec(
+    as_j = lambda x: jnp.asarray(x, dtype)
+    return _soft.SoftSpec(
         idxbs=jnp.asarray(idxbs),
         d_lbs=as_j(d_lbs),
         d_ubs=as_j(d_ubs),
@@ -542,23 +557,23 @@ def solve_ocp_soft(
         z_lin=as_j(zp),
         ns_mask=as_j(ns_mask),
     )
-    cfg = _ipm.IPMConfig(k_max=k_max, mu0=mu0, mu_tol=mu_tol, alpha_min=alpha_min)
-    sol = jax.jit(lambda qq, ss: _soft.solve(dims, qq, ss, cfg))(qp, spec)
 
+
+def _unpack_soft_result(dims: OCPDims, sol, res) -> OCPResult:
+    N, NU = dims.N, dims.NU
     z = np.asarray(sol.z)
     x = [z[n, NU : NU + dims.nx[n]].copy() for n in range(N + 1)]
     u = [z[n, : dims.nu[n]].copy() for n in range(N + 1)]
     pi = [np.asarray(sol.pi)[n, : dims.nx[n + 1]].copy() for n in range(N)]
     kk = int(sol.kk)
     stat = np.asarray(sol.stat)[:kk]
+
     # exact soft-QP KKT residual norms (d_res_mpc_soft_tv semantics):
     # {max(|rq|, |rz|) stationarity, |rb|, |rd| all constraint families, mu}
-    res = jax.jit(
-        lambda s: _soft.compute_residuals(dims, qp, spec, s)
-    )(sol)
     def _amax(a):
         a = np.asarray(a)
         return float(np.abs(a).max()) if a.size else 0.0
+
     inf_norm_res = np.array([
         max(_amax(res.rq), _amax(res.rz)),
         _amax(res.rb),
@@ -574,6 +589,214 @@ def solve_ocp_soft(
         stat=stat,
         inf_norm_res=inf_norm_res,
     )
+
+
+_SLACK_BIG = 1e6  # inactive side of a one-sided soft row / slack upper bound
+
+
+def soft_to_hard_data(N, A, B, b, Q, S, R, q, r,
+                      idxb, lb, ub, idxs, lbs, ubs, Zs, zs):
+    """Exact slack reformulation: the soft-constrained QP as a HARD QP
+    with 2*ns_n extra inputs per stage (s_lo, s_up >= 0, quadratic cost
+    diag(Z) and linear cost z) and 2*ns_n general rows
+
+        z[j] + s_lo_k >= lbs_k      (upper side inactive at +BIG)
+        z[j] - s_up_k <= ubs_k      (lower side inactive at -BIG)
+
+    This is the standard equivalence the reference's soft IPM exploits
+    implicitly (``mpc_solvers/d_ip2_soft.c:83`` eliminates exactly these
+    slacks by a diagonal Schur complement per iteration); materializing it
+    lets the soft problem ride the HARD pipeline — in particular partial
+    condensing, which the reference never implemented for the soft solver
+    (``fortran_order_interface.c:1442`` has no N2 argument).
+
+    Returns the augmented per-stage data
+    ``(A, B, b, Q, S, R, q, r, idxb, lb, ub, C, D, lg, ug, nu_orig)``
+    with slack inputs appended AFTER the original inputs of each stage
+    (terminal stage included — nu[N] = 2*ns_N)."""
+    idxs = [np.asarray(i, dtype=np.int64) for i in idxs]
+    ns_v = [len(i) for i in idxs]
+    nu_v = [np.asarray(Bn).shape[1] for Bn in B] + [0]
+    nx_v = [np.asarray(An).shape[1] for An in A] + [np.asarray(Q[-1]).shape[0]]
+
+    A2, B2, b2 = list(A), list(B), list(b)
+    Q2, q2 = list(Q), list(q)
+    S2, R2, r2 = [], [], []
+    idxb2, lb2, ub2 = [], [], []
+    C2, D2, lg2, ug2 = [], [], [], []
+    for n in range(N + 1):
+        ns_n, nu_n, nx_n = ns_v[n], nu_v[n], nx_v[n]
+        if n < N:
+            B2[n] = np.hstack([
+                np.asarray(B[n], dtype=np.float64),
+                np.zeros((np.asarray(B[n]).shape[0], 2 * ns_n)),
+            ])
+        # cost: R' = blkdiag(R, diag(Z_lo), diag(Z_up)); r' = [r; z_lo; z_up]
+        Zrow = np.asarray(Zs[n]).reshape(-1)
+        zrow = np.asarray(zs[n]).reshape(-1)
+        Z_lo = Zrow[:ns_n]
+        Z_up = Zrow[ns_n:2 * ns_n] if len(Zrow) >= 2 * ns_n else Z_lo
+        z_lo = zrow[:ns_n]
+        z_up = zrow[ns_n:2 * ns_n] if len(zrow) >= 2 * ns_n else z_lo
+        Rn = np.asarray(R[n], dtype=np.float64).reshape(nu_n, nu_n)
+        R2.append(
+            np.block([
+                [Rn, np.zeros((nu_n, 2 * ns_n))],
+                [np.zeros((2 * ns_n, nu_n)),
+                 np.diag(np.concatenate([Z_lo, Z_up]))],
+            ])
+        )
+        Sn = np.asarray(S[n], dtype=np.float64).reshape(nu_n, nx_n)
+        S2.append(np.vstack([Sn, np.zeros((2 * ns_n, nx_n))]))
+        r2.append(np.concatenate([
+            np.asarray(r[n], dtype=np.float64).reshape(-1),
+            z_lo, z_up,
+        ]))
+        # hard boxes: original (state coords shift by 2*ns_n) + s >= 0
+        ib = np.asarray(idxb[n], dtype=np.int64) if idxb is not None else np.zeros(0, np.int64)
+        ib2 = np.where(ib >= nu_n, ib + 2 * ns_n, ib)
+        slack_ids = nu_n + np.arange(2 * ns_n)
+        idxb2.append(np.concatenate([ib2, slack_ids]).astype(np.int32))
+        lb2.append(np.concatenate([
+            np.asarray(lb[n], dtype=np.float64).reshape(-1),
+            np.zeros(2 * ns_n),
+        ]))
+        ub2.append(np.concatenate([
+            np.asarray(ub[n], dtype=np.float64).reshape(-1),
+            np.full(2 * ns_n, _SLACK_BIG),
+        ]))
+        # general rows: one per soft side
+        Cn = np.zeros((2 * ns_n, nx_n))
+        Dn = np.zeros((2 * ns_n, nu_n + 2 * ns_n))
+        lg_n = np.zeros(2 * ns_n)
+        ug_n = np.zeros(2 * ns_n)
+        for k, j in enumerate(idxs[n]):
+            for side, (row, sgn_s) in enumerate(((k, +1.0), (ns_n + k, -1.0))):
+                if j < nu_n:
+                    Dn[row, j] = 1.0
+                else:
+                    Cn[row, j - nu_n] = 1.0
+                Dn[row, nu_n + side * ns_n + k] = sgn_s
+            lg_n[k] = np.asarray(lbs[n])[k]
+            ug_n[k] = _SLACK_BIG
+            lg_n[ns_n + k] = -_SLACK_BIG
+            ug_n[ns_n + k] = np.asarray(ubs[n])[k]
+        C2.append(Cn)
+        D2.append(Dn)
+        lg2.append(lg_n)
+        ug2.append(ug_n)
+    return (A2, B2, b2, Q2, S2, R2, q2, r2,
+            idxb2, lb2, ub2, C2, D2, lg2, ug2, nu_v)
+
+
+class SoftOCPSession:
+    """Retained-state front door for soft re-solves at fixed matrix data
+    (the soft twin of :class:`OCPSession`; the reference's soft interface
+    offers ``warm_start`` only — ``fortran_order_interface.c:1442`` arg
+    12).  :meth:`solve` re-solves for new vector data (b, q, r, lb, ub,
+    lbs, ubs, x0), warm-started from the previous solution, through the
+    jit cache — no recompilation."""
+
+    def __init__(self, dims, cfg, mats, spec, sol):
+        self.dims = dims
+        self.cfg = cfg
+        self._mat = mats
+        self._spec = spec
+        self._sol = sol
+
+    def solve(self, lbs=None, ubs=None, **vectors) -> OCPResult:
+        m = self._mat
+        dims, qp = pack_problem(
+            m["N"], m["A"], m["B"],
+            vectors.get("b", m["b"]),
+            m["Q"], m["S"], m["R"],
+            vectors.get("q", m["q"]), vectors.get("r", m["r"]),
+            idxb=m["idxb"],
+            lb=vectors.get("lb", m["lb"]), ub=vectors.get("ub", m["ub"]),
+            x0=vectors.get("x0", m["x0"]),
+        )
+        if dims != self.dims:
+            raise ValueError(
+                "new data changed the problem geometry; start a new "
+                "session via solve_ocp_soft"
+            )
+        spec = self._spec
+        if lbs is not None or ubs is not None:
+            spec = _build_soft_spec(
+                dims, m["idxs"],
+                lbs if lbs is not None else m["lbs"],
+                ubs if ubs is not None else m["ubs"],
+                m["Zs"], m["zs"], qp.dtype,
+            )
+            self._spec = spec
+        cfg_w = _ipm.IPMConfig(
+            **{**dataclasses_asdict(self.cfg), "warm_start": True}
+        )
+        sol, res = _jit_soft_warm(dims, cfg_w)(
+            qp, spec, self._sol.z, self._sol.pi
+        )
+        self._sol = sol
+        return _unpack_soft_result(dims, sol, res)
+
+
+def solve_ocp_soft(
+    N,
+    A, B, b,
+    Q, S, R, q, r,
+    idxb, lb, ub,           # hard box constraints
+    idxs, lbs, ubs, Zs, zs,  # soft box constraints (logical [u;x] indices)
+    x0=None,
+    N2=None,
+    k_max=30,
+    mu0=100.0,
+    mu_tol=1e-8,
+    alpha_min=1e-8,
+    return_session=False,
+):
+    """Soft-constrained front door (the reference's
+    ``fortran_order_d_ip_ocp_soft_tv`` surface, ``test_d_ip_soft.c:420``):
+    per-stage soft bounds ``lbs/ubs`` on logical ``[u;x]`` entries ``idxs``
+    with slack penalties ``Zs`` (quadratic) / ``zs`` (linear), each a
+    per-stage sequence of (ns_n,) arrays (or 2*ns_n for split lower/upper).
+
+    ``N2 < N`` runs the partial-condensing pipeline on the EXACT hard
+    slack reformulation (:func:`soft_to_hard_data`) — a capability the
+    reference left unimplemented for its soft solver.  ``return_session``
+    returns a :class:`SoftOCPSession` for warm-started re-solves.
+    Compiled solvers are cached on (dims, config) — repeated calls do
+    not recompile."""
+    cfg = _ipm.IPMConfig(k_max=k_max, mu0=mu0, mu_tol=mu_tol, alpha_min=alpha_min)
+
+    if N2 is not None and N2 < N:
+        if return_session:
+            raise ValueError("sessions are not supported with N2 < N")
+        (A2, B2, b2, Q2, S2, R2, q2, r2,
+         idxb2, lb2, ub2, C2, D2, lg2, ug2, nu_orig) = soft_to_hard_data(
+            N, A, B, b, Q, S, R, q, r, idxb, lb, ub, idxs, lbs, ubs, Zs, zs
+        )
+        dims_h, qp_h = pack_problem(
+            N, A2, B2, b2, Q2, S2, R2, q2, r2,
+            idxb=idxb2, lb=lb2, ub=ub2, C=C2, D=D2, lg=lg2, ug=ug2, x0=x0,
+        )
+        sol = _jit_partial_cond(dims_h, cfg, int(N2))(qp_h)
+        result = _unpack_result(dims_h, sol)
+        # strip the slack inputs: the user's u is the first nu_orig[n]
+        u = [un[: nu_orig[n]] for n, un in enumerate(result.u)]
+        return result._replace(u=u)
+
+    dims, qp = pack_problem(
+        N, A, B, b, Q, S, R, q, r, idxb=idxb, lb=lb, ub=ub, x0=x0
+    )
+    spec = _build_soft_spec(dims, idxs, lbs, ubs, Zs, zs, qp.dtype)
+    sol, res = _jit_soft(dims, cfg)(qp, spec)
+    result = _unpack_soft_result(dims, sol, res)
+    if not return_session:
+        return result
+    mats = dict(
+        N=N, A=A, B=B, b=b, Q=Q, S=S, R=R, q=q, r=r, idxb=idxb,
+        lb=lb, ub=ub, x0=x0, idxs=idxs, lbs=lbs, ubs=ubs, Zs=Zs, zs=zs,
+    )
+    return result, SoftOCPSession(dims, cfg, mats, spec, sol)
 
 
 def solve_ocp_c_order(

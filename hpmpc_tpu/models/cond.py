@@ -279,12 +279,19 @@ def condense(qp: OCPQP, pl: CondPlan) -> OCPQP:
         F2 = F2.at[g].set(GxT.T[:, :NX2])
         b2 = b2.at[g].set(gcT[:NX2])
 
-    # terminal stage cost/constraint data copies through (padded coords match:
-    # nu[N]=0 so z_N lives in the x block on both sides)
+    # terminal stage cost/constraint data copies through.  Terminal inputs
+    # (nu[N] > 0, e.g. the slack variables of api.soft_to_hard_data) sit at
+    # [:nuN] on both sides; states at NU/NU2.
+    nuN = dims.nu[N]
     H2 = H2.at[N2, NU2 : NU2 + NX2, NU2 : NU2 + NX2].set(
         qp.H[N, NU : NU + NX2, NU : NU + NX2]
     )
     g2 = g2.at[N2, NU2 : NU2 + NX2].set(qp.g[N, NU : NU + NX2])
+    if nuN:
+        H2 = H2.at[N2, :nuN, :nuN].set(qp.H[N, :nuN, :nuN])
+        H2 = H2.at[N2, :nuN, NU2 : NU2 + NX2].set(qp.H[N, :nuN, NU : NU + NX2])
+        H2 = H2.at[N2, NU2 : NU2 + NX2, :nuN].set(qp.H[N, NU : NU + NX2, :nuN])
+        g2 = g2.at[N2, :nuN].set(qp.g[N, :nuN])
 
     # box constraints that stay box
     for (g, slot2, stg, idx) in pl.box_map:
@@ -322,14 +329,17 @@ def condense(qp: OCPQP, pl: CondPlan) -> OCPQP:
         d_lg2 = d_lg2.at[g, row2].set(qp.d_lg[stg, j] - cshift)
         d_ug2 = d_ug2.at[g, row2].set(qp.d_ug[stg, j] - cshift)
 
-    # terminal stage constraints copy (remap padded state coords)
+    # terminal stage constraints copy (remap padded coords; input boxes —
+    # nu[N] > 0 — keep their input slots)
     for j in range(dims.nb[N]):
         idx = dims.idxb[N][j]
-        idxb2[N2, j] = NU2 + (idx - dims.nu[N])
+        idxb2[N2, j] = idx if idx < nuN else NU2 + (idx - nuN)
         d_lb2 = d_lb2.at[N2, j].set(qp.d_lb[N, j])
         d_ub2 = d_ub2.at[N2, j].set(qp.d_ub[N, j])
     for j in range(dims.ng[N]):
         C2 = C2.at[N2, j, NU2 : NU2 + NX2].set(qp.C[N, j, NU : NU + NX2])
+        if nuN:
+            C2 = C2.at[N2, j, :nuN].set(qp.C[N, j, :nuN])
         d_lg2 = d_lg2.at[N2, j].set(qp.d_lg[N, j])
         d_ug2 = d_ug2.at[N2, j].set(qp.d_ug[N, j])
 
@@ -372,9 +382,11 @@ def expand_solution(
     dt = qp.dtype
 
     z = jnp.zeros((N + 1, NZ), dt)
-    # terminal state
+    # terminal state (+ terminal inputs when nu[N] > 0)
     NX2 = dims2.NX
     z = z.at[N, NU : NU + NX2].set(sol2.z[N2, NU2 : NU2 + NX2])
+    if dims.nu[N]:
+        z = z.at[N, : dims.nu[N]].set(sol2.z[N2, : dims.nu[N]])
 
     for g in range(N2):
         s, T = pl.group_start[g], pl.group_T[g]
@@ -504,6 +516,8 @@ def condense_rhs(qp: OCPQP, pl: CondPlan, qp2_mat: OCPQP) -> OCPQP:
         g2 = g2.at[g].set(gg)
         b2 = b2.at[g].set(gcT[:NX2])
     g2 = g2.at[N2, NU2 : NU2 + NX2].set(qp.g[N, NU : NU + NX2])
+    if dims.nu[N]:
+        g2 = g2.at[N2, : dims.nu[N]].set(qp.g[N, : dims.nu[N]])
 
     for (g, slot2, stg, idx) in pl.box_map:
         idxp = idx if idx < dims.nu[stg] else NU + (idx - dims.nu[stg])

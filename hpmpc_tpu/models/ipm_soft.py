@@ -104,6 +104,8 @@ def solve(
     soft: SoftSpec,
     cfg: IPMConfig,
     exact_mehrotra_soft: bool = True,
+    z0=None,
+    pi0=None,
 ) -> SoftSolution:
     """Solve the soft-constrained OCP QP (``d_ip2_mpc_soft_tv``).
 
@@ -115,12 +117,20 @@ def solve(
     outside the slots the Riccati reads) — the correction is silently
     dropped and the reference needs ~40% more iterations.  Set False to
     reproduce the reference's trace bit-for-bit (golden parity tests).
+
+    ``z0``/``pi0`` with ``cfg.warm_start`` seed the iterate (the
+    reference soft interface's ``warm_start`` argument,
+    ``fortran_order_d_ip_ocp_soft_tv``,
+    ``interfaces/c/fortran_order_interface.c:1442``); the box-violation
+    correction branch still applies, as in ``d_init_var_mpc_soft_tv``.
     """
     with jax.default_matmul_precision("float32"):
-        return _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft)
+        return _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft,
+                           z0=z0, pi0=pi0)
 
 
-def _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft=True):
+def _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft=True,
+                z0=None, pi0=None):
     dt = qp.dtype
     N, NU = dims.N, dims.NU
     NS = soft.idxbs.shape[-1]
@@ -180,7 +190,10 @@ def _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft=True):
     mu0 = jnp.asarray(cfg.mu0, dt)
 
     # ---- init (d_init_var_mpc_soft_tv :38) ----
-    z0 = jnp.zeros((N + 1, dims.NZ), dt)
+    if getattr(cfg, "warm_start", False) and z0 is not None:
+        z0 = jnp.asarray(z0, dt) * qp.z_mask
+    else:
+        z0 = jnp.zeros((N + 1, dims.NZ), dt)
     zb = _gather_box(oh_b, z0)
     t_lo0 = zb - qp.d_lb
     t_up0 = qp.d_ub - zb
@@ -212,9 +225,13 @@ def _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft=True):
     t_s0 = jnp.ones((N + 1, 4, NS), dt)
     lam_s0 = jnp.where(ms4 > 0, mu0, 0.0) * jnp.ones((N + 1, 4, NS), dt)
 
+    if getattr(cfg, "warm_start", False) and pi0 is not None:
+        pi_init = jnp.asarray(pi0, dt)
+    else:
+        pi_init = jnp.zeros((N, dims.NX), dt)
     state0 = _State(
         z=z0,
-        pi=jnp.zeros((N, dims.NX), dt),
+        pi=pi_init,
         lam_b=lam_b0,
         t_b=t_b0,
         lam_g=lam_g0,

@@ -48,13 +48,16 @@ def _solve_lanes(dims, qpb, cfg):
 
 
 @pytest.mark.parametrize("ngN", [0, 4])
-def test_lanes_engine_matches_flat_engine(interpret_pallas, ngN):
+def test_lanes_engine_matches_flat_engine(interpret_pallas, monkeypatch, ngN):
     """f32, box (+ general) constraints: iterate-for-iterate agreement with
     the flat engine (same kernels under the sweeps; the step primitives
     move from XLA to Pallas — fp-order differs, so tolerances are fp32
-    round-off scale, not exact)."""
+    round-off scale, not exact).  Pinned to the 6-kernel lanes loop
+    (MEGA=0) so the fallback path keeps end-to-end coverage now that
+    mega is the default."""
     from hpmpc_tpu.models import ipm_fast
 
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
     dims, qpb = _batch_qp(ngN=ngN)
     cfg = dataclasses.replace(
         ipm.IPMConfig(k_max=3, mu_tol=1e-4), use_pallas=True
@@ -75,13 +78,16 @@ def test_lanes_engine_matches_flat_engine(interpret_pallas, ngN):
     )
 
 
-def test_lanes_engine_f64_matches_structured(interpret_pallas):
+def test_lanes_engine_f64_matches_structured(interpret_pallas, monkeypatch):
     """f64 end-to-end (interpret mode): the lanes engine must reproduce the
     structured golden-parity solver tightly, including multipliers,
     residual norms and the status/iteration bookkeeping.  Box-only: the
     small-N mass-spring general-constraint configs are infeasible QPs
     (unreachable terminal equality — documented in tests/test_ipm.py) and
-    diverge in every solver; ng coverage is the shallow test below."""
+    diverge in every solver; ng coverage is the shallow test below.
+    Pinned to MEGA=0 (deep f64 coverage of the 6-kernel fallback; the
+    mega twin is test_lanes_engine_mega_f64_matches_structured)."""
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
     dims, qpb = _batch_qp(N=5, ngN=0, dtype=jnp.float64)
     cfg = ipm.IPMConfig(k_max=12, mu_tol=1e-10)
     sol_x = jax.jit(
@@ -190,11 +196,14 @@ def test_lanes_engine_dispatch_knob(interpret_pallas, monkeypatch):
 @pytest.mark.parametrize("ngN", [0, 4])
 def test_lanes_engine_mega_sweeps_flag(interpret_pallas, monkeypatch, ngN):
     """HPMPC_MEGA_SWEEPS=1 routes each half-iteration through one
-    mega-sweep pallas_call; iterates must match the default lanes path."""
+    mega-sweep pallas_call; iterates must match the 6-kernel lanes path
+    (sol_ref pinned to MEGA=0 — mega is the default, so an unpinned
+    reference would compare mega against itself)."""
     dims, qpb = _batch_qp(N=4, ngN=ngN)
     cfg = dataclasses.replace(
         ipm.IPMConfig(k_max=3, mu_tol=1e-4), use_pallas=True
     )
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
     sol_ref = _solve_lanes(dims, qpb, cfg)
     monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "1")
     import hpmpc_tpu.ops.mega_kernel as mk
@@ -245,12 +254,14 @@ def test_lanes_engine_mega_f64_matches_structured(interpret_pallas,
 
 def test_lanes_engine_mega_phase2_ng(interpret_pallas, monkeypatch):
     """Phase 2 with active general constraints through the mega path
-    (mu_switch=1e9 skips phase 1 entirely), vs the default lanes path."""
+    (mu_switch=1e9 skips phase 1 entirely), vs the 6-kernel lanes path
+    (sol_ref pinned to MEGA=0)."""
     dims, qpb = _batch_qp(N=4, ngN=4)
     cfg = dataclasses.replace(
         ipm.IPMConfig(k_max=3, mu_tol=1e-4, mu_switch=1e9),
         use_pallas=True,
     )
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
     sol_ref = _solve_lanes(dims, qpb, cfg)
     monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "1")
     sol_m = _solve_lanes(dims, qpb, cfg)

@@ -179,3 +179,90 @@ def test_solve_ocp_soft_residual_norms():
     assert res.inf_norm_res[1] < 1e-8  # dynamics
     assert res.inf_norm_res[2] < 1e-8  # constraint gaps
     assert res.inf_norm_res[3] < 1e-6  # mu
+
+
+def _soft_front_door_data(nx=4, nu=2, N=6, seed=1):
+    """Raw per-stage data for the soft front door (soft state bounds on
+    stages 1..N, hard input boxes)."""
+    rng = np.random.default_rng(seed)
+    A = np.eye(nx) + 0.05 * rng.standard_normal((nx, nx))
+    B = rng.standard_normal((nx, nu)) * 0.3
+    ns = 2
+    kw = dict(
+        idxb=[np.arange(nu)] * N + [np.zeros(0, dtype=np.int32)],
+        lb=[-2.0 * np.ones(nu)] * N + [np.zeros(0)],
+        ub=[2.0 * np.ones(nu)] * N + [np.zeros(0)],
+        idxs=[np.zeros(0, dtype=np.int32)]
+        + [np.arange(nu, nu + ns)] * N,
+        lbs=[np.zeros(0)] + [-0.3 * np.ones(ns)] * N,
+        ubs=[np.zeros(0)] + [0.3 * np.ones(ns)] * N,
+        Zs=[np.zeros(0)] + [10.0 * np.ones(ns)] * N,
+        zs=[np.zeros(0)] + [100.0 * np.ones(ns)] * N,
+        x0=np.ones(nx),
+    )
+    args = (
+        N, [A] * N, [B] * N, [0.05 * np.ones(nx)] * N,
+        [np.eye(nx)] * (N + 1), [np.zeros((nu, nx))] * N + [np.zeros((0, nx))],
+        [np.eye(nu)] * N + [np.zeros((0, 0))],
+        [0.1 * np.ones(nx)] * (N + 1),
+        [0.1 * np.ones(nu)] * N + [np.zeros(0)],
+    )
+    return args, kw
+
+
+def test_soft_front_door_cache_no_recompile():
+    """Repeated solve_ocp_soft calls at one geometry hit the jit cache
+    (the hard front door's lru_cache idiom, api.py:185)."""
+    from hpmpc_tpu import api
+
+    args, kw = _soft_front_door_data()
+    api.solve_ocp_soft(*args, **kw, mu_tol=1e-6)
+    before = api._jit_soft.cache_info()
+    res = api.solve_ocp_soft(*args, **kw, mu_tol=1e-6)
+    after = api._jit_soft.cache_info()
+    assert after.hits == before.hits + 1
+    assert res.status == 0
+
+
+def test_soft_session_warm_resolve():
+    """SoftOCPSession.solve: warm-started re-solve for perturbed vector
+    data matches a fresh cold solve and does not need more iterations."""
+    from hpmpc_tpu import api
+
+    args, kw = _soft_front_door_data()
+    res0, sess = api.solve_ocp_soft(
+        *args, **kw, mu_tol=1e-8, return_session=True
+    )
+    assert res0.status == 0
+
+    N, nx = args[0], 4
+    b2 = [0.06 * np.ones(nx)] * N
+    warm = sess.solve(b=b2)
+    assert warm.status == 0
+
+    kw2 = dict(kw)
+    cold = api.solve_ocp_soft(*(args[:3] + (b2,) + args[4:]), **kw2,
+                              mu_tol=1e-8)
+    for n in range(N + 1):
+        np.testing.assert_allclose(warm.x[n], cold.x[n], atol=1e-6)
+        np.testing.assert_allclose(warm.u[n], cold.u[n], atol=1e-6)
+    assert warm.kk <= cold.kk + 1
+
+
+def test_soft_n2_partial_condensing_matches_plain():
+    """The soft N2 path (exact hard slack reformulation -> partial
+    condensing -> IPM -> expand) reproduces the plain soft solve —
+    a capability the reference never implemented
+    (fortran_order_interface.c:1442 has no N2)."""
+    from hpmpc_tpu import api
+
+    args, kw = _soft_front_door_data()
+    plain = api.solve_ocp_soft(*args, **kw, mu_tol=1e-9, k_max=40)
+    n2 = api.solve_ocp_soft(*args, **kw, mu_tol=1e-9, k_max=40, N2=3)
+    assert plain.status == 0 and n2.status == 0
+    N = args[0]
+    for n in range(N + 1):
+        np.testing.assert_allclose(n2.x[n], plain.x[n], atol=5e-6)
+        np.testing.assert_allclose(n2.u[n], plain.u[n], atol=5e-6)
+    for n in range(N):
+        np.testing.assert_allclose(n2.pi[n], plain.pi[n], atol=5e-5)
