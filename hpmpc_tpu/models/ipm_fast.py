@@ -40,9 +40,9 @@ This module keeps every piece of loop state 2-D ``(B, flat)`` (pad ~1.2x):
     of einsums over the 17-18x padded structured H/F.
 
 Entered from :func:`hpmpc_tpu.parallel.batch.solve_batched` when
-``cfg.use_pallas``, the batch is a multiple of 1024, ``dims.idxb`` is
-static, and ``warm_start`` is not requested (that takes the vmapped
-structured path).  ``cfg.iter_ref`` is supported: full-precision Newton
+``cfg.use_pallas``, the batch is a multiple of 1024 and ``dims.idxb`` is
+static.  ``warm_start`` is supported (``z0``/``pi0`` seeding — batched
+RTI re-solves stay here).  ``cfg.iter_ref`` is supported: full-precision Newton
 residuals are assembled term-by-term and re-solved through
 ``stage_kernel.solve_flat_pb`` (Pb recomputed in-kernel).  Cross-checked
 against the structured path by tests/test_stage_kernel.py.
@@ -95,7 +95,7 @@ class _Res(NamedTuple):
 
 
 def solve_batched_flat(
-    dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None
+    dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None, z0=None, pi0=None
 ) -> _ipm.IPMSolution:
     """Batch-level flat-state solve.  ``qp`` leaves carry a leading batch
     axis that must be a multiple of 1024 (the Pallas block size); returns
@@ -105,12 +105,19 @@ def solve_batched_flat(
     kernels (factor / resolve / resid_terms / apply_fpi) while reusing this
     loop's step, alpha, gating and trace machinery — the flat-engine
     analogue of :class:`~.ipm.KKTBackend` (used by the tree topology,
-    ``models/tree.py``); ``None`` is the chain (``ops/stage_kernel``)."""
+    ``models/tree.py``); ``None`` is the chain (``ops/stage_kernel``).
+
+    ``z0`` (B, N+1, NZ) / ``pi0`` (B, N, NX) with ``cfg.warm_start`` seed
+    the iterate (the reference's hot-loop ``warm_start`` argument,
+    ``d_ip2_res_hard.c:116`` arg 6) — the box-violation correction branch
+    of ``d_init_var_mpc_hard_tv`` still applies, exactly as in the
+    structured solver's :func:`~.ipm.init_vars`."""
     with jax.default_matmul_precision("float32"):
-        return _impl(dims, qp, cfg, kkt_factory)
+        return _impl(dims, qp, cfg, kkt_factory, z0=z0, pi0=pi0)
 
 
-def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
+def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
+          z0=None, pi0=None) -> _ipm.IPMSolution:
     from ..ops import stage_kernel as sk
 
     dt = qp.dtype
@@ -425,7 +432,10 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
         ])
 
     # ---- init (exact reference branching; see ipm.init_vars) ------------
-    zF0 = jnp.zeros((B, NZF), dt)
+    if getattr(cfg, "warm_start", False) and z0 is not None:
+        zF0 = (jnp.asarray(z0, dt).reshape(B, NZF)) * z_maskF
+    else:
+        zF0 = jnp.zeros((B, NZF), dt)
     zb = gather_box(zF0)
     t0 = sgn * (cat2(zb) - d_cat)
     t_lo0, t_up0 = t0[:, :NBF], t0[:, NBF:]
@@ -454,8 +464,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None) -> _ipm.IPMSolution:
         t_g0 = jnp.ones((B, 0), dt)
         lam_g0 = jnp.zeros((B, 0), dt)
 
+    if getattr(cfg, "warm_start", False) and pi0 is not None:
+        piF0 = jnp.asarray(pi0, dt).reshape(B, NXF) * x_maskF
+    else:
+        piF0 = jnp.zeros((B, NXF), dt)
     s0 = _FState(
-        zF=zF0, piF=jnp.zeros((B, NXF), dt),
+        zF=zF0, piF=piF0,
         lam_b=lam_b0, t_b=t_b0, lam_g=lam_g0, t_g=t_g0,
         mu=jnp.full((B,), mu0, dt),
         alpha=jnp.ones((B,), dt),

@@ -20,8 +20,9 @@ per-instance scalar math (alpha/mu/sigma), the tiny general-constraint
 streams, the gating and the trace.
 
 State dtype == kernel dtype (f32 on TPU; f64 works in interpret mode for
-parity tests).  Mixed precision and ``iter_ref`` stay on
-:mod:`.ipm_fast`; custom KKT factories (tree) are not supported here.
+parity tests).  Warm start (``z0``/``pi0`` seeding) is supported; mixed
+precision and ``iter_ref`` stay on :mod:`.ipm_fast`; custom KKT
+factories (tree) are not supported here.
 Dispatched from :func:`hpmpc_tpu.parallel.batch.solve_batched` when
 ``HPMPC_LANES_LOOP=1`` (hardware A/B knob, like ``HPMPC_FUSED_SWEEPS``).
 """
@@ -155,11 +156,15 @@ def make_ng_lanes(dims, qp, ng_stages, dt, B):
 
 
 
-def make_lanes_common(dims, qp, cfg):
+def make_lanes_common(dims, qp, cfg, z0=None, pi0=None):
     """Shared scaffolding of the lanes-resident engines (hard and soft):
     layout helpers, SMEM index table, box constant streams, the
     d_init_var box initialization, state gating, and the alpha/mu-sum
-    finisher.  One copy so a fix cannot land in one engine only."""
+    finisher.  One copy so a fix cannot land in one engine only.
+
+    ``z0``/``pi0`` with ``cfg.warm_start`` seed the iterate streams
+    (``d_ip2_res_hard.c:116`` arg 6); the d_init_var box-violation
+    correction branch still applies to the seeded iterate."""
     import types
 
     from ..ops import stage_kernel as sk
@@ -266,8 +271,14 @@ def make_lanes_common(dims, qp, cfg):
     # ---- init (exact reference branching; ipm.init_vars twin) ------------
     thr0 = jnp.asarray(0.1, dt)
     mu0 = jnp.asarray(cfg.mu0, dt)
+    HIP = jax.lax.Precision.HIGHEST
     d_lb3, d_ub3 = qp.d_lb, qp.d_ub
-    zb0 = jnp.zeros((B, Np1, NB), dt)                  # gather of z0 = 0
+    if getattr(cfg, "warm_start", False) and z0 is not None:
+        z_in = jnp.asarray(z0, dt) * qp.z_mask         # (B, Np1, NZ)
+        zb0 = jnp.einsum("bnz,nzk->bnk", z_in, Sel, precision=HIP)
+    else:
+        z_in = jnp.zeros((B, Np1, NZ), dt)
+        zb0 = jnp.zeros((B, Np1, NB), dt)              # gather of z0 = 0
     t_lo0 = zb0 - d_lb3
     t_up0 = d_ub3 - zb0
     both = (t_lo0 < thr0) & (t_up0 < thr0)
@@ -281,16 +292,20 @@ def make_lanes_common(dims, qp, cfg):
                   jnp.where(up_only, d_ub3 - thr0, zb0)),
     )
     changed = ((both | lo_only | up_only) & (mb1 > 0)).astype(dt)
-    z0 = jnp.einsum(
-        "bnk,nzk->bnz", changed * z_corr, Sel,
-        precision=jax.lax.Precision.HIGHEST,
+    z0_full = (
+        z_in * (1.0 - jnp.einsum("bnk,nzk->bnz", changed, Sel, precision=HIP))
+        + jnp.einsum("bnk,nzk->bnz", changed * z_corr, Sel, precision=HIP)
     )
     t_b0 = jnp.concatenate([t_lo, t_up], -1)
     t_b0 = jnp.where(ns.mb_st > 0, t_b0, 1.0)
     lam_b0 = jnp.where(ns.mb_st > 0, mu0 / t_b0, 0.0)
-    ns.zL0 = ns.to_lanes3(z0)
+    ns.zL0 = ns.to_lanes3(z0_full)
     ns.lamL0 = ns.to_lanes3(lam_b0)
     ns.tL0 = ns.to_lanes3(t_b0)
+    if getattr(cfg, "warm_start", False) and pi0 is not None:
+        ns.piL0 = ns.to_lanes3(jnp.asarray(pi0, dt) * qp.x_mask[:, 1:])
+    else:
+        ns.piL0 = None
 
     def ng_init(ngh):
         """Slack/multiplier init for the general-constraint streams."""
@@ -331,15 +346,16 @@ class _LRes(NamedTuple):
     mu: jax.Array      # (B,)
 
 
-def solve_batched_lanes(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
+def solve_batched_lanes(dims: OCPDims, qp: OCPQP, cfg,
+                        z0=None, pi0=None) -> _ipm.IPMSolution:
     """Batch-level lanes-resident solve (same contract as
-    :func:`.ipm_fast.solve_batched_flat`; requires NB > 0, static idxb,
-    iter_ref == 0)."""
+    :func:`.ipm_fast.solve_batched_flat`, incl. the warm-start ``z0``/
+    ``pi0`` seeding; requires NB > 0, static idxb, iter_ref == 0)."""
     with jax.default_matmul_precision("float32"):
-        return _impl(dims, qp, cfg)
+        return _impl(dims, qp, cfg, z0=z0, pi0=pi0)
 
 
-def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
+def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
     from ..ops import stage_kernel as sk
     from ..ops import step_kernel as stk
 
@@ -360,7 +376,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     NGF = n_ng * NG
 
     # ---- shared scaffolding (one copy for hard and soft engines) --------
-    cm = make_lanes_common(dims, qp, cfg)
+    cm = make_lanes_common(dims, qp, cfg, z0=z0, pi0=pi0)
     to_lanes3, from_lanes3 = cm.to_lanes3, cm.from_lanes3
     sc_l, sc_B, cat2, min_ratio = cm.sc_l, cm.sc_B, cm.cat2, cm.min_ratio
     gate, bcast5, stat_update = cm.gate, cm.bcast5, cm.stat_update
@@ -471,7 +487,9 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg) -> _ipm.IPMSolution:
     lam_g0, t_g0 = cm.ng_init(ngh)
 
     s0_state = _LState(
-        zL=cm.zL0, piL=jnp.zeros((nb_blk, N, NX, sk.SUBS, sk.LANES), dt),
+        zL=cm.zL0,
+        piL=(cm.piL0 if cm.piL0 is not None
+             else jnp.zeros((nb_blk, N, NX, sk.SUBS, sk.LANES), dt)),
         lamL=cm.lamL0, tL=cm.tL0,
         lam_g=lam_g0, t_g=t_g0,
         mu=jnp.full((B,), mu0, dt),

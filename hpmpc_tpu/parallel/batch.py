@@ -32,7 +32,8 @@ def broadcast_qp(qp: OCPQP, batch: int) -> OCPQP:
     )
 
 
-def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
+def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
+                  z0=None, pi0=None):
     """vmap the full IPM over a leading instance axis of every QP leaf.
 
     With ``cfg.use_pallas`` and a 1024-multiple batch, dispatches to the
@@ -45,13 +46,18 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
     ``HPMPC_LANES_LOOP=1`` (hardware A/B knob) further routes eligible
     f32 solves to the lanes-resident engine (:mod:`..models.ipm_lanes`):
     all step primitives as Pallas kernels, zero per-iteration transposes
-    and selection matmuls."""
+    and selection matmuls.
+
+    ``z0`` (B, N+1, NZ) / ``pi0`` (B, N, NX) with ``cfg.warm_start`` seed
+    the iterate on EVERY path (the reference's hot-loop ``warm_start``,
+    ``d_ip2_res_hard.c:116`` arg 6) — batched RTI/closed-loop re-solves
+    stay on the throughput engines."""
     import os
 
     B = qp.b.shape[0]
+    warm = bool(cfg.warm_start)
     if (
         cfg.use_pallas
-        and not cfg.warm_start
         and dims.n_constr > 0
         and dims.idxb is not None
         and B % 1024 == 0
@@ -72,10 +78,15 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
         ):
             from ..models import ipm_lanes
 
-            return ipm_lanes.solve_batched_lanes(dims, qp, cfg)
+            return ipm_lanes.solve_batched_lanes(dims, qp, cfg, z0=z0, pi0=pi0)
         from ..models import ipm_fast
 
-        return ipm_fast.solve_batched_flat(dims, qp, cfg)
+        return ipm_fast.solve_batched_flat(dims, qp, cfg, z0=z0, pi0=pi0)
+    if warm and z0 is not None:
+        return jax.vmap(
+            lambda q, zz, pp: ipm.solve(dims, q, cfg, z0=zz, pi0=pp)
+        )(qp, z0, pi0 if pi0 is not None else jnp.zeros(
+            (B, dims.N, dims.NX), qp.dtype))
     return jax.vmap(lambda q: ipm.solve(dims, q, cfg))(qp)
 
 
