@@ -40,11 +40,13 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _LAST = os.path.join(_REPO, ".bench_last.json")
+_LAST_PAR = os.path.join(_REPO, ".bench_last_parity.json")
 _BASELINE = 3185.0  # reference: 1/3.14e-4 solves/s, one CPU core
 
 _t_start = time.time()
 _result = {}  # filled as measurements land; watchdog may print it early
 _printed = threading.Event()
+_done = threading.Event()  # both lines printed normally
 
 
 def _emit(payload):
@@ -55,9 +57,9 @@ def _emit(payload):
 
 def _watchdog(budget_s: float):
     """If the run outlives ``budget_s`` (cold compile through a degraded
-    relay), print a best-effort JSON line and hard-exit so the caller's
+    relay), print best-effort JSON lines and hard-exit so the caller's
     timeout never yields an empty record."""
-    while not _printed.wait(timeout=5.0):
+    while not _done.wait(timeout=5.0):
         if time.time() - _t_start < budget_s:
             continue
         if "value" in _result:
@@ -75,8 +77,15 @@ def _watchdog(budget_s: float):
                     "vs_baseline": 0.0,
                 }
             )
+        # second line: parity-tolerance measurement, from this run if it
+        # landed, else the last persisted one
+        if os.path.exists(_LAST_PAR):
+            par = json.load(open(_LAST_PAR))
+            if time.time() - os.path.getmtime(_LAST_PAR) > 60:
+                par["unit"] += " [fallback: last completed parity run]"
+            print(json.dumps(par), flush=True)
         os._exit(0)
-    # measurement printed normally; nothing to do
+    # measurements printed normally; nothing to do
 
 
 def _engine_knobs() -> str:
@@ -203,6 +212,76 @@ def main():
     with open(_LAST, "w") as f:
         json.dump(payload, f)
     _emit(payload)
+
+    # ---- second line: TRUE solves/s at reference tolerance --------------
+    # The headline above is work-normalized at the f32 barrier floor
+    # (mu ~ 1e-4).  This measurement runs the reference's own accuracy
+    # protocol: all 8 IPM iterations (doc/guide.tex:362-380 converges in 8
+    # at mu_tol=1e-8) with ITER_REF=2 iterative refinement
+    # (d_ip2_res_hard.c:48) on the flat engine — proven to reach <=1e-6
+    # control parity with the f64 solver at MATCHED iteration count
+    # (tests/test_stage_kernel.py::test_flat_ipm_iter_ref_reaches_f64_parity).
+    # No work normalization: value = batches * BATCH / elapsed.
+    try:
+        _parity_measurement(jax, jnp, lax, ipm, pbatch, dims, qpb, dtype,
+                            BATCH, K_MAX)
+    except Exception as e:  # line 1 is already out; salvage what we can
+        if os.path.exists(_LAST_PAR):
+            par = json.load(open(_LAST_PAR))
+            par["unit"] += f" [fallback: this parity run failed: {e!r:.80}]"
+            print(json.dumps(par), flush=True)
+    _done.set()
+
+
+def _parity_measurement(jax, jnp, lax, ipm, pbatch, dims, qpb, dtype,
+                        BATCH, K_MAX):
+    cfg_par = ipm.IPMConfig(
+        k_max=K_MAX, mu_tol=0.0, alpha_min=1e-8, iter_ref=2,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+
+    @jax.jit
+    def run_par(q, K, seed):
+        def body(i, acc):
+            qi = dataclasses.replace(
+                q, b=q.b * (1.0 + 1e-4 * (i.astype(dtype) + seed))
+            )
+            sol = pbatch.solve_batched(dims, qi, cfg_par)
+            u0 = sol.z[:, 0, : dims.NU]
+            return acc + jnp.sum(sol.z) + jnp.sum(u0)
+
+        return lax.fori_loop(0, K, body, jnp.asarray(0.0, dtype))
+
+    acc_p = float(run_par(qpb, 1, jnp.asarray(0.0, dtype)))
+    assert np.isfinite(acc_p), "non-finite parity checksum"
+
+    times_p = {}
+    for K in (2, 10):
+        rep_times = []
+        for r in range(1, 5):
+            t0 = time.perf_counter()
+            out = float(run_par(qpb, K, jnp.asarray(r * 53.0 + K, dtype)))
+            rep_times.append(time.perf_counter() - t0)
+            assert np.isfinite(out)
+        times_p[K] = min(rep_times)
+
+    per_solve_p = (times_p[10] - times_p[2]) / (10 - 2)
+    solves_p = BATCH / per_solve_p
+    payload_p = {
+        "metric": "ipm_solves_per_s_per_chip_at_parity",
+        "value": round(solves_p, 1),
+        "unit": (
+            f"true 8-iteration solves/s at reference tolerance (flat "
+            f"engine, f32 + iter_ref=2: <=1e-6 control parity with f64 at "
+            f"matched iterations; mass-spring nx=8 nu=3 N=30 nb=7 ngN=8, "
+            f"batch={BATCH}, slope K=2..10 in-graph, "
+            f"{per_solve_p*1e3:.3f} ms/batch)"
+        ),
+        "vs_baseline": round(solves_p / _BASELINE, 2),
+    }
+    with open(_LAST_PAR, "w") as f:
+        json.dump(payload_p, f)
+    print(json.dumps(payload_p), flush=True)
 
 
 if __name__ == "__main__":
