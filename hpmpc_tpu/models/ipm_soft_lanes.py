@@ -27,7 +27,9 @@ from jax import lax
 
 from ..ocp import OCPDims, OCPQP
 from . import ipm_soft as _soft
-from .ipm_lanes import _ipm_fast_knob, make_lanes_common, make_ng_lanes
+from .ipm_lanes import (
+    _ipm_fast_knob, _mega_sweeps, make_lanes_common, make_ng_lanes,
+)
 
 
 class _LSState(NamedTuple):
@@ -110,6 +112,9 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact):
     mu0 = jnp.asarray(cfg.mu0, dt)
 
     fused = _ipm_fast_knob()
+    mega = _mega_sweeps()
+    if mega:
+        from ..ops import mega_kernel as mk
 
     def kkt_factor_solve(dvecL, ngl, geffL):
         if fused:
@@ -127,6 +132,62 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact):
         fn = sk.solve_flat_fused if fused else sk.solve_flat
         return fn(Ll_l, Lxx_l, Pb_l, geffL, Fl, bL, NU, NZ, NX,
                   lanes_io=True)
+
+    def affine_half(s, ngl, qx_g):
+        """soft prep + factor + affine solve + affine alpha/sums: ONE
+        soft-mega pallas_call when HPMPC_MEGA_SWEEPS=1, else the
+        3-kernel sequence.  Returns (dzL, fstate, aff)."""
+        if mega:
+            ngaddl = ngh.ct_lanes_stream(qx_g) if n_ng else ngh.ngadd0
+            outs = mk.factor_solve_soft_mega(
+                idxT, idxS, s.lamL, s.tL, dcatL, mbL,
+                s.lamsL, s.tsL, softcL, msL, gL, pdregL, Hl,
+                ngl, ngaddl, ng_stages, Fl, bL,
+                NB=NB, NS=NS, NU=NU, NZ=NZ, NX=NX,
+            )
+            return outs[0], outs[1], outs[2:]
+        dvecL, geffL = stk.soft_prep_flat(
+            idxT, idxS, s.lamL, s.tL, dcatL, mbL, s.lamsL, s.tsL,
+            softcL, msL, gL, pdregL, NB=NB, NS=NS, NZ=NZ,
+        )
+        if n_ng:
+            geffL = ngh.ct_add_lanes(geffL, qx_g)
+        dzL, _, fstate = kkt_factor_solve(dvecL, ngl, geffL)
+        aff = stk.soft_alpha_sums_flat(
+            idxT, idxS, dzL, s.lamL, s.tL, dcatL, mbL, s.lamsL, s.tsL,
+            softcL, msL, None, None, NB=NB, NS=NS, NZ=NZ,
+            corrector=False,
+        )
+        return dzL, fstate, aff
+
+    def corr_half(s, fstate, aff, smL, qx_g2):
+        """soft corrector gradient + resolve + corrector alpha/sums (one
+        soft-mega pallas_call or the 3-kernel sequence).  Returns
+        (dz2L, dpi2L, corr)."""
+        if mega:
+            ngadd2 = ngh.ct_lanes_stream(qx_g2) if n_ng else ngh.ngadd0
+            outs = mk.solve_soft_mega(
+                idxT, idxS, fstate, s.lamL, s.tL, dcatL, mbL,
+                s.lamsL, s.tsL, softcL, msL,
+                aff[0], aff[1], aff[2], aff[3], smL, gL, ngadd2,
+                ng_stages, Fl, bL,
+                NB=NB, NS=NS, NU=NU, NZ=NZ, NX=NX, exact=exact,
+            )
+            return outs[0], outs[1], outs[2:]
+        geff2L, dl2bL, dl2sL = stk.soft_corr_flat(
+            idxT, idxS, s.lamL, s.tL, dcatL, mbL, s.lamsL, s.tsL,
+            softcL, msL, aff[0], aff[1], aff[2], aff[3],
+            smL, gL, NB=NB, NS=NS, NZ=NZ, exact=exact,
+        )
+        if n_ng:
+            geff2L = ngh.ct_add_lanes(geff2L, qx_g2)
+        dz2L, dpi2L = kkt_resolve(fstate, geff2L)
+        corr = stk.soft_alpha_sums_flat(
+            idxT, idxS, dz2L, s.lamL, s.tL, dcatL, mbL, s.lamsL, s.tsL,
+            softcL, msL, dl2bL, dl2sL, NB=NB, NS=NS, NZ=NZ,
+            corrector=True,
+        )
+        return dz2L, dpi2L, corr
 
     # ---- init (d_init_var_mpc_soft_tv; box/ng init shared via cm) --------
     lam_g0, t_g0 = cm.ng_init(ngh)
@@ -159,18 +220,7 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact):
             t_inv_g = lamt_g = jnp.zeros((B, 0), dt)
             ngl = ngh.ngl0
 
-        dvecL, geffL = stk.soft_prep_flat(
-            idxT, idxS, s.lamL, s.tL, dcatL, mbL, s.lamsL, s.tsL,
-            softcL, msL, gL, pdregL, NB=NB, NS=NS, NZ=NZ,
-        )
-        if n_ng:
-            geffL = ngh.ct_add_lanes(geffL, qx_g)
-        dzL, _, fstate = kkt_factor_solve(dvecL, ngl, geffL)
-
-        aff = stk.soft_alpha_sums_flat(
-            idxT, idxS, dzL, s.lamL, s.tL, dcatL, mbL, s.lamsL, s.tsL,
-            softcL, msL, None, None, NB=NB, NS=NS, NZ=NZ, corrector=False,
-        )
+        dzL, fstate, aff = affine_half(s, ngl, qx_g if n_ng else None)
         if n_ng:
             czn = ngh.cz_of(dzL)
             dtg = (sgn_g * (cat2(czn) - dg_cat) - s.t_g) * mg2
@@ -183,21 +233,13 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact):
         sigma = (mu_aff / s.mu) ** 3
         sm = sigma * s.mu
 
-        geff2L, dl2bL, dl2sL = stk.soft_corr_flat(
-            idxT, idxS, s.lamL, s.tL, dcatL, mbL, s.lamsL, s.tsL,
-            softcL, msL, aff[0], aff[1], aff[2], aff[3],
-            sc_l(sm)[:, None], gL, NB=NB, NS=NS, NZ=NZ, exact=exact,
-        )
         if n_ng:
             dl2g = t_inv_g * (sm[:, None] - dlg * dtg) * mg2
             qx_g2 = qx_g + ngh.fold_g(-sgn_g * dl2g) * mgF
-            geff2L = ngh.ct_add_lanes(geff2L, qx_g2)
-        dz2L, dpi2L = kkt_resolve(fstate, geff2L)
-
-        corr = stk.soft_alpha_sums_flat(
-            idxT, idxS, dz2L, s.lamL, s.tL, dcatL, mbL, s.lamsL, s.tsL,
-            softcL, msL, dl2bL, dl2sL, NB=NB, NS=NS, NZ=NZ,
-            corrector=True,
+        else:
+            qx_g2 = None
+        dz2L, dpi2L, corr = corr_half(
+            s, fstate, aff, sc_l(sm)[:, None], qx_g2
         )
         if n_ng:
             czn2 = ngh.cz_of(dz2L)

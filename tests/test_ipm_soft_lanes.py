@@ -44,10 +44,16 @@ def _soft_batch(B=1024, seed=5):
     return dims, qps, softs, np.asarray(soft.idxbs)
 
 
+@pytest.mark.parametrize("mega", ["0", "1"])
 @pytest.mark.parametrize("exact", [True, False])
-def test_soft_lanes_matches_flat_engine(interpret_pallas, exact):
+def test_soft_lanes_matches_flat_engine(
+    interpret_pallas, monkeypatch, exact, mega
+):
+    """Both soft lanes generations (6-kernel and mega-sweep) vs the flat
+    soft engine."""
     from hpmpc_tpu.models import ipm_soft_fast, ipm_soft_lanes
 
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", mega)
     dims, qps, softs, idxbs = _soft_batch()
     idxbs_t = tuple(tuple(int(i) for i in row) for row in idxbs)
     cfg = ipm.IPMConfig(k_max=4, mu0=100.0, mu_tol=1e-5)
@@ -124,11 +130,17 @@ def test_soft_lanes_dispatch_knob(interpret_pallas, monkeypatch):
     assert np.isfinite(np.asarray(sol.z)).all()
 
 
-def test_soft_lanes_with_general_constraints(interpret_pallas):
+@pytest.mark.parametrize("mega", ["0", "1"])
+def test_soft_lanes_with_general_constraints(
+    interpret_pallas, monkeypatch, mega
+):
     """Soft lanes engine with ng rows active (the shared make_ng_lanes
-    machinery driving the soft loop) vs the flat soft engine."""
+    machinery driving the soft loop; both generations) vs the flat soft
+    engine."""
     from hpmpc_tpu.models import ipm_soft_fast, ipm_soft_lanes
     from hpmpc_tpu.ocp import OCPDims
+
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", mega)
 
     B = 1024
     dims0, qp, soft = mass_spring_soft_qp(8, 3, 5, Z=10.0, dtype=jnp.float32)
