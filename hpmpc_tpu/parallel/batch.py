@@ -117,7 +117,14 @@ def solve_batched_soft(
 
         idxbs_t = tuple(tuple(int(i) for i in row) for row in idxbs)
         if (
-            os.environ.get("HPMPC_LANES_LOOP", "0") == "1"
+            (
+                # default ON (hardware-validated 2026-08-19 on v5e:
+                # soft xla 14.5k < flat 163k < lanes 547k < mega 909k
+                # solves/s); HPMPC_LANES_LOOP=0 A/Bs the flat engine,
+                # MEGA implies lanes exactly as on the hard route
+                os.environ.get("HPMPC_LANES_LOOP", "1") == "1"
+                or os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
+            )
             and dims.NB > 0
             and soft.ns_mask.shape[-1] > 0
             and qp.dtype == jnp.float32

@@ -280,12 +280,17 @@ def test_soft_ipm_pallas_route_matches_xla(interpret_pallas):
     )
 
 
-def test_soft_flat_engine_matches_structured(interpret_pallas):
+def test_soft_flat_engine_matches_structured(interpret_pallas, monkeypatch):
     """The flat-state soft engine (ipm_soft_fast, entered via
     batch.solve_batched_soft) must reproduce the structured vmapped soft
     IPM iterate-for-iterate: same iteration counts, same stat rows, same
     solution."""
     import jax.numpy as jnp
+
+    # pin the FLAT engine (soft dispatch defaults to lanes/mega since the
+    # 2026-08-19 hardware validation)
+    monkeypatch.setenv("HPMPC_LANES_LOOP", "0")
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
 
     from hpmpc_tpu.models import ipm_soft
     from hpmpc_tpu.utils.mass_spring import mass_spring_soft_qp
@@ -331,11 +336,16 @@ def test_soft_flat_engine_matches_structured(interpret_pallas):
     )
 
 
-def test_soft_flat_engine_with_general_constraints(interpret_pallas):
+def test_soft_flat_engine_with_general_constraints(
+    interpret_pallas, monkeypatch
+):
     """Soft flat engine with ng rows active: exercises ipm_soft_fast's
     packed barrier-term assembly (paired C streams) against the
     structured soft path."""
     import jax.numpy as jnp
+
+    monkeypatch.setenv("HPMPC_LANES_LOOP", "0")
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
 
     from hpmpc_tpu.models import ipm_soft
     from hpmpc_tpu.ocp import OCPDims
@@ -493,6 +503,9 @@ def test_soft_engine_fused_sweeps_flag(interpret_pallas, monkeypatch):
     """The soft engine's corrector resolve also routes through the fused
     kernel under HPMPC_FUSED_SWEEPS; iterates must match the default."""
     import jax.numpy as jnp
+
+    monkeypatch.setenv("HPMPC_LANES_LOOP", "0")
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
 
     from hpmpc_tpu.models import ipm_fast
     from hpmpc_tpu.utils.mass_spring import mass_spring_soft_qp

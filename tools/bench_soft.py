@@ -90,10 +90,26 @@ def main():
     cfg_x = ipm.IPMConfig(k_max=K_ITERS, mu0=100.0, mu_tol=0.0)
     cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
 
-    t_f = slope(cfg_p, flat=True)
-    t_p = slope(cfg_p)
-    t_x = slope(cfg_x)
-    for name, t in (("flat", t_f), ("pallas", t_p), ("xla", t_x)):
+    # engine knobs are read per trace inside the dispatch
+    # (parallel/batch.py + models/ipm_soft_lanes.py); warm routes first so
+    # a timeout mid-run still leaves the earlier JSON lines
+    t_x = None
+    for name, env, cfg, flat in (
+        ("xla", {"HPMPC_LANES_LOOP": "0", "HPMPC_MEGA_SWEEPS": "0"},
+         cfg_x, False),
+        ("pallas", {"HPMPC_LANES_LOOP": "0", "HPMPC_MEGA_SWEEPS": "0"},
+         cfg_p, False),
+        ("flat", {"HPMPC_LANES_LOOP": "0", "HPMPC_MEGA_SWEEPS": "0"},
+         cfg_p, True),
+        ("lanes", {"HPMPC_LANES_LOOP": "1", "HPMPC_MEGA_SWEEPS": "0"},
+         cfg_p, True),
+        ("mega", {"HPMPC_LANES_LOOP": "1", "HPMPC_MEGA_SWEEPS": "1"},
+         cfg_p, True),
+    ):
+        os.environ.update(env)
+        t = slope(cfg, flat=flat)
+        if t_x is None:
+            t_x = t
         print(json.dumps({
             "metric": f"soft_ipm_solves_per_s_{name}",
             "value": round(B / t, 1),
