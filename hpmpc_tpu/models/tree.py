@@ -429,14 +429,15 @@ def solve_tree_ipm_flat(
     twin of ``parallel.batch``'s chain/soft fast paths.  ``qp`` leaves
     carry a leading batch axis (multiple of 1024); requires static
     ``dims.idxb``, f32 data, and a tree small enough for the backward
-    accumulator to fit VMEM (~40 nodes at NZ=11 — see
+    accumulator to fit VMEM (~240 nodes at NZ=11 under the default
+    100 MiB scoped budget — see
     ``ops/tree_kernel.tree_vmem_accumulator_bytes``)."""
     from ..ops import tree_kernel as tk
     from . import ipm_fast
 
     assert dims.N + 1 == tdef.n_nodes
     acc_bytes = tk.tree_vmem_accumulator_bytes(tdef.n_nodes, dims.NZ)
-    assert acc_bytes <= tk.TREE_VMEM_ACC_LIMIT, (
+    assert acc_bytes <= tk._tree_vmem_limit(), (
         f"tree too large for the fused kernels ({acc_bytes/2**20:.1f} MiB "
         "VMEM accumulator); use the level-batched XLA path (solve_tree_ipm)"
     )

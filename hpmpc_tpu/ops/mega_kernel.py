@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .stage_kernel import (
-    LANES, SUBS, _cat_slab, _dinv_ll, _folded_bwd_core, _mat, _pi_of_x,
+    LANES, SUBS, pcall, _cat_slab, _dinv_ll, _folded_bwd_core, _mat, _pi_of_x,
     _root_x0, _sym_idx, _sym_nt, _trs_stage, _u_of_x, _vec, _x_next_of,
 )
 from .step_kernel import (
@@ -322,7 +322,7 @@ def factor_solve_mega(idx_tab, lam, t, A, M, mb, base, pdreg, Hl, ngl,
         _sv_mega_kernel, NB, NU, NX, NZ, N, tuple(ng_stage_ids),
         phase2, has_m,
     )
-    outs = pl.pallas_call(
+    outs = pcall(
         kernel,
         grid=(nb, 2 * Np1),
         in_specs=in_specs,
@@ -598,7 +598,7 @@ def solve_mega(idx_tab, fstate, lam, t, A, M, mb, dtb_l, dlb_l, sm_l,
         _trs_mega_kernel, NB, NU, NX, NZ, N, tuple(ng_stage_ids),
         phase2, has_m,
     )
-    outs = pl.pallas_call(
+    outs = pcall(
         kernel,
         grid=(nb, 2 * Np1),
         in_specs=in_specs,
@@ -936,7 +936,7 @@ def factor_solve_soft_mega(idxb_tab, idxs_tab, lam, t, A, mb,
     kernel = functools.partial(
         _soft_sv_mega_kernel, NB, NS, NU, NX, NZ, N, tuple(ng_stage_ids),
     )
-    outs = pl.pallas_call(
+    outs = pcall(
         kernel,
         grid=(nb, 2 * Np1),
         in_specs=in_specs,
@@ -1239,7 +1239,7 @@ def solve_soft_mega(idxb_tab, idxs_tab, fstate, lam, t, A, mb,
         _soft_trs_mega_kernel, NB, NS, NU, NX, NZ, N,
         tuple(ng_stage_ids), exact,
     )
-    outs = pl.pallas_call(
+    outs = pcall(
         kernel,
         grid=(nb, 2 * Np1),
         in_specs=in_specs,

@@ -25,6 +25,7 @@ instead of hundreds of dispatched XLA kernels.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,106 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBS = 8
 BI = SUBS * LANES  # instances per grid block
+
+
+_MOSAIC_DEFAULT_VMEM = 16 << 20  # Mosaic's scoped-VMEM cap when unset
+_AUTO_VMEM_MAX = 112 << 20       # headroom under v5e/v5p's 128 MiB VMEM
+
+
+def _vmem_cap() -> int:
+    """Ceiling the auto policy may raise a kernel's scoped-VMEM cap to.
+    ``HPMPC_VMEM_LIMIT_MB`` pins a fixed cap instead (0 = Mosaic
+    default); unset/auto allows up to ``_AUTO_VMEM_MAX``."""
+    v = os.environ.get("HPMPC_VMEM_LIMIT_MB", "auto")
+    if v in ("auto", ""):
+        return _AUTO_VMEM_MAX
+    mb = int(v)
+    return (mb if mb > 0 else 16) << 20
+
+
+def _block_bytes(spec, arg):
+    if getattr(spec, "memory_space", None) is pltpu.SMEM:
+        return 0
+    shape = getattr(spec, "block_shape", None)
+    if shape is None:
+        shape = arg.shape
+    n = 1
+    for d in shape:
+        n *= int(d) if d is not None else 1
+    return n * np.dtype(arg.dtype).itemsize
+
+
+def pcall(kernel, **kwargs):
+    """``pl.pallas_call`` with a size-adaptive scoped-VMEM cap.
+
+    Mosaic's default cap is 16 MiB; the per-scalar-tile stage kernels'
+    working set grows O(NZ^2) tiles and crosses it around NZ~20 (nx=16
+    nu=3 mega / nx=24 flat fail compile at the default — measured on
+    v5e, tools/bench_size_sweep.py).  BUT a blanket raised cap also
+    changes Mosaic's pipelining choices for kernels that never needed
+    it: the validated NZ=11 mega engine drops 481k -> 350k solves/s
+    under a flat 100 MiB cap (v5e A/B 2026-08-19).  So the cap is
+    raised per-call, and only when the estimated block working set
+    (in/out blocks double-buffered + VMEM scratch) exceeds the Mosaic
+    default — small kernels compile exactly as before.
+    ``HPMPC_VMEM_LIMIT_MB`` pins a fixed cap for A/B (0 = never raise).
+    """
+    if "compiler_params" in kwargs:
+        return pl.pallas_call(kernel, **kwargs)
+
+    def _dispatch(*args):
+        est = 0
+        in_specs = kwargs.get("in_specs") or []
+        for spec, arg in zip(in_specs, args):
+            est += 2 * _block_bytes(spec, arg)
+        out_specs = kwargs.get("out_specs")
+        out_shape = kwargs.get("out_shape")
+        if out_specs is not None and out_shape is not None:
+            o_specs = out_specs if isinstance(out_specs, (list, tuple)) else [out_specs]
+            o_shapes = out_shape if isinstance(out_shape, (list, tuple)) else [out_shape]
+            for spec, sd in zip(o_specs, o_shapes):
+                est += 2 * _block_bytes(spec, sd)
+        for scr in kwargs.get("scratch_shapes") or []:
+            shape = getattr(scr, "shape", None)
+            dtype = getattr(scr, "dtype", None)
+            if shape is not None and dtype is not None:
+                n = 1
+                for d in shape:
+                    n *= int(d)
+                est += n * np.dtype(dtype).itemsize
+        kw = kwargs
+        if est > int(0.75 * _MOSAIC_DEFAULT_VMEM):
+            cap = min(max(2 * est, 32 << 20), _vmem_cap())
+            kw = {**kwargs, "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=int(cap))}
+        return pl.pallas_call(kernel, **kw)(*args)
+
+    return _dispatch
+
+
+def engine_vmem_bytes(NX: int, NU: int) -> int:
+    """Scoped-VMEM estimate (bytes) of the heaviest per-grid-step working
+    set of the flat/lanes/mega stage kernels at one (8,128)-tile per
+    scalar.
+
+    Dominant blocks per stage: the packed lower-triangle pair stream
+    (sym_nt(NZ) tiles), the Ll factor (NZ*NU), the Lxx factor (NX*NX) and
+    a few NZ-vectors — times ~4x for Mosaic's double-buffering of ins and
+    outs.  Calibrated on v5e Mosaic stack-OOM reports (nx=32 nu=4: flat
+    26.3 MiB, mega 30.3 MiB; this model gives 31 MiB).
+    """
+    NZ = NX + NU
+    tiles = 4 * (_sym_nt(NZ) + NZ * NU + NX * NX + 4 * NZ)
+    return tiles * 4 * SUBS * LANES
+
+
+def engine_fits(NX: int, NU: int) -> bool:
+    """Whether the per-scalar-tile Pallas engines fit the scoped-VMEM
+    budget at this problem size (the dispatch rule measured by
+    tools/bench_size_sweep.py).  Under the auto cap this admits roughly
+    NZ <= ~60; beyond it the vmapped structured path (which tiles on
+    the MXU with size-independent code) takes over."""
+    return engine_vmem_bytes(NX, NU) <= int(0.9 * _vmem_cap())
 
 
 # ---------------------------------------------------------------------------
@@ -645,7 +746,7 @@ def factor_solve_batched(H_eff, g_eff, F, b, NU):
     grid = (nb, Np1)
 
     kernel = functools.partial(_bwd_kernel, NU, NX, NZ, N)
-    L_l, eu_l, px_l, Pb_l = pl.pallas_call(
+    L_l, eu_l, px_l, Pb_l = pcall(
         kernel,
         grid=grid,
         in_specs=[
@@ -674,7 +775,7 @@ def factor_solve_batched(H_eff, g_eff, F, b, NU):
 
     # ---- forward sweep: grid (nb, N), stage s = node s ----
     fkernel = functools.partial(_fwd_kernel, NU, NX, NZ, N)
-    z_l, pi_l = pl.pallas_call(
+    z_l, pi_l = pcall(
         fkernel,
         grid=(nb, N),
         in_specs=[
@@ -783,7 +884,7 @@ def solve_batched(L, g_eff, F, b, Pb, NU):
     Pbl = _to_lanes(Pb, B)
 
     kernel = functools.partial(_bwd_trs_kernel, NU, NX, NZ, N)
-    eu_l, px_l = pl.pallas_call(
+    eu_l, px_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=[
@@ -804,7 +905,7 @@ def solve_batched(L, g_eff, F, b, Pb, NU):
     )(Ll, gl, Fl, Pbl)
 
     fkernel = functools.partial(_fwd_kernel, NU, NX, NZ, N)
-    z_l, pi_l = pl.pallas_call(
+    z_l, pi_l = pcall(
         fkernel,
         grid=(nb, N),
         in_specs=[
@@ -950,7 +1051,7 @@ def factor_solve_folded(H, dvec, ngterm, ng_stage_ids, g_eff, F, b, NU):
     args += [gl, Fl, bl]
 
     kernel = functools.partial(_bwd_kernel_folded, NU, NX, NZ, N, tuple(ng_stage_ids), False)
-    L_l, eu_l, px_l, Pb_l = pl.pallas_call(
+    L_l, eu_l, px_l, Pb_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=in_specs,
@@ -973,7 +1074,7 @@ def factor_solve_folded(H, dvec, ngterm, ng_stage_ids, g_eff, F, b, NU):
     )(*args)
 
     fkernel = functools.partial(_fwd_kernel, NU, NX, NZ, N)
-    z_l, pi_l = pl.pallas_call(
+    z_l, pi_l = pcall(
         fkernel,
         grid=(nb, N),
         in_specs=[
@@ -1105,7 +1206,7 @@ def factor_solve_folded_flat(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
     args += [gl, Fl, bl]
 
     kernel = functools.partial(_bwd_kernel_folded, NU, NX, NZ, N, tuple(ng_stage_ids), True)
-    Ll_l, Lxx_l, eu_l, px_l, Pb_l = pl.pallas_call(
+    Ll_l, Lxx_l, eu_l, px_l, Pb_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=in_specs,
@@ -1161,7 +1262,7 @@ def _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX,
         out_shape = [
             jax.ShapeDtypeStruct((nb, N + 1, NZ, SUBS, LANES), dt),
         ]
-    outs = pl.pallas_call(
+    outs = pcall(
         fkernel,
         grid=(nb, N + 1),
         in_specs=[
@@ -1261,7 +1362,7 @@ def solve_flat_pb(Ll_l, Lxx_l, gF, Fl, bF, NU, NZ, NX):
     bl = _to_lanes_flat(bF, B, (N, NX))
 
     kernel = functools.partial(_bwd_trs_pb_kernel, NU, NX, NZ, N)
-    eu_l, px_l = pl.pallas_call(
+    eu_l, px_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=[
@@ -1304,7 +1405,7 @@ def solve_flat(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX, lanes_io=False):
         bl = _to_lanes_flat(bF, B, (N, NX))
 
     kernel = functools.partial(_bwd_trs_kernel_ll, NU, NX, NZ, N)
-    eu_l, px_l = pl.pallas_call(
+    eu_l, px_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=[
@@ -1390,7 +1491,7 @@ def resid_terms_flat(Hl, Fl, zF, piF, NZ, NX):
     pil = _to_lanes_flat(piF, B, (N, NX))
 
     kernel = functools.partial(_resid_kernel, NZ, NX, N)
-    hz_l, fz_l, fpi_l = pl.pallas_call(
+    hz_l, fz_l, fpi_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=[
@@ -1520,7 +1621,7 @@ def solve_flat_fused(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX,
     # phase-inactive streams pin their block index to a constant: Pallas'
     # revisit cache then skips the refetch for the whole inactive phase
     kernel = functools.partial(_trs_fwd_fused_kernel, NU, NX, NZ, N)
-    z_l, pi_l = pl.pallas_call(
+    z_l, pi_l = pcall(
         kernel,
         grid=(nb, 2 * Np1),
         in_specs=[
@@ -1735,7 +1836,7 @@ def factor_solve_folded_flat_fused(Hl, dvecF, ngl, ng_stage_ids, gF, Fl, bF,
     kernel = functools.partial(
         _sv_fwd_fused_kernel, NU, NX, NZ, N, tuple(ng_stage_ids)
     )
-    Ll_l, Lxx_l, Pb_l, z_l = pl.pallas_call(
+    Ll_l, Lxx_l, Pb_l, z_l = pcall(
         kernel,
         grid=(nb, 2 * Np1),
         in_specs=in_specs,

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stage_kernel import LANES, SUBS
+from .stage_kernel import LANES, SUBS, pcall
 
 # ---------------------------------------------------------------------------
 # shared in-kernel box math (trace-time helpers on (k, 8, 128) bulk arrays)
@@ -219,7 +219,7 @@ def prep_flat(idx_tab, lam, t, A, M, mb, base, pdreg, NB, NZ, phase2):
         ([box_spec] if has_m else []) + [z_spec, z_spec, box_spec]
 
     kernel = functools.partial(_prep_kernel, NB, NZ, phase2, has_m)
-    dvec_l, geff_l = pl.pallas_call(
+    dvec_l, geff_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=in_specs,
@@ -299,7 +299,7 @@ def alpha_sums_flat(idx_tab, dz_l, lam, t, A, M, dl0, mb, NB, NZ, phase2):
     kernel = functools.partial(
         _alpha_kernel, NB, NZ, phase2, has_m, has_dl0
     )
-    outs = pl.pallas_call(
+    outs = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=in_specs,
@@ -376,7 +376,7 @@ def corr_geff_flat(idx_tab, lam, t, A, M, dtb_l, dlb_l, sm_l, base, mb,
         [box_spec, box_spec, sm_spec, z_spec, box_spec]
 
     kernel = functools.partial(_corr_kernel, NB, NZ, phase2, has_m)
-    geff2_l, co_l = pl.pallas_call(
+    geff2_l, co_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=in_specs,
@@ -506,7 +506,7 @@ def resid_full_flat(idx_tab, Hl, Fl, z_l, pi_l, gl, bl, lam, t, dcat, mb,
                             memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_resid_kernel, NB, NU, NX, NZ, N)
-    rq_l, rb_l, rd_l, rm_l, musum = pl.pallas_call(
+    rq_l, rb_l, rd_l, rm_l, musum = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=[idx_spec, h_spec, f_spec, z_spec, zn_spec, x_spec,
@@ -651,7 +651,7 @@ def soft_prep_flat(idxb_tab, idxs_tab, lam, t, dcat, mb,
                             memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_soft_prep_kernel, NB, NS, NZ)
-    dvec_l, geff_l = pl.pallas_call(
+    dvec_l, geff_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=[ispec(NB), ispec(NS), bspec(2 * NB), bspec(2 * NB),
@@ -755,7 +755,7 @@ def soft_alpha_sums_flat(idxb_tab, idxs_tab, dz_l, lam, t, dcat, mb,
         in_specs += [bspec(2 * NB), bspec(4 * NS)]
 
     kernel = functools.partial(_soft_alpha_kernel, NB, NS, NZ, corrector)
-    outs = pl.pallas_call(
+    outs = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=in_specs,
@@ -842,7 +842,7 @@ def soft_corr_flat(idxb_tab, idxs_tab, lam, t, dcat, mb, lam_s, t_s,
                            memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_soft_corr_kernel, NB, NS, NZ, exact)
-    geff2_l, dl2b_l, dl2s_l = pl.pallas_call(
+    geff2_l, dl2b_l, dl2s_l = pcall(
         kernel,
         grid=(nb, Np1),
         in_specs=[ispec(NB), ispec(NS), bspec(2 * NB), bspec(2 * NB),

@@ -22,8 +22,10 @@ parent-child coupling cannot ride the block index maps; instead
 
 VMEM budget: the backward accumulator is ``n_nodes * (NT + NZ)`` subtiles
 (NT = NZ(NZ+1)/2) — 9.5 MB at n=31, NZ=11 — which bounds the supported
-tree size (~40 nodes at these dims); larger trees take the level-batched
-XLA path (``models/tree.py``).
+tree size under the scoped-VMEM budget the kernels request
+(``stage_kernel.pcall``, default 100 MiB: ~240 nodes at NZ=11, covering
+the reference's tree benchmark scales incl. md=2 Nr=3 Nh=8 = 71 nodes);
+larger trees take the level-batched XLA path (``models/tree.py``).
 
 Edge/node array conventions follow models/tree.py: node arrays have
 n_nodes rows; edge e carries the dynamics INTO node e+1 (F[e], b[e]), so
@@ -41,17 +43,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .stage_kernel import (
-    BI, LANES, SUBS,
+    BI, LANES, SUBS, pcall,
     _chol, _dinv_ll, _mat, _mat_sym, _pb_of, _pi_of_x, _root_x0,
     _sym_idx, _sym_nt, _to_lanes_flat, _from_lanes_flat,
     _store_vec, _tril_solve, _triu_solve_t, _u_of_x, _vec,
 )
 
 
-# dispatch ceiling for the backward-sweep accumulator (leaves headroom
-# under the ~16 MiB/core VMEM for pipeline buffers); used by BOTH the
-# batch dispatcher and the front-door assert so they stay in lockstep
-TREE_VMEM_ACC_LIMIT = 12 * 2**20
+def _tree_vmem_limit() -> int:
+    """Dispatch ceiling for the backward-sweep accumulator.
+
+    Tracks the scoped-VMEM budget ``stage_kernel.pcall``'s auto policy
+    may grant (``HPMPC_VMEM_LIMIT_MB`` pins it; auto allows up to
+    ~112 MiB on a 128 MiB-VMEM v5e), keeping 25% headroom for the
+    per-step stream blocks and pipeline double-buffers.  At NZ=11 this
+    admits ~270 nodes — past the reference's own tree benchmark scales
+    (md=2 Nr=3 Nh=8 -> 71 nodes,
+    ``test_problems/test_d_tree_ip_hard_libstr.c:61-66``).  Used by BOTH
+    the batch dispatcher and the front-door assert so they stay in
+    lockstep."""
+    from .stage_kernel import _vmem_cap
+
+    return int(0.75 * _vmem_cap())
 
 
 def tree_vmem_accumulator_bytes(n_nodes: int, NZ: int) -> int:
@@ -60,7 +73,7 @@ def tree_vmem_accumulator_bytes(n_nodes: int, NZ: int) -> int:
 
 
 def tree_fits_fused(n_nodes: int, NZ: int) -> bool:
-    return tree_vmem_accumulator_bytes(n_nodes, NZ) <= TREE_VMEM_ACC_LIMIT
+    return tree_vmem_accumulator_bytes(n_nodes, NZ) <= _tree_vmem_limit()
 
 
 def _slab_tiles(slab, count):
@@ -391,7 +404,7 @@ def tree_factor_solve_flat(dad_arr, Hl, dvecF, ngl, ng_node_ids, gF, Fl, bF,
     kernel = functools.partial(
         _tree_bwd_kernel, NU, NX, NZ, n, tuple(ng_node_ids)
     )
-    Ll_l, Lxx_l, eu_l, px_l, Pb_l = pl.pallas_call(
+    Ll_l, Lxx_l, eu_l, px_l, Pb_l = pcall(
         kernel,
         grid=(nb, n),
         in_specs=in_specs,
@@ -440,7 +453,7 @@ def _tree_forward_from_lanes(dad_arr, Ll_l, Lxx_l, eu_l, px_l, Fl, bl,
         out_shape = [
             jax.ShapeDtypeStruct((nb, n, NZ, SUBS, LANES), dt),
         ]
-    outs = pl.pallas_call(
+    outs = pcall(
         fkernel,
         grid=(nb, n),
         in_specs=[
@@ -478,7 +491,7 @@ def tree_solve_flat(dad_arr, Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX):
     bl = _to_lanes_flat(bF, B, (NE, NX))
 
     kernel = functools.partial(_tree_trs_kernel, NU, NX, NZ, n)
-    eu_l, px_l = pl.pallas_call(
+    eu_l, px_l = pcall(
         kernel,
         grid=(nb, n),
         in_specs=[
@@ -522,7 +535,7 @@ def tree_resid_terms_flat(dad_arr, Hl, Fl, zF, piF, NZ, NX):
     pil = _to_lanes_flat(piF, B, (NE, NX))
 
     kernel = functools.partial(_tree_resid_kernel, NZ, NX, n)
-    hz_l, fz_l, fpi_l = pl.pallas_call(
+    hz_l, fz_l, fpi_l = pcall(
         kernel,
         grid=(nb, n),
         in_specs=[

@@ -24,6 +24,15 @@ from ..models import ipm
 from ..ocp import OCPDims, OCPQP
 
 
+def _engine_fits(dims: OCPDims) -> bool:
+    """Dispatch gate: do the per-scalar-tile Pallas engines fit scoped
+    VMEM at this problem size?  (ops/stage_kernel.engine_fits; boundary
+    measured by tools/bench_size_sweep.py.)"""
+    from ..ops import stage_kernel as _sk
+
+    return _sk.engine_fits(int(dims.NX), int(dims.NU))
+
+
 def broadcast_qp(qp: OCPQP, batch: int) -> OCPQP:
     """Tile a single QP into a batch (leading axis) — cheap way to build
     benchmark batches; real users vmap over per-instance data."""
@@ -61,6 +70,11 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
         and dims.n_constr > 0
         and dims.idxb is not None
         and B % 1024 == 0
+        # size envelope: the per-scalar-tile engines' VMEM working set
+        # grows O(NZ^2); beyond the scoped budget the structured path
+        # (size-independent code, MXU-tiled) takes over.  Measured
+        # boundary: tools/bench_size_sweep.py.
+        and _engine_fits(dims)
     ):
         if (
             (
@@ -112,6 +126,7 @@ def solve_batched_soft(
         and dims.idxb is not None
         and idxbs is not None
         and B % 1024 == 0
+        and _engine_fits(dims)  # same size envelope as the hard route
     ):
         import os
 

@@ -89,6 +89,33 @@ def test_solve_batched_tree_dispatch(interpret_pallas):
     )
 
 
+def test_tree_flat_71_nodes(interpret_pallas):
+    """Reference tree-benchmark scale (md=2 Nr=3 Nh=10 -> 71 nodes,
+    ``test_problems/test_d_tree_ip_hard_libstr.c:61-66``): the fused
+    path must stay on and agree with the structured route — the old
+    16 MiB scoped-VMEM accumulator ceiling capped the fused kernels at
+    ~40 nodes; the raised ``pcall`` budget admits ~240."""
+    from hpmpc_tpu.ops import tree_kernel as tk
+
+    tdef, dims, qp = _tree_qp(md=2, Nr=3, Nh=10)
+    assert tdef.n_nodes == 71
+    assert tk.tree_fits_fused(tdef.n_nodes, dims.NZ)
+    qpb = _batched(qp)
+    cfg = ipm.IPMConfig(k_max=2, mu_tol=1e-4, use_pallas=True)
+
+    sol_f = jax.jit(
+        lambda q: pbatch.solve_batched_tree(tdef, dims, q, cfg)
+    )(qpb)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False)
+    sol_s = jax.jit(
+        jax.vmap(lambda q: tree.solve_tree_ipm(tdef, dims, q, cfg_x))
+    )(qpb)
+    assert bool(jnp.all(sol_f.kk == sol_s.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_f.z), np.asarray(sol_s.z), atol=5e-4
+    )
+
+
 def test_tree_flat_converges_deeper(interpret_pallas):
     """Branchier tree (md=2, Nr=2) run closer to convergence."""
     tdef, dims, qp = _tree_qp(md=2, Nr=2, Nh=4)
