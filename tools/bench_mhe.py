@@ -1,0 +1,229 @@
+"""Estimation-family TPU bench: batched MHE (information + covariance
+form) and forward-Schur throughput.
+
+The reference benchmarks its estimation solvers standalone
+(``test_problems/test_d_ric_mhe.c``, ``test_d_forward_schur.c``); this is
+the TPU equivalent on the same mass-spring fixture family the golden
+tests use (tests/test_mhe_schur.py): C picks the first ny states,
+R = I, random measurement gradients; batched to 4096 instances via vmap.
+
+Methodology follows bench.py: K solves in-graph via ``lax.scan`` with
+per-iteration perturbed data AND the carry chained into the next
+iteration's input (relay memoization/hoisting defences — CLAUDE.md),
+per-solve time = slope between K values.
+
+Prints one JSON line per route.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _mhe_data(jnp, nx, nw, ny, N, B, dtype, seed=0):
+    from hpmpc_tpu.models import mhe
+    from hpmpc_tpu.utils.mass_spring import mass_spring_ab
+
+    rng = np.random.default_rng(seed)
+    A, G = mass_spring_ab(nx, nw)
+    C = np.zeros((ny, nx))
+    C[:, :ny] = np.eye(ny)
+    Q = C.T @ C
+
+    def bc(x, shape):
+        return jnp.asarray(np.broadcast_to(x, shape), dtype)
+
+    return mhe.MHEData(
+        A=bc(A, (B, N, nx, nx)),
+        G=bc(G, (B, N, nx, nw)),
+        f=jnp.asarray(0.1 * rng.standard_normal((B, N, nx)), dtype),
+        Q=bc(Q, (B, N + 1, nx, nx)),
+        q=jnp.asarray(rng.standard_normal((B, N + 1, nx)) @ (C.T @ C), dtype),
+        R=bc(np.eye(nw), (B, N, nw, nw)),
+        r=jnp.asarray(0.3 * rng.standard_normal((B, N, nw)), dtype),
+        Up0=bc(np.eye(nx), (B, nx, nx)),
+        xp0=jnp.asarray(rng.standard_normal((B, nx)), dtype),
+        D=bc(np.eye(nx)[:0], (B, 0, nx)),
+        dN=bc(np.zeros(0), (B, 0)),
+    )
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import dataclasses  # noqa: F401  (template parity)
+    import jax.numpy as jnp
+    from jax import lax
+
+    from hpmpc_tpu.models import mhe, schur
+
+    B = 4096
+    dt = jnp.float32
+    nx, nw, ny, N = 8, 3, 4, 12
+
+    data = _mhe_data(jnp, nx, nw, ny, N, B, dt)
+
+    def run_case(name, solve_fn, pert_leaves, unit_extra=""):
+        # perturb FACTOR-relevant leaves per iteration (not just rhs) so
+        # XLA cannot hoist the factorization out of the scan — except in
+        # the retained-factor case, where hoisting-out is the contract
+        def make_run(K):
+            @jax.jit
+            def run(seed):
+                def body(acc, i):
+                    d = data._replace(**{
+                        leaf: getattr(data, leaf)
+                        * (1.0 + 1e-5 * (i + seed) + 1e-30 * acc)
+                        for leaf in pert_leaves
+                    })
+                    out = solve_fn(d)
+                    return jnp.sum(out).astype(dt), None
+
+                acc, _ = lax.scan(body, jnp.asarray(0.0, dt),
+                                  jnp.arange(K, dtype=dt))
+                return acc
+
+            return run
+
+        ts = {}
+        for K in (2, 6):
+            f = make_run(K)
+            float(f(jnp.asarray(0.0, dt)))  # compile + warm
+            t0 = time.perf_counter()
+            for r in (1, 2):
+                float(f(jnp.asarray(r * 31.0, dt)))
+            ts[K] = (time.perf_counter() - t0) / 2
+        t = max((ts[6] - ts[2]) / 4, 1e-9)
+        print(json.dumps({
+            "metric": f"mhe_bench_{name}",
+            "value": round(B / t, 1),
+            "unit": (f"solves/s (mass-spring nx={nx} nw={nw} ny={ny} "
+                     f"N={N}, batch={B}, f32{unit_extra}; "
+                     f"{t * 1e3:.3f} ms/batch)"),
+            "vs_baseline": 0.0,
+        }), flush=True)
+        return t
+
+    # 1. information-form factor+solve (d_ric_trf/trs_mhe_if)
+    run_case(
+        "if_factor_solve",
+        lambda d: jax.vmap(lambda dd: mhe.factor_solve(dd)[0].x)(d),
+        ("f", "Q"),
+    )
+    # 2. information-form re-solve with retained factor (RTI estimation:
+    #    new measurements, same model — the trs-only hot path)
+    fac = jax.jit(jax.vmap(mhe.factor))(data)
+    run_case(
+        "if_resolve",
+        lambda d: jax.vmap(lambda dd, ff: mhe.solve(dd, ff).x)(d, fac),
+        ("q",),
+        unit_extra=", retained factor",
+    )
+
+    # 3. covariance-form smoother
+    cov = mhe.MHECovData(
+        A=data.A, G=data.G, f=data.f,
+        C=jnp.broadcast_to(
+            jnp.asarray(np.eye(ny, nx), dt), (B, N + 1, ny, nx)),
+        y=jnp.asarray(
+            np.random.default_rng(1).standard_normal((B, N + 1, ny)), dt),
+        W=jnp.broadcast_to(jnp.asarray(np.eye(ny), dt), (B, N + 1, ny, ny)),
+        R=data.R,
+        r=data.r,
+        Lp0=jnp.broadcast_to(jnp.asarray(np.eye(nx), dt), (B, nx, nx)),
+        xp0=data.xp0,
+    )
+
+    def make_cov_run(K):
+        @jax.jit
+        def run(seed):
+            def body(acc, i):
+                p = 1.0 + 1e-5 * (i + seed) + 1e-30 * acc
+                d = cov._replace(y=cov.y * p, A=cov.A * p)
+                out = jax.vmap(lambda dd: mhe.solve_cov(dd, smooth=True).x)(d)
+                return jnp.sum(out).astype(dt), None
+
+            acc, _ = lax.scan(body, jnp.asarray(0.0, dt),
+                              jnp.arange(K, dtype=dt))
+            return acc
+
+        return run
+
+    ts = {}
+    for K in (2, 6):
+        f = make_cov_run(K)
+        float(f(jnp.asarray(0.0, dt)))
+        t0 = time.perf_counter()
+        for r in (1, 2):
+            float(f(jnp.asarray(r * 31.0, dt)))
+        ts[K] = (time.perf_counter() - t0) / 2
+    t = max((ts[6] - ts[2]) / 4, 1e-9)
+    print(json.dumps({
+        "metric": "mhe_bench_cov_smooth",
+        "value": round(B / t, 1),
+        "unit": (f"solves/s (covariance-form smoother, nx={nx} nw={nw} "
+                 f"ny={ny} N={N}, batch={B}, f32; {t * 1e3:.3f} ms/batch)"),
+        "vs_baseline": 0.0,
+    }), flush=True)
+
+    # 4. forward Schur factor+solve (uniform dims, padded container)
+    rng = np.random.default_rng(3)
+    NV, NE, NS = 11, 8, 12
+    Qm = np.zeros((B, NS, NV, NV), np.float32)
+    base = rng.standard_normal((NV, NV))
+    Qs = base @ base.T + NV * np.eye(NV)
+    Qm[:] = Qs
+    Am = np.broadcast_to(rng.standard_normal((NS - 1, NE, NV)),
+                         (B, NS - 1, NE, NV)).astype(np.float32)
+    chain = schur.SchurChain(
+        Q=jnp.asarray(Qm, dt),
+        q=jnp.asarray(rng.standard_normal((B, NS, NV)), dt),
+        A=jnp.asarray(Am, dt),
+        b=jnp.asarray(rng.standard_normal((B, NS - 1, NE)), dt),
+        v_mask=jnp.ones((B, NS, NV), dt),
+        e_mask=jnp.ones((B, NS - 1, NE), dt),
+    )
+
+    def make_schur_run(K):
+        @jax.jit
+        def run(seed):
+            def body(acc, i):
+                p = 1.0 + 1e-5 * (i + seed) + 1e-30 * acc
+                c = chain._replace(q=chain.q * p, Q=chain.Q * p)
+                (v, pi), _ = jax.vmap(lambda cc: schur.factor_solve(cc))(c)
+                return (jnp.sum(v) + jnp.sum(pi)).astype(dt), None
+
+            acc, _ = lax.scan(body, jnp.asarray(0.0, dt),
+                              jnp.arange(K, dtype=dt))
+            return acc
+
+        return run
+
+    ts = {}
+    for K in (2, 6):
+        f = make_schur_run(K)
+        float(f(jnp.asarray(0.0, dt)))
+        t0 = time.perf_counter()
+        for r in (1, 2):
+            float(f(jnp.asarray(r * 31.0, dt)))
+        ts[K] = (time.perf_counter() - t0) / 2
+    t = max((ts[6] - ts[2]) / 4, 1e-9)
+    print(json.dumps({
+        "metric": "mhe_bench_schur_factor_solve",
+        "value": round(B / t, 1),
+        "unit": (f"solves/s (forward Schur, nv={NV} ne={NE} stages={NS}, "
+                 f"batch={B}, f32; {t * 1e3:.3f} ms/batch)"),
+        "vs_baseline": 0.0,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
