@@ -104,6 +104,29 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
     return jax.vmap(lambda q: ipm.solve(dims, q, cfg))(qp)
 
 
+def solve_single(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
+                 z0=None, pi0=None):
+    """Single-instance LATENCY path: ride the fastest batched engine.
+
+    The lanes/mega engines process BI = 8*128 = 1024 instances per
+    (8, 128) tile — one instance costs the same wall clock as a full
+    block, so a deployed per-tick MPC solve (the reference's
+    single-QP call, ``d_ip2_res_hard.c:116``) pads itself into one
+    block and takes lane 0 of the result.  The broadcast and slice are
+    free under jit next to the solve itself; convergence exit fires at
+    the instance's own iteration count (all lanes identical).
+
+    ``qp`` leaves are UNBATCHED (no leading instance axis).  Falls back
+    to the structured path automatically via :func:`solve_batched`'s
+    gates (dtype, size envelope, warm start support included)."""
+    B = 1024 if (cfg.use_pallas and _engine_fits(dims)) else 1
+    qpb = broadcast_qp(qp, B)
+    zb = None if z0 is None else jnp.broadcast_to(z0, (B,) + z0.shape)
+    pb = None if pi0 is None else jnp.broadcast_to(pi0, (B,) + pi0.shape)
+    sol = solve_batched(dims, qpb, cfg, z0=zb, pi0=pb)
+    return jax.tree_util.tree_map(lambda a: a[0], sol)
+
+
 def solve_batched_soft(
     dims: OCPDims, qp: OCPQP, soft, cfg: ipm.IPMConfig,
     idxbs=None, exact_mehrotra_soft: bool = True,

@@ -271,3 +271,30 @@ def test_lanes_engine_mega_phase2_ng(interpret_pallas, monkeypatch):
         np.asarray(sol_m.z)[same], np.asarray(sol_ref.z)[same],
         rtol=1e-3, atol=2e-3,
     )
+
+
+def test_solve_single_latency_path(interpret_pallas, monkeypatch):
+    """parallel/batch.solve_single pads one instance into a 1024-lane
+    block, rides the mega engine, and returns lane 0 — must agree with
+    the structured single-instance solve (the deployment latency path,
+    tools/bench_latency.py 'mega_block')."""
+    import hpmpc_tpu.models.ipm_lanes as ipm_lanes
+
+    called = {}
+    orig = ipm_lanes.solve_batched_lanes
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ipm_lanes, "solve_batched_lanes", spy)
+    dims, qp = mass_spring_qp(8, 3, 4, dtype=jnp.float32)
+    cfg = ipm.IPMConfig(k_max=3, mu_tol=1e-4)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True)
+    sol_1 = jax.jit(lambda q: pbatch.solve_single(dims, q, cfg_p))(qp)
+    assert called.get("yes"), "latency path did not take the fast engine"
+    sol_s = jax.jit(lambda q: ipm.solve(dims, q, cfg))(qp)
+    assert int(sol_1.kk) == int(sol_s.kk)
+    np.testing.assert_allclose(
+        np.asarray(sol_1.z), np.asarray(sol_s.z), atol=2e-3
+    )

@@ -79,9 +79,15 @@ def main():
         oh = ipm._box_onehot(qp)
         bk_par = ipm.chain_backend_par(dims, qp, oh, mu_scal)
 
+        from hpmpc_tpu.parallel import batch as pbatch
+
+        cfg_p = dataclasses.replace(cfg, use_pallas=True)
         strategies = {
             "seq": lambda q: ipm.solve(dims, q, cfg),
             "par_in_time": lambda q: ipm.solve(dims, q, cfg, backend=bk_par),
+            # pad the instance into one 1024-lane block and ride the
+            # mega engine (parallel/batch.solve_single)
+            "mega_block": lambda q: pbatch.solve_single(dims, q, cfg_p),
         }
         if N >= 8:
             strategies["partial_cond_N2_4"] = lambda q: cond.solve_partial_cond(
