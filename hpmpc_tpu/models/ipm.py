@@ -85,6 +85,16 @@ class IPMConfig:
     # flat/Pallas engine (ipm_fast.newton_refine; Pb recomputed in-kernel
     # by stage_kernel.solve_flat_pb).
     iter_ref: int = 0
+    # mu-gated refinement (flat engine only): when > 0, the `iter_ref`
+    # correction re-solves run ONLY on iterations where some instance's
+    # duality measure has dropped below this threshold — early iterations
+    # (mu large, barrier Hessian well conditioned, f32 directions
+    # accurate) go at unrefined speed, and refinement kicks in exactly
+    # where factorization roundoff starts to matter (conditioning
+    # ~ 1/mu).  0.0 = refine every iteration (the reference's ITER_REF
+    # semantics).  Parity-validated at 1e-2 by
+    # tests/test_stage_kernel.py::test_flat_ipm_iter_ref_reaches_f64_parity.
+    iter_ref_mu_thr: float = 0.0
 
 
 class IPMState(NamedTuple):

@@ -314,30 +314,45 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
         fpiF = jnp.concatenate([fpiF, jnp.zeros((B, NZ), dt)], axis=1)
         return hzF, fzF, fpiF
 
-    def newton_refine(Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF):
+    ref_thr = float(getattr(cfg, "iter_ref_mu_thr", 0.0))
+
+    def newton_refine(Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF,
+                      do_ref=None):
         """Iterative refinement on the Newton system (reference ITER_REF,
         ``d_ip2_res_hard.c:48,1086-1163``): full-precision KKT residuals of
         the CURRENT effective system (H_eff = H + diag(dvecF) + ng barrier
         term, assembled term-by-term — H_eff itself never exists in HBM),
         then a correction re-solve with the retained lanes factor.  Pb is
         recomputed in-kernel (``solve_flat_pb``) because the factor's Pb
-        cache is keyed to the original rhs, not the residual ``rb``."""
-        for _ in range(iter_ref):
-            hzF, fzF, fpiF = resid_terms(zF, piF)
-            rq = g_eff + hzF + dvecF * zF
-            if n_ng:
-                rq = ct_apply(rq, Qx_g * mgF * cz_of(zF))
-            rq = apply_fpi(rq, fpiF)
-            rq = rq - jnp.dot(piF, Mpi, precision=HI)
-            rb = rhs_bF + fzF - jnp.dot(zF, Mx, precision=HI)
-            dzF, dpiF = sk.solve_flat_pb(
-                Ll_l, Lxx_l, rq.astype(kdt), Fl, rb.astype(kdt), NU, NZ, NX
-            )
-            zF = zF + dzF.astype(dt)
-            piF = piF + dpiF.astype(dt)
-        return zF, piF
+        cache is keyed to the original rhs, not the residual ``rb``.
 
-    def kkt_factor_solve(Qx_b, Qx_g, g_eff, rhs_bF):
+        ``do_ref`` (scalar bool, cfg.iter_ref_mu_thr > 0): mu-gated
+        refinement — the whole correction pass sits under one lax.cond,
+        so early well-conditioned iterations skip it entirely."""
+
+        def refine(zp):
+            zF, piF = zp
+            for _ in range(iter_ref):
+                hzF, fzF, fpiF = resid_terms(zF, piF)
+                rq = g_eff + hzF + dvecF * zF
+                if n_ng:
+                    rq = ct_apply(rq, Qx_g * mgF * cz_of(zF))
+                rq = apply_fpi(rq, fpiF)
+                rq = rq - jnp.dot(piF, Mpi, precision=HI)
+                rb = rhs_bF + fzF - jnp.dot(zF, Mx, precision=HI)
+                dzF, dpiF = sk.solve_flat_pb(
+                    Ll_l, Lxx_l, rq.astype(kdt), Fl, rb.astype(kdt),
+                    NU, NZ, NX
+                )
+                zF = zF + dzF.astype(dt)
+                piF = piF + dpiF.astype(dt)
+            return zF, piF
+
+        if do_ref is None:
+            return refine((zF, piF))
+        return jax.lax.cond(do_ref, refine, lambda zp: zp, (zF, piF))
+
+    def kkt_factor_solve(Qx_b, Qx_g, g_eff, rhs_bF, do_ref=None):
         """Qx_b (B, NBF) masked barrier diag for box vars; Qx_g (B, NGF)."""
         dvecF = scatter_box(Qx_b) + pad_diagF + reg
         if n_ng:
@@ -375,11 +390,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
         piF = piF.astype(dt) if piF is not None else None
         if iter_ref:
             zF, piF = newton_refine(
-                Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF
+                Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF,
+                do_ref=do_ref,
             )
         return zF, piF, (Ll_l, Lxx_l, Pb_l, dvecF, Qx_g)
 
-    def kkt_resolve(fstate, g_eff, rhs_bF):
+    def kkt_resolve(fstate, g_eff, rhs_bF, do_ref=None):
         if kkt is not None:
             return kkt.resolve(fstate, g_eff, rhs_bF)
         Ll_l, Lxx_l, Pb_l, dvecF, Qx_g = fstate
@@ -391,7 +407,8 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
         zF, piF = zF.astype(dt), piF.astype(dt)
         if iter_ref:
             zF, piF = newton_refine(
-                Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF
+                Ll_l, Lxx_l, dvecF, Qx_g, g_eff, rhs_bF, zF, piF,
+                do_ref=do_ref,
             )
         return zF, piF
 
@@ -499,7 +516,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
             t_inv_g = lamt_g = Qx_g = qx_g = jnp.zeros((B, 0), dt)
 
         g_eff = build_geff(gF, qx_b, qx_g)
-        dz, dpi, fstate = kkt_factor_solve(Qx_b, Qx_g, g_eff, bF)
+        # mu-gated refinement: conditioning of the barrier Hessian is
+        # ~1/mu, so correction re-solves only matter once some instance
+        # is below the threshold (scalar predicate -> one lax.cond)
+        do_ref = (jnp.min(s.mu) < ref_thr) if ref_thr > 0 else None
+        dz, dpi, fstate = kkt_factor_solve(Qx_b, Qx_g, g_eff, bF,
+                                           do_ref=do_ref)
 
         def dt_dlam(z_new, dl0_b, dl0_g):
             zbn = gather_box(z_new)
@@ -540,7 +562,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
             dl2g = jnp.zeros((B, 0), dt)
             qx_g2 = qx_g
         g_eff2 = build_geff(gF, qx_b2, qx_g2)
-        dz2, dpi2 = kkt_resolve(fstate, g_eff2, bF)
+        dz2, dpi2 = kkt_resolve(fstate, g_eff2, bF, do_ref=do_ref)
 
         dtb, dtg, dlb, dlg = dt_dlam(dz2, dl2b, dl2g)
         alpha2 = alpha_all(dtb, dtg, dlb, dlg)
@@ -626,7 +648,9 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
 
         qx_b, qx_g = qx_from(res.rm_b, res.rm_g)
         g_eff = build_geff(res.rqF, qx_b, qx_g)
-        dz, dpi, fstate = kkt_factor_solve(Qx_b, Qx_g, g_eff, res.rbF)
+        do_ref = (jnp.min(s.mu) < ref_thr) if ref_thr > 0 else None
+        dz, dpi, fstate = kkt_factor_solve(Qx_b, Qx_g, g_eff, res.rbF,
+                                           do_ref=do_ref)
 
         def dt_dlam(dzF, rm_b, rm_g):
             dzb = gather_box(dzF)
@@ -660,7 +684,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
         rm_g2 = (res.rm_g + (dtg * dlg - sm) * mg2) if n_ng else res.rm_g
         qx_b2, qx_g2 = qx_from(rm_b2, rm_g2)
         g_eff2 = build_geff(res.rqF, qx_b2, qx_g2)
-        dz2, dpi2 = kkt_resolve(fstate, g_eff2, res.rbF)
+        dz2, dpi2 = kkt_resolve(fstate, g_eff2, res.rbF, do_ref=do_ref)
 
         dtb, dtg, dlb, dlg = dt_dlam(dz2, rm_b2, rm_g2)
         alpha2 = alpha_all(dtb, dtg, dlb, dlg)

@@ -189,6 +189,12 @@ def test_flat_ipm_iter_ref_reaches_f64_parity(interpret_pallas):
     cfg_ref = ipm.IPMConfig(k_max=K, mu_tol=0.0, iter_ref=2, use_pallas=True)
     sol_ref = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_ref))(qpb)
 
+    # mu-gated refinement (iter_ref_mu_thr): early well-conditioned
+    # iterations skip the correction re-solves entirely, yet final
+    # control parity must hold — this is the parity-bench fast mode
+    cfg_gated = dataclasses.replace(cfg_ref, iter_ref_mu_thr=1e-2)
+    sol_gated = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_gated))(qpb)
+
     cfg_raw = ipm.IPMConfig(k_max=K, mu_tol=0.0, use_pallas=True)
     sol_raw = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_raw))(qpb)
 
@@ -196,9 +202,13 @@ def test_flat_ipm_iter_ref_reaches_f64_parity(interpret_pallas):
     u_cols = slice(0, dims.NU)
     err_ref = np.max(np.abs(np.asarray(sol_ref.z, np.float64)[:, :, u_cols]
                             - z64[:, :, u_cols]))
+    err_gated = np.max(np.abs(
+        np.asarray(sol_gated.z, np.float64)[:, :, u_cols]
+        - z64[:, :, u_cols]))
     err_raw = np.max(np.abs(np.asarray(sol_raw.z, np.float64)[:, :, u_cols]
                             - z64[:, :, u_cols]))
     assert err_ref <= 1e-6, f"refined control error {err_ref:.2e} > 1e-6"
+    assert err_gated <= 1e-6, f"gated control error {err_gated:.2e} > 1e-6"
     assert err_ref < err_raw, (err_ref, err_raw)
 
 

@@ -46,8 +46,24 @@ def main():
 
     B = 4096
     K_ITERS = 8
-    md, Nr, Nh = 2, 2, 8  # 31 nodes — the tree_mpc.py example topology
     dt = jnp.float32
+    # 31 nodes: the tree_mpc.py example topology; 71 nodes: the reference
+    # benchmark scale (test_d_tree_ip_hard_libstr.c:61-66) — covered by
+    # the fused path since the scoped-VMEM cap became size-adaptive
+    topos = [(2, 2, 8), (2, 3, 10)]
+    if os.environ.get("HPMPC_TREE_TOPO"):
+        topos = [tuple(int(v) for v in
+                       os.environ["HPMPC_TREE_TOPO"].split(","))]
+
+    for md, Nr, Nh in topos:
+        _bench_topology(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp,
+                        B, K_ITERS, md, Nr, Nh, dt)
+
+
+def _bench_topology(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp,
+                    B, K_ITERS, md, Nr, Nh, dt):
+    import dataclasses
+    import numpy as np
 
     tdef, dims, qp = mass_spring_tree_qp(md=md, Nr=Nr, Nh=Nh, nx=4, nu=2)
     qpb = pbatch.broadcast_qp(qp, B)
@@ -92,7 +108,7 @@ def main():
     t_x = slope(cfg_x)
     for name, t in (("flat", t_f), ("xla", t_x)):
         print(json.dumps({
-            "metric": f"tree_ipm_solves_per_s_{name}",
+            "metric": f"tree_ipm_solves_per_s_{name}_n{tdef.n_nodes}",
             "value": round(B / t, 1),
             "unit": (
                 f"{K_ITERS}-iteration tree solves/s (md={md} Nr={Nr} "
