@@ -129,13 +129,21 @@ def engine_vmem_bytes(NX: int, NU: int) -> int:
     return tiles * 4 * SUBS * LANES
 
 
-def engine_fits(NX: int, NU: int) -> bool:
-    """Whether the per-scalar-tile Pallas engines fit the scoped-VMEM
-    budget at this problem size (the dispatch rule measured by
-    tools/bench_size_sweep.py).  Under the auto cap this admits roughly
-    NZ <= ~60; beyond it the vmapped structured path (which tiles on
-    the MXU with size-independent code) takes over."""
-    return engine_vmem_bytes(NX, NU) <= int(0.9 * _vmem_cap())
+def engine_fits(NX: int, NU: int, lanes: bool = False) -> bool:
+    """Whether the per-scalar-tile Pallas engines fit VMEM at this
+    problem size (the dispatch rule measured by
+    tools/bench_size_sweep.py on v5e).
+
+    ``lanes=False`` gates the flat engine (measured: compiles and
+    validates through nx=48 nu=6, NZ=54 — estimate 67.6 MiB).
+    ``lanes=True`` gates the lanes/mega engine, whose folded
+    half-iteration kernels hold ~2.35x the flat working set (measured:
+    OK at nx=32 nu=4; 158.6 MiB of 128 MiB at nx=48 nu=6 — 2.35 x the
+    67.6 MiB estimate, exactly).  Beyond its bound the lanes dispatch
+    falls back to the flat engine; beyond the flat bound the vmapped
+    structured path (size-independent code, MXU-tiled) takes over."""
+    mult = 2.35 if lanes else 1.0
+    return mult * engine_vmem_bytes(NX, NU) <= int(0.9 * _vmem_cap())
 
 
 # ---------------------------------------------------------------------------

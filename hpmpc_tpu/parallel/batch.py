@@ -24,13 +24,14 @@ from ..models import ipm
 from ..ocp import OCPDims, OCPQP
 
 
-def _engine_fits(dims: OCPDims) -> bool:
-    """Dispatch gate: do the per-scalar-tile Pallas engines fit scoped
-    VMEM at this problem size?  (ops/stage_kernel.engine_fits; boundary
-    measured by tools/bench_size_sweep.py.)"""
+def _engine_fits(dims: OCPDims, lanes: bool = False) -> bool:
+    """Dispatch gate: do the per-scalar-tile Pallas engines fit VMEM at
+    this problem size?  (ops/stage_kernel.engine_fits; boundary measured
+    by tools/bench_size_sweep.py.  ``lanes``: the lanes/mega engine's
+    tighter bound — past it the lanes branch falls back to ipm_fast.)"""
     from ..ops import stage_kernel as _sk
 
-    return _sk.engine_fits(int(dims.NX), int(dims.NU))
+    return _sk.engine_fits(int(dims.NX), int(dims.NU), lanes=lanes)
 
 
 def broadcast_qp(qp: OCPQP, batch: int) -> OCPQP:
@@ -89,6 +90,7 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
             and dims.NB > 0
             and int(getattr(cfg, "iter_ref", 0)) == 0
             and qp.dtype == jnp.float32  # mixed precision stays on ipm_fast
+            and _engine_fits(dims, lanes=True)  # tighter VMEM bound
         ):
             from ..models import ipm_lanes
 
@@ -166,6 +168,7 @@ def solve_batched_soft(
             and dims.NB > 0
             and soft.ns_mask.shape[-1] > 0
             and qp.dtype == jnp.float32
+            and _engine_fits(dims, lanes=True)  # tighter VMEM bound
         ):
             from ..models import ipm_soft_lanes
 

@@ -32,6 +32,10 @@ import numpy as np
 SIZES = ((8, 3), (16, 1), (16, 3), (24, 3), (32, 4), (48, 6))
 ENGINES = ("xla", "flat", "mega")
 
+# optional CLI: nx,nu pairs to run, e.g. `bench_size_sweep.py 32,4 48,6`
+if len(sys.argv) > 1:
+    SIZES = tuple(tuple(int(v) for v in a.split(",")) for a in sys.argv[1:])
+
 
 def main():
     import jax
@@ -63,32 +67,35 @@ def main():
         cfg_x = ipm.IPMConfig(k_max=K_ITERS, mu_tol=0.0, alpha_min=1e-8)
         cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
 
-        def make_run(cfg, K):
+        def make_run(cfg):
+            # runtime trip count (bench.py's trick): ONE compiled module
+            # serves both K values — at nx>=32 the unrolled per-scalar
+            # kernels already push the module near the compile relay's
+            # 10 MB payload cap, so the timing graph must not grow with K
             @jax.jit
-            def run(seed):
-                def body(acc, i):
+            def run(K, seed):
+                def body(i, acc):
                     q = dataclasses.replace(
                         qpb,
-                        b=qpb.b * (1.0 + 1e-5 * (i + seed) + 1e-30 * acc),
+                        b=qpb.b * (1.0 + 1e-5 * (i.astype(dt) + seed)
+                                   + 1e-30 * acc),
                     )
                     sol = pbatch.solve_batched(dims, q, cfg)
-                    return jnp.sum(sol.z) + jnp.sum(
-                        sol.kk.astype(dt)), None
+                    return acc + jnp.sum(sol.z) + jnp.sum(
+                        sol.kk.astype(dt))
 
-                acc, _ = lax.scan(body, jnp.asarray(0.0, dt),
-                                  jnp.arange(K, dtype=dt))
-                return acc
+                return lax.fori_loop(0, K, body, jnp.asarray(0.0, dt))
 
             return run
 
         def slope(cfg, K_lo=2, K_hi=6, reps=2):
+            f = make_run(cfg)
+            float(f(K_lo, jnp.asarray(0.0, dt)))  # compile + warm
             ts = {}
             for K in (K_lo, K_hi):
-                f = make_run(cfg, K)
-                float(f(jnp.asarray(0.0, dt)))
                 t0 = time.perf_counter()
                 for r in range(1, reps + 1):
-                    float(f(jnp.asarray(r * 31.0, dt)))
+                    float(f(K, jnp.asarray(r * 31.0, dt)))
                 ts[K] = (time.perf_counter() - t0) / reps
             return max((ts[K_hi] - ts[K_lo]) / (K_hi - K_lo), 1e-9)
 
