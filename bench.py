@@ -277,11 +277,12 @@ def _parity_measurement(jax, jnp, lax, ipm, pbatch, dims, qpb, dtype,
         "metric": "ipm_solves_per_s_per_chip_at_parity",
         "value": round(solves_p, 1),
         "unit": (
-            f"true 8-iteration solves/s at reference tolerance (flat "
-            f"engine, f32 + iter_ref=2 mu-gated at 1e-2: <=1e-6 control "
-            f"parity with f64 at matched iterations; mass-spring nx=8 "
-            f"nu=3 N=30 nb=7 ngN=8, batch={BATCH}, slope K=2..10 "
-            f"in-graph, {per_solve_p*1e3:.3f} ms/batch)"
+            f"true 8-iteration solves/s at reference tolerance (two-stage:"
+            f" mega engine to mu<=1e-2, then flat + iter_ref=2 via hot"
+            f" continuation; <=1e-6 control parity with f64 at matched"
+            f" iterations; mass-spring nx=8 nu=3 N=30 nb=7 ngN=8, "
+            f"batch={BATCH}, slope K=2..10 in-graph, "
+            f"{per_solve_p*1e3:.3f} ms/batch{_engine_knobs()})"
         ),
         "vs_baseline": round(solves_p / _BASELINE, 2),
     }

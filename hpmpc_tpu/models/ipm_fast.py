@@ -95,7 +95,8 @@ class _Res(NamedTuple):
 
 
 def solve_batched_flat(
-    dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None, z0=None, pi0=None
+    dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None, z0=None, pi0=None,
+    state0=None,
 ) -> _ipm.IPMSolution:
     """Batch-level flat-state solve.  ``qp`` leaves carry a leading batch
     axis that must be a multiple of 1024 (the Pallas block size); returns
@@ -111,13 +112,25 @@ def solve_batched_flat(
     the iterate (the reference's hot-loop ``warm_start`` argument,
     ``d_ip2_res_hard.c:116`` arg 6) — the box-violation correction branch
     of ``d_init_var_mpc_hard_tv`` still applies, exactly as in the
-    structured solver's :func:`~.ipm.init_vars`."""
+    structured solver's :func:`~.ipm.init_vars`.
+
+    ``state0`` (an :class:`~.ipm.IPMSolution` from a prior stage) seeds
+    the FULL primal-dual state — iterate, multipliers, slacks, duality
+    measure, iteration count and stat trace — for HOT CONTINUATION: a
+    cheaper engine (lanes/mega) runs the well-conditioned early
+    iterations and this engine finishes with refinement, with ``kk``
+    continuing so iteration budgets and stat rows stay exact
+    (dispatched by ``parallel.batch.solve_batched`` when
+    ``iter_ref > 0`` and ``iter_ref_mu_thr > 0``).  Mutually exclusive
+    with ``z0``/``pi0``.
+    """
     with jax.default_matmul_precision("float32"):
-        return _impl(dims, qp, cfg, kkt_factory, z0=z0, pi0=pi0)
+        return _impl(dims, qp, cfg, kkt_factory, z0=z0, pi0=pi0,
+                     state0=state0)
 
 
 def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
-          z0=None, pi0=None) -> _ipm.IPMSolution:
+          z0=None, pi0=None, state0=None) -> _ipm.IPMSolution:
     from ..ops import stage_kernel as sk
 
     dt = qp.dtype
@@ -493,6 +506,41 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
         kk=jnp.zeros((B,), jnp.int32),
         stat=jnp.zeros((5, k_max, B), dt),
     )
+    if state0 is not None:
+        # hot continuation: seed the FULL primal-dual state from a prior
+        # stage's IPMSolution (structured layouts -> flat), with kk and
+        # the stat trace carried so iteration budgets/rows stay exact
+        lam_b0c = jnp.concatenate(
+            [state0.lam_b[:, :, 0].reshape(B, NBF).astype(dt),
+             state0.lam_b[:, :, 1].reshape(B, NBF).astype(dt)], 1)
+        t_b0c = jnp.concatenate(
+            [state0.t_b[:, :, 0].reshape(B, NBF).astype(dt),
+             state0.t_b[:, :, 1].reshape(B, NBF).astype(dt)], 1)
+        t_b0c = jnp.where(mb2 > 0, t_b0c, 1.0)
+        lam_b0c = jnp.where(mb2 > 0, lam_b0c, 0.0)
+        if n_ng:
+            def _gcat(a, side):
+                return jnp.concatenate(
+                    [a[:, n, side].astype(dt) for n in ng_stages], 1)
+
+            lam_g0c = jnp.concatenate(
+                [_gcat(state0.lam_g, 0), _gcat(state0.lam_g, 1)], 1)
+            t_g0c = jnp.concatenate(
+                [_gcat(state0.t_g, 0), _gcat(state0.t_g, 1)], 1)
+            t_g0c = jnp.where(mg2 > 0, t_g0c, 1.0)
+            lam_g0c = jnp.where(mg2 > 0, lam_g0c, 0.0)
+        else:
+            lam_g0c = jnp.zeros((B, 0), dt)
+            t_g0c = jnp.ones((B, 0), dt)
+        s0 = _FState(
+            zF=state0.z.reshape(B, NZF).astype(dt) * z_maskF,
+            piF=state0.pi.reshape(B, NXF).astype(dt) * x_maskF,
+            lam_b=lam_b0c, t_b=t_b0c, lam_g=lam_g0c, t_g=t_g0c,
+            mu=mu_of(lam_b0c, t_b0c, lam_g0c, t_g0c),
+            alpha=jnp.ones((B,), dt),
+            kk=state0.kk.astype(jnp.int32),
+            stat=jnp.transpose(state0.stat.astype(dt), (2, 1, 0)),
+        )
 
     kiota = jnp.arange(k_max, dtype=jnp.int32)
 

@@ -77,7 +77,7 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
         # boundary: tools/bench_size_sweep.py.
         and _engine_fits(dims)
     ):
-        if (
+        lanes_ok = (
             (
                 # default ON: hardware-validated fastest hard-path engine
                 # (480k vs 372k solves/s on v5e); set =0 to A/B the
@@ -88,13 +88,34 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
                 or os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
             )
             and dims.NB > 0
-            and int(getattr(cfg, "iter_ref", 0)) == 0
             and qp.dtype == jnp.float32  # mixed precision stays on ipm_fast
             and _engine_fits(dims, lanes=True)  # tighter VMEM bound
-        ):
+        )
+        ref_thr = float(getattr(cfg, "iter_ref_mu_thr", 0.0))
+        if lanes_ok and int(getattr(cfg, "iter_ref", 0)) == 0:
             from ..models import ipm_lanes
 
             return ipm_lanes.solve_batched_lanes(dims, qp, cfg, z0=z0, pi0=pi0)
+        if lanes_ok and ref_thr > 0:
+            # TWO-STAGE parity route (reference-tolerance accuracy at
+            # near-mega speed): the lanes/mega engine runs the
+            # well-conditioned early iterations to mu <= iter_ref_mu_thr,
+            # then hands its FULL primal-dual state to the flat engine,
+            # which finishes with mu-gated iterative refinement.  kk and
+            # the stat trace continue across the handoff, so the total
+            # iteration budget and per-iteration rows match a
+            # single-engine run.
+            import dataclasses
+
+            from ..models import ipm_fast, ipm_lanes
+
+            cfg1 = dataclasses.replace(
+                cfg, iter_ref=0,
+                mu_tol=max(float(cfg.mu_tol), ref_thr),
+            )
+            sol1 = ipm_lanes.solve_batched_lanes(dims, qp, cfg1,
+                                                 z0=z0, pi0=pi0)
+            return ipm_fast.solve_batched_flat(dims, qp, cfg, state0=sol1)
         from ..models import ipm_fast
 
         return ipm_fast.solve_batched_flat(dims, qp, cfg, z0=z0, pi0=pi0)

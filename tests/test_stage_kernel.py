@@ -191,9 +191,13 @@ def test_flat_ipm_iter_ref_reaches_f64_parity(interpret_pallas):
 
     # mu-gated refinement (iter_ref_mu_thr): early well-conditioned
     # iterations skip the correction re-solves entirely, yet final
-    # control parity must hold — this is the parity-bench fast mode
+    # control parity must hold — this is the parity-bench fast mode.
+    # Under the default knobs this takes the TWO-STAGE route (lanes/mega
+    # to mu <= thr, then flat + refinement via state0 hot continuation)
     cfg_gated = dataclasses.replace(cfg_ref, iter_ref_mu_thr=1e-2)
     sol_gated = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_gated))(qpb)
+    # iteration budget must be respected across the handoff
+    assert int(np.max(np.asarray(sol_gated.kk))) <= K
 
     cfg_raw = ipm.IPMConfig(k_max=K, mu_tol=0.0, use_pallas=True)
     sol_raw = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_raw))(qpb)
@@ -210,6 +214,31 @@ def test_flat_ipm_iter_ref_reaches_f64_parity(interpret_pallas):
     assert err_ref <= 1e-6, f"refined control error {err_ref:.2e} > 1e-6"
     assert err_gated <= 1e-6, f"gated control error {err_gated:.2e} > 1e-6"
     assert err_ref < err_raw, (err_ref, err_raw)
+
+
+def test_flat_ipm_gated_iter_ref_single_engine(interpret_pallas,
+                                               monkeypatch):
+    """Mu-gated refinement with the two-stage route knobbed OFF
+    (HPMPC_LANES_LOOP=0): the single flat engine with the in-loop
+    lax.cond gate must also hold <=1e-6 f64 control parity."""
+    monkeypatch.setenv("HPMPC_LANES_LOOP", "0")
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
+    K = 6
+    dims, qpb = _batch_qp()
+    qpb64 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64)
+        if x.dtype == jnp.float32 else x, qpb
+    )
+    sol64 = jax.jit(lambda q: pbatch.solve_batched(
+        dims, q, ipm.IPMConfig(k_max=K, mu_tol=0.0)))(qpb64)
+    cfg = ipm.IPMConfig(k_max=K, mu_tol=0.0, iter_ref=2,
+                        iter_ref_mu_thr=1e-2, use_pallas=True)
+    sol = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
+    u_cols = slice(0, dims.NU)
+    err = np.max(np.abs(
+        np.asarray(sol.z, np.float64)[:, :, u_cols]
+        - np.asarray(sol64.z, np.float64)[:, :, u_cols]))
+    assert err <= 1e-6, f"gated single-engine control error {err:.2e}"
 
 
 def test_flat_mixed_precision_f64_state_f32_kernels(interpret_pallas):
