@@ -1,0 +1,563 @@
+"""Solver-resident Pallas kernel: the ENTIRE box-constrained IPM in ONE
+pallas_call (4th engine generation; latency mode).
+
+The mega kernels (:mod:`.mega_kernel`) fold each half-iteration into one
+pallas_call but still cross HBM + XLA glue twice per iteration (state
+streams out, alpha reductions and sigma in XLA, state streams back in).
+For a single deployment-latency solve (``parallel.batch.solve_single``)
+those crossings dominate.  Here the WHOLE phase-1 Mehrotra loop runs
+inside one kernel:
+
+  * grid ``(nb, k_max + 1, 4 * (N+1))``: minor axis sweeps the four
+    phases of one iteration (affine backward, affine forward, corrector
+    backward, corrector forward), middle axis the iterations (+1
+    epilogue), sequential on TPU;
+  * ALL loop state (iterate z, multipliers/slacks lam/t, pi, the split
+    Riccati factor, direction streams) lives in VMEM scratch slabs for
+    the whole call — per-iteration HBM traffic is zero;
+  * the fraction-to-boundary / duality-sum reductions are PER-LANE
+    (instances live in the 8x128 tile lanes), so alpha, mu_aff, sigma
+    and the state-update step length are computed in-kernel with
+    elementwise VPU ops — no cross-lane work, no XLA glue;
+  * the state update z += a2 (dz2 - z) needs the corrector alpha, known
+    only after the last forward step — it is left PENDING and applied
+    stage-by-stage at the start of the NEXT iteration's affine backward
+    sweep (which touches every stage anyway); a final epilogue
+    iteration (it == k_max) applies the last pending update and the
+    every-step output writes flush the final state.
+
+Semantics: the reference's legacy no-residual solver (``d_ip2_hard.c``,
+the ``mu_switch=0`` degeneracy of ``d_ip2_res_hard.c``) — pure phase-1
+delta formulation to ``mu_tol``/``k_max``, per-lane NaN freeze
+(status=2 analogue via the ``frozen`` output) and per-lane early-stop
+(updates gate off once a lane converges; compute still runs).  Box
+constraints only (the general-constraint rows of the flagship problem
+stay on the lanes/mega engines).  Iterate-parity with the lanes engine
+at ``mu_switch = mu_tol`` is asserted by tests/test_resident.py.
+
+Dispatched from :mod:`..models.ipm_resident` (knob ``HPMPC_RESIDENT``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stage_kernel import (
+    LANES, SUBS, pcall, _cat_slab, _dinv_ll, _folded_bwd_core_fb,
+    _root_x0, _pi_of_x, _sym_idx, _sym_nt, _trs_stage, _u_of_x,
+    _x_next_of,
+)
+from .step_kernel import (
+    _alpha_cands, _corr_co_qx, _dt_dlam, _qx_fold, _scatter_add_box,
+)
+
+_BIG = 3.0e38  # fraction-to-boundary "no blocking row" sentinel
+
+
+def resident_vmem_bytes(NX: int, NU: int, NB: int, N: int) -> int:
+    """VMEM footprint of the resident engine: ALL per-stage streams
+    (inputs, loop state, factor, direction slabs) live simultaneously."""
+    NZ = NX + NU
+    NT = _sym_nt(NZ)
+    NB2 = 2 * NB
+    inputs = (N + 1) * (4 * NB2 + 3 * NZ + NT) + N * (NZ * NX + 2 * NX)
+    scratch = ((N + 1) * (2 * NZ + 7 * NB2 + NZ * NU + NU + NX + NX * NX)
+               + N * 3 * NX + 2 * NX * NX + 4 * NZ + 16)
+    return (inputs + scratch) * 4 * SUBS * LANES
+
+
+def resident_fits(NX: int, NU: int, NB: int, N: int) -> bool:
+    from .stage_kernel import _vmem_cap
+
+    return resident_vmem_bytes(NX, NU, NB, N) <= int(0.85 * _vmem_cap())
+
+
+def _row(ref, k):
+    """(1, Np1, X, S, L) input block -> (X, S, L) array of stage k."""
+    return ref[0, pl.ds(k, 1)][0]
+
+
+def _slab_row(slab, k, count):
+    """(Np1, count*S, L) scratch -> list of count (S, L) tiles."""
+    r = slab[pl.ds(k, 1), :, :]
+    return [r[0, i * SUBS : (i + 1) * SUBS, :] for i in range(count)]
+
+
+def _gather_list(z_tiles, idx_ref, NB, row):
+    """Gathered box values from a LIST of z tiles via the SMEM table.
+
+    The table is static per stage only in content, not index — but the
+    tile list is a Python list indexed by a TRACED table value, so we
+    select with a where-chain over the NZ slots (NZ is small and this
+    runs once per stage per phase)."""
+    out = []
+    for k in range(NB):
+        j = idx_ref[row, k]
+        acc = z_tiles[0]
+        for cand in range(1, len(z_tiles)):
+            acc = jnp.where(j == cand, z_tiles[cand], acc)
+        out.append(acc)
+    return jnp.concatenate([o[None] for o in out], axis=0)
+
+
+def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
+                     mu0, *refs):
+    NB2 = 2 * NB
+    NT = _sym_nt(NZ)
+    Np1 = N + 1
+    it = pl.program_id(1)
+    s4 = pl.program_id(2)
+    phase = s4 // Np1
+    s = s4 % Np1
+    k = N - s  # stage for the backward phases
+
+    (idx_ref, lam0_ref, t0_ref, z0_ref, pi0_ref, base_ref, pd_ref,
+     H_ref, F_ref, b_ref, A_ref, mb_ref) = refs[:12]
+    (z_out, pi_out, lam_out, t_out, mu_out, kk_out, frz_out,
+     stat_out) = refs[12:20]
+    (zs, pis, lams, ts, dz2s, dpi2s, dt2s, dl2s, dtas, dlas, cos,
+     lls, eus, pxs, lxxs, pbs,
+     Lxx_c, px_c, x_c, ge_s,
+     a2p_s, mu_s, sm_s, frz_s, kk_s, amin_s, s0_s, s1_s, s2_s,
+     aa_s, muaff_s, sg_s, stat_c) = refs[20:]
+
+    dt = zs.dtype
+    one = jnp.ones((SUBS, LANES), dt)
+    zero = jnp.zeros((SUBS, LANES), dt)
+
+    # ---- one-time init (first grid step) --------------------------------
+    @pl.when((it == 0) & (s4 == 0))
+    def _():
+        for n in range(Np1):
+            zs[pl.ds(n, 1), :, :] = _cat_slab(
+                [_row(z0_ref, n)[i] for i in range(NZ)])
+            lams[pl.ds(n, 1), :, :] = _cat_slab(
+                [_row(lam0_ref, n)[i] for i in range(NB2)])
+            ts[pl.ds(n, 1), :, :] = _cat_slab(
+                [_row(t0_ref, n)[i] for i in range(NB2)])
+            dz2s[pl.ds(n, 1), :, :] = jnp.zeros((1, NZ * SUBS, LANES), dt)
+            dt2s[pl.ds(n, 1), :, :] = jnp.zeros((1, NB2 * SUBS, LANES), dt)
+            dl2s[pl.ds(n, 1), :, :] = jnp.zeros((1, NB2 * SUBS, LANES), dt)
+        for e in range(N):
+            pis[pl.ds(e, 1), :, :] = _cat_slab(
+                [_row(pi0_ref, e)[i] for i in range(NX)])
+            dpi2s[pl.ds(e, 1), :, :] = jnp.zeros((1, NX * SUBS, LANES), dt)
+        a2p_s[...] = zero
+        mu_s[...] = jnp.full((SUBS, LANES), mu0, dt)
+        frz_s[...] = zero
+        kk_s[...] = zero
+        sm_s[...] = zero
+        for r in range(5):
+            stat_c[r] = zero
+
+    live = (frz_s[...] == 0.0) & (mu_s[...] > mu_tol)
+
+    # ---- phase 0: apply pending update (stage k), prep + factor ---------
+    @pl.when(phase == 0)
+    def _():
+        a2 = a2p_s[...]
+        z_old = _slab_row(zs, k, NZ)
+        dz2 = _slab_row(dz2s, k, NZ)
+        z_new = [z_old[i] + a2 * (dz2[i] - z_old[i]) for i in range(NZ)]
+        zs[pl.ds(k, 1), :, :] = _cat_slab(z_new)
+        lam_old = _slab_row(lams, k, NB2)
+        dl2 = _slab_row(dl2s, k, NB2)
+        lam_new = [lam_old[i] + a2 * dl2[i] for i in range(NB2)]
+        lams[pl.ds(k, 1), :, :] = _cat_slab(lam_new)
+        t_old = _slab_row(ts, k, NB2)
+        dt2 = _slab_row(dt2s, k, NB2)
+        t_new = [t_old[i] + a2 * dt2[i] for i in range(NB2)]
+        ts[pl.ds(k, 1), :, :] = _cat_slab(t_new)
+
+        @pl.when(k >= 1)
+        def _():
+            e = k - 1
+            pi_old = _slab_row(pis, e, NX)
+            dpi2 = _slab_row(dpi2s, e, NX)
+            pis[pl.ds(e, 1), :, :] = _cat_slab(
+                [pi_old[i] + a2 * (dpi2[i] - pi_old[i])
+                 for i in range(NX)])
+
+        # epilogue major step: update only, no factor work
+        @pl.when(it < K)
+        def _():
+            lam = jnp.concatenate([x[None] for x in lam_new], axis=0)
+            tt = jnp.concatenate([x[None] for x in t_new], axis=0)
+            A = _row(A_ref, k)
+            mb = _row(mb_ref, k)
+            Qx_f, qx_f = _qx_fold(NB, False, lam, tt, mb, A, None)
+            ge_s[:] = _row(pd_ref, k)
+            _scatter_add_box(ge_s, idx_ref, Qx_f, NB, k)
+            Hk = _row(H_ref, k)
+            Hp = [Hk[t] for t in range(NT)]
+            for i in range(NZ):
+                di = _sym_idx(i, i)
+                Hp[di] = Hp[di] + ge_s[i]
+            ge_s[:] = _row(base_ref, k)
+            _scatter_add_box(ge_s, idx_ref, qx_f, NB, k)
+            g = [ge_s[i] for i in range(NZ)]
+            ke = jnp.minimum(k, N - 1)
+            Fk = _row(F_ref, ke)
+            F = [[Fk[i, j] for j in range(NX)] for i in range(NZ)]
+            bk = _row(b_ref, ke)
+            bb = [bk[i] for i in range(NX)]
+            Lf, eu, px, Pb = _folded_bwd_core_fb(
+                NU, NX, NZ, s, Hp, g, F, bb, Lxx_c, px_c)
+            lls[pl.ds(k, 1), :, :] = _cat_slab(
+                [Lf[i][j] for i in range(NZ) for j in range(NU)])
+            lxxs[pl.ds(k, 1), :, :] = _cat_slab(
+                [Lf[NU + i][NU + j] for i in range(NX) for j in range(NX)])
+            eus[pl.ds(k, 1), :, :] = _cat_slab(eu)
+            pxs[pl.ds(k, 1), :, :] = _cat_slab(px)
+            pbs[pl.ds(jnp.minimum(k, N - 1), 1), :, :] = _cat_slab(Pb)
+
+    # ---- phase 1: affine forward recovery + alpha/sum partials ----------
+    @pl.when((phase == 1) & (it < K))
+    def _():
+        @pl.when(s == 0)
+        def _():
+            amin_s[...] = jnp.full((SUBS, LANES), _BIG, dt)
+            s0_s[...] = zero
+            s1_s[...] = zero
+            s2_s[...] = zero
+            Lxx0 = _slab_row(lxxs, 0, NX * NX)
+            Lxx0m = [[Lxx0[i * NX + j] for j in range(NX)]
+                     for i in range(NX)]
+            px0 = _slab_row(pxs, 0, NX)
+            x0 = _root_x0(Lxx0m, px0, NX)
+            for i in range(NX):
+                x_c[i] = x0[i]
+
+        ll = _slab_row(lls, s, NZ * NU)
+        Ll = [[ll[i * NU + j] for j in range(NU)] for i in range(NZ)]
+        eu = _slab_row(eus, s, NU)
+        Dinv_u = _dinv_ll(Ll, NU)
+        x = [x_c[i] for i in range(NX)]
+        u = _u_of_x(NU, NX, Ll, Dinv_u, eu, x)
+        z_tiles = u + x
+
+        se = jnp.minimum(s, N - 1)
+        Fk = _row(F_ref, se)
+        F = [[Fk[i, j] for j in range(NX)] for i in range(NZ)]
+        bk = _row(b_ref, se)
+        xn = _x_next_of(NU, NX, F, [bk[i] for i in range(NX)], u, x)
+        for j in range(NX):
+            x_c[j] = xn[j]
+
+        zb = _gather_list(z_tiles, idx_ref, NB, s)
+        lam = jnp.concatenate(
+            [v[None] for v in _slab_row(lams, s, NB2)], axis=0)
+        tt = jnp.concatenate(
+            [v[None] for v in _slab_row(ts, s, NB2)], axis=0)
+        A = _row(A_ref, s)
+        mb = _row(mb_ref, s)
+        dt_b, dl_b = _dt_dlam(NB, False, lam, tt, mb, A, None, zb, 0.0)
+        dtas[pl.ds(s, 1), :, :] = _cat_slab(
+            [dt_b[i] for i in range(NB2)])
+        dlas[pl.ds(s, 1), :, :] = _cat_slab(
+            [dl_b[i] for i in range(NB2)])
+        cand = jnp.minimum(_alpha_cands(lam, dl_b, mb),
+                           _alpha_cands(tt, dt_b, mb))
+        amin_s[...] = jnp.minimum(amin_s[...], jnp.min(cand, axis=0))
+        s0_s[...] = s0_s[...] + jnp.sum(lam * tt * mb, axis=0)
+        s1_s[...] = s1_s[...] + jnp.sum(lam * dt_b + tt * dl_b, axis=0)
+        s2_s[...] = s2_s[...] + jnp.sum(dl_b * dt_b, axis=0)
+
+        @pl.when(s == N)
+        def _():
+            alpha_aff = jnp.minimum(one, amin_s[...])
+            a = 0.995 * alpha_aff
+            mu_aff = (s0_s[...] + a * s1_s[...]
+                      + a * a * s2_s[...]) * mu_scal
+            mu = mu_s[...]
+            ratio = mu_aff / jnp.where(mu > 0, mu, 1.0)
+            sg_s[...] = ratio * ratio * ratio
+            sm_s[...] = sg_s[...] * mu
+            aa_s[...] = alpha_aff
+            muaff_s[...] = mu_aff
+
+    # ---- phase 2: corrector gradient + retained-factor trs --------------
+    @pl.when((phase == 2) & (it < K))
+    def _():
+        lam = jnp.concatenate(
+            [v[None] for v in _slab_row(lams, k, NB2)], axis=0)
+        tt = jnp.concatenate(
+            [v[None] for v in _slab_row(ts, k, NB2)], axis=0)
+        A = _row(A_ref, k)
+        mb = _row(mb_ref, k)
+        dta = jnp.concatenate(
+            [v[None] for v in _slab_row(dtas, k, NB2)], axis=0)
+        dla = jnp.concatenate(
+            [v[None] for v in _slab_row(dlas, k, NB2)], axis=0)
+        co, qx_f = _corr_co_qx(NB, False, lam, tt, mb, A, None,
+                               dta, dla, sm_s[...])
+        cos[pl.ds(k, 1), :, :] = _cat_slab([co[i] for i in range(NB2)])
+        ge_s[:] = _row(base_ref, k)
+        _scatter_add_box(ge_s, idx_ref, qx_f, NB, k)
+
+        ll = _slab_row(lls, k, NZ * NU)
+        Ll = [[ll[i * NU + j] for j in range(NU)] for i in range(NZ)]
+        Dinv_u = _dinv_ll(Ll, NU)
+        ke = jnp.minimum(k, N - 1)
+        Fk = _row(F_ref, ke)
+        F = [[Fk[i, j] for j in range(NX)] for i in range(NZ)]
+        Pb = _slab_row(pbs, ke, NX)
+        Pbpx = [Pb[i] + px_c[i] for i in range(NX)]
+        eu, px = _trs_stage(NU, NX, NZ, Ll, Dinv_u,
+                            [ge_s[i] for i in range(NZ)], F, Pbpx,
+                            s == 0)
+        eus[pl.ds(k, 1), :, :] = _cat_slab(eu)
+        pxs[pl.ds(k, 1), :, :] = _cat_slab(px)
+        for i in range(NX):
+            px_c[i] = px[i]
+
+    # ---- phase 3: corrector forward + alpha + in-kernel step glue -------
+    @pl.when((phase == 3) & (it < K))
+    def _():
+        @pl.when(s == 0)
+        def _():
+            amin_s[...] = jnp.full((SUBS, LANES), _BIG, dt)
+            s0_s[...] = zero
+            s1_s[...] = zero
+            s2_s[...] = zero
+            Lxx0 = _slab_row(lxxs, 0, NX * NX)
+            Lxx0m = [[Lxx0[i * NX + j] for j in range(NX)]
+                     for i in range(NX)]
+            px0 = _slab_row(pxs, 0, NX)
+            x0 = _root_x0(Lxx0m, px0, NX)
+            for i in range(NX):
+                x_c[i] = x0[i]
+
+        ll = _slab_row(lls, s, NZ * NU)
+        Ll = [[ll[i * NU + j] for j in range(NU)] for i in range(NZ)]
+        eu = _slab_row(eus, s, NU)
+        px = _slab_row(pxs, s, NX)
+        Dinv_u = _dinv_ll(Ll, NU)
+        x = [x_c[i] for i in range(NX)]
+        u = _u_of_x(NU, NX, Ll, Dinv_u, eu, x)
+        z_tiles = u + x
+        dz2s[pl.ds(s, 1), :, :] = _cat_slab(z_tiles)
+
+        lxx = _slab_row(lxxs, s, NX * NX)
+        Lxx = [[lxx[i * NX + j] for j in range(NX)] for i in range(NX)]
+        pi2 = _pi_of_x(NX, Lxx, px, x)
+        dpi2s[pl.ds(jnp.maximum(s - 1, 0), 1), :, :] = _cat_slab(pi2)
+
+        se = jnp.minimum(s, N - 1)
+        Fk = _row(F_ref, se)
+        F = [[Fk[i, j] for j in range(NX)] for i in range(NZ)]
+        bk = _row(b_ref, se)
+        xn = _x_next_of(NU, NX, F, [bk[i] for i in range(NX)], u, x)
+        for j in range(NX):
+            x_c[j] = xn[j]
+
+        zb = _gather_list(z_tiles, idx_ref, NB, s)
+        lam = jnp.concatenate(
+            [v[None] for v in _slab_row(lams, s, NB2)], axis=0)
+        tt = jnp.concatenate(
+            [v[None] for v in _slab_row(ts, s, NB2)], axis=0)
+        A = _row(A_ref, s)
+        mb = _row(mb_ref, s)
+        co = jnp.concatenate(
+            [v[None] for v in _slab_row(cos, s, NB2)], axis=0)
+        dt_b, dl_b = _dt_dlam(NB, False, lam, tt, mb, A, None, zb, co)
+        dt2s[pl.ds(s, 1), :, :] = _cat_slab(
+            [dt_b[i] for i in range(NB2)])
+        dl2s[pl.ds(s, 1), :, :] = _cat_slab(
+            [dl_b[i] for i in range(NB2)])
+        cand = jnp.minimum(_alpha_cands(lam, dl_b, mb),
+                           _alpha_cands(tt, dt_b, mb))
+        amin_s[...] = jnp.minimum(amin_s[...], jnp.min(cand, axis=0))
+        s0_s[...] = s0_s[...] + jnp.sum(lam * tt * mb, axis=0)
+        s1_s[...] = s1_s[...] + jnp.sum(lam * dt_b + tt * dl_b, axis=0)
+        s2_s[...] = s2_s[...] + jnp.sum(dl_b * dt_b, axis=0)
+
+        @pl.when(s == N)
+        def _():
+            alpha2 = jnp.minimum(one, amin_s[...])
+            a2 = 0.995 * alpha2
+            mu_new = (s0_s[...] + a2 * s1_s[...]
+                      + a2 * a2 * s2_s[...]) * mu_scal
+            # NaN-safe finiteness (x == x rejects NaN; bound rejects inf)
+            ok = (mu_new == mu_new) & (jnp.abs(mu_new) < _BIG)
+            upd = live & ok
+            a2p_s[...] = jnp.where(upd, a2, zero)
+            mu_s[...] = jnp.where(upd, mu_new, mu_s[...])
+            frz_s[...] = jnp.where(
+                live & (~ok | (a2 < alpha_min)), one, frz_s[...])
+            kk_s[...] = kk_s[...] + jnp.where(upd, one, zero)
+            lv = jnp.where(live, one, zero)
+            stat_c[0] = sg_s[...] * lv
+            stat_c[1] = aa_s[...] * lv
+            stat_c[2] = muaff_s[...] * lv
+            stat_c[3] = alpha2 * lv
+            stat_c[4] = jnp.where(upd, mu_new, zero)
+
+    # ---- every-step output writes (garbage-free progressive flush) ------
+    st = jnp.where((phase == 0) | (phase == 2), k, s)
+    zt = _slab_row(zs, st, NZ)
+    for i in range(NZ):
+        z_out[0, 0, i] = zt[i]
+    lamt_ = _slab_row(lams, st, NB2)
+    tt_ = _slab_row(ts, st, NB2)
+    for i in range(NB2):
+        lam_out[0, 0, i] = lamt_[i]
+        t_out[0, 0, i] = tt_[i]
+    e = jnp.maximum(st - 1, 0)
+    pit = _slab_row(pis, e, NX)
+    for i in range(NX):
+        pi_out[0, 0, i] = pit[i]
+    mu_out[0, 0] = mu_s[...]
+    kk_out[0, 0] = kk_s[...]
+    frz_out[0, 0] = frz_s[...]
+    for r in range(5):
+        stat_out[0, 0, r] = stat_c[r]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("NB", "NU", "NZ", "NX", "k_max", "mu_scal",
+                     "mu_tol", "alpha_min", "mu0"),
+)
+def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
+                 dcat, mb, NB, NU, NZ, NX, k_max, mu_scal, mu_tol,
+                 alpha_min, mu0):
+    """Run the whole phase-1 IPM in one pallas_call.
+
+    All array args are the lanes streams of :func:`make_lanes_common`
+    (``models/ipm_lanes.py``).  Returns
+    (z_l, pi_l, lam_l, t_l, mu, kk, frozen, stat) in lanes form, with
+    mu/kk/frozen as (nb, 1, 8, 128) tiles and stat
+    (nb, k_max, 5, 8, 128)."""
+    nb, Np1 = lam0.shape[0], lam0.shape[1]
+    N = Np1 - 1
+    dt = lam0.dtype
+    NB2 = 2 * NB
+    NT = _sym_nt(NZ)
+
+    def whole(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda bb, it, s4, _nd=nd: (bb,) + (0,) * _nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    idx_spec = pl.BlockSpec((Np1, NB), lambda bb, it, s4: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    in_specs = [
+        idx_spec,
+        whole((Np1, NB2, SUBS, LANES)),   # lam0
+        whole((Np1, NB2, SUBS, LANES)),   # t0
+        whole((Np1, NZ, SUBS, LANES)),    # z0
+        whole((N, NX, SUBS, LANES)),      # pi0
+        whole((Np1, NZ, SUBS, LANES)),    # base g
+        whole((Np1, NZ, SUBS, LANES)),    # pad_diag + reg
+        whole((Np1, NT, SUBS, LANES)),    # H packed
+        whole((N, NZ, NX, SUBS, LANES)),  # F
+        whole((N, NX, SUBS, LANES)),      # b
+        whole((Np1, NB2, SUBS, LANES)),   # d_cat
+        whole((Np1, NB2, SUBS, LANES)),   # mb
+    ]
+
+    def st_map(bb, it, s4):
+        Np1_ = N + 1
+        phase = s4 // Np1_
+        s = s4 % Np1_
+        st = jnp.where((phase == 0) | (phase == 2), N - s, s)
+        return (bb, st, 0, 0, 0)
+
+    def pi_map(bb, it, s4):
+        Np1_ = N + 1
+        phase = s4 // Np1_
+        s = s4 % Np1_
+        st = jnp.where((phase == 0) | (phase == 2), N - s, s)
+        return (bb, jnp.clip(st - 1, 0, N - 1), 0, 0, 0)
+
+    def sc_map(bb, it, s4):
+        return (bb, 0, 0, 0)
+
+    def stat_map(bb, it, s4):
+        return (bb, jnp.minimum(it, k_max - 1), 0, 0, 0)
+
+    out_specs = [
+        pl.BlockSpec((1, 1, NZ, SUBS, LANES), st_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NX, SUBS, LANES), pi_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NB2, SUBS, LANES), st_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, NB2, SUBS, LANES), st_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, SUBS, LANES), sc_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, SUBS, LANES), sc_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, SUBS, LANES), sc_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 5, SUBS, LANES), stat_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, Np1, NB2, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, Np1, NB2, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, 1, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, 1, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, 1, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, k_max, 5, SUBS, LANES), dt),
+    ]
+
+    def sv(count, rows=None):
+        return pltpu.VMEM(((Np1 if rows is None else rows),
+                           count * SUBS, LANES), dt)
+
+    def tile():
+        return pltpu.VMEM((SUBS, LANES), dt)
+
+    scratch = [
+        sv(NZ),            # zs
+        sv(NX, N),         # pis
+        sv(NB2),           # lams
+        sv(NB2),           # ts
+        sv(NZ),            # dz2s
+        sv(NX, N),         # dpi2s
+        sv(NB2),           # dt2s
+        sv(NB2),           # dl2s
+        sv(NB2),           # dtas
+        sv(NB2),           # dlas
+        sv(NB2),           # cos
+        sv(NZ * NU),       # lls
+        sv(NU),            # eus
+        sv(NX),            # pxs
+        sv(NX * NX),       # lxxs
+        sv(NX, N),         # pbs
+        pltpu.VMEM((NX, NX, SUBS, LANES), dt),  # Lxx carry
+        pltpu.VMEM((NX, SUBS, LANES), dt),      # px carry
+        pltpu.VMEM((NX, SUBS, LANES), dt),      # x carry
+        pltpu.VMEM((NZ, SUBS, LANES), dt),      # geff scratch
+        tile(), tile(), tile(), tile(), tile(),  # a2p mu sm frz kk
+        tile(), tile(), tile(), tile(),          # amin s0 s1 s2
+        tile(), tile(), tile(),                  # alpha_aff mu_aff sigma
+        pltpu.VMEM((5, SUBS, LANES), dt),        # stat row
+    ]
+
+    kernel = functools.partial(
+        _resident_kernel, NB, NU, NX, NZ, N, k_max,
+        mu_scal, mu_tol, alpha_min, mu0,
+    )
+    return pcall(
+        kernel,
+        grid=(nb, k_max + 1, 4 * Np1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl, dcat, mb)

@@ -381,6 +381,16 @@ def _folded_bwd_core(NU, NX, NZ, s, Hp, g, F_ref, b_ref, Lxx_c, px_c):
     effective Hessian ``Hp`` and gradient ``g`` (lists of tiles) — shared
     by the folded sweep kernels and the mega-sweep kernels (which build
     Hp/g from the barrier state in the same grid step)."""
+    return _folded_bwd_core_fb(
+        NU, NX, NZ, s, Hp, g, _mat(F_ref, NZ, NX), _vec(b_ref, NX),
+        Lxx_c, px_c,
+    )
+
+
+def _folded_bwd_core_fb(NU, NX, NZ, s, Hp, g, F, bb, Lxx_c, px_c):
+    """:func:`_folded_bwd_core` with F/b as tile LISTS — for callers that
+    slice per-stage data out of whole-array resident blocks (the
+    solver-resident giga kernel, ``ops/resident_kernel.py``)."""
     # terminal stage (s == 0): zero the carry BEFORE it is read, so the
     # interior formulas collapse EXACTLY to the terminal ones (W = F·0 = 0
     # -> M = H bit-for-bit, Pb = 0, m = g) — no per-entry selects
@@ -392,9 +402,6 @@ def _folded_bwd_core(NU, NX, NZ, s, Hp, g, F_ref, b_ref, Lxx_c, px_c):
             px_c[i] = zero_t
             for j in range(NX):
                 Lxx_c[i, j] = zero_t
-
-    F = _mat(F_ref, NZ, NX)
-    bb = _vec(b_ref, NX)
     Lxx = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
     pxn = [px_c[i] for i in range(NX)]
     W = [[None] * NX for _ in range(NZ)]

@@ -77,6 +77,24 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
         # boundary: tools/bench_size_sweep.py.
         and _engine_fits(dims)
     ):
+        if (
+            # opt-in 4th generation (latency mode): the ENTIRE phase-1
+            # IPM in ONE pallas_call, state VMEM-resident, step glue
+            # in-kernel — the reference's legacy no-residual d_ip2_hard
+            # semantics (phase 1 to mu_tol; box-only)
+            os.environ.get("HPMPC_RESIDENT", "0") == "1"
+            and dims.NB > 0
+            and qp.dtype == jnp.float32
+            and not any(g > 0 for g in dims.ng)
+            and int(getattr(cfg, "iter_ref", 0)) == 0
+        ):
+            from ..models import ipm_resident
+            from ..ops import resident_kernel as _rk
+
+            if _rk.resident_fits(int(dims.NX), int(dims.NU),
+                                 int(dims.NB), int(dims.N)):
+                return ipm_resident.solve_batched_resident(
+                    dims, qp, cfg, z0=z0, pi0=pi0)
         lanes_ok = (
             (
                 # default ON: hardware-validated fastest hard-path engine

@@ -79,9 +79,20 @@ def main():
         oh = ipm._box_onehot(qp)
         bk_par = ipm.chain_backend_par(dims, qp, oh, mu_scal)
 
+        from hpmpc_tpu.models import ipm_resident
         from hpmpc_tpu.parallel import batch as pbatch
+        from hpmpc_tpu.ops import resident_kernel as rk
 
         cfg_p = dataclasses.replace(cfg, use_pallas=True)
+
+        def resident_block(q):
+            # 4th generation: whole IPM in one pallas_call (legacy
+            # phase-1 d_ip2_hard semantics), padded to one lane block
+            qb = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (1024,) + x.shape), q)
+            sol = ipm_resident.solve_batched_resident(dims, qb, cfg_p)
+            return jax.tree_util.tree_map(lambda a: a[0], sol)
+
         strategies = {
             "seq": lambda q: ipm.solve(dims, q, cfg),
             "par_in_time": lambda q: ipm.solve(dims, q, cfg, backend=bk_par),
@@ -89,6 +100,8 @@ def main():
             # mega engine (parallel/batch.solve_single)
             "mega_block": lambda q: pbatch.solve_single(dims, q, cfg_p),
         }
+        if rk.resident_fits(8, 3, dims.NB, N):
+            strategies["resident_block"] = resident_block
         if N >= 8:
             strategies["partial_cond_N2_4"] = lambda q: cond.solve_partial_cond(
                 dims, q, cfg, 4
