@@ -156,6 +156,10 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
             stat_c[r] = zero
 
     live = (frz_s[...] == 0.0) & (mu_s[...] > mu_tol)
+    # batch-liveness skip: once every lane is converged/frozen the
+    # remaining grid steps do only the (cheap) state-update/output work —
+    # a deployment tick at mu_tol > 0 stops paying for dead iterations
+    alive = jnp.any(live)
 
     # ---- phase 0: apply pending update (stage k), prep + factor ---------
     @pl.when(phase == 0)
@@ -183,8 +187,15 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
                 [pi_old[i] + a2 * (dpi2[i] - pi_old[i])
                  for i in range(NX)])
 
+        # pending update consumed after the last stage (stage 0): a
+        # liveness-skipped iteration must not re-apply it (the convex
+        # z += a2 (dz2 - z) step is not idempotent)
+        @pl.when(s == N)
+        def _():
+            a2p_s[...] = zero
+
         # epilogue major step: update only, no factor work
-        @pl.when(it < K)
+        @pl.when((it < K) & alive)
         def _():
             lam = jnp.concatenate([x[None] for x in lam_new], axis=0)
             tt = jnp.concatenate([x[None] for x in t_new], axis=0)
@@ -217,7 +228,7 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
             pbs[pl.ds(jnp.minimum(k, N - 1), 1), :, :] = _cat_slab(Pb)
 
     # ---- phase 1: affine forward recovery + alpha/sum partials ----------
-    @pl.when((phase == 1) & (it < K))
+    @pl.when((phase == 1) & (it < K) & alive)
     def _():
         @pl.when(s == 0)
         def _():
@@ -282,7 +293,7 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
             muaff_s[...] = mu_aff
 
     # ---- phase 2: corrector gradient + retained-factor trs --------------
-    @pl.when((phase == 2) & (it < K))
+    @pl.when((phase == 2) & (it < K) & alive)
     def _():
         lam = jnp.concatenate(
             [v[None] for v in _slab_row(lams, k, NB2)], axis=0)
@@ -317,7 +328,7 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
             px_c[i] = px[i]
 
     # ---- phase 3: corrector forward + alpha + in-kernel step glue -------
-    @pl.when((phase == 3) & (it < K))
+    @pl.when((phase == 3) & (it < K) & alive)
     def _():
         @pl.when(s == 0)
         def _():
