@@ -93,15 +93,28 @@ def main():
             sol = ipm_resident.solve_batched_resident(dims, qb, cfg_p)
             return jax.tree_util.tree_map(lambda a: a[0], sol)
 
+        # deployment tick: converge to the f32 floor instead of fixed
+        # work — the resident engine's batch-liveness skip and the
+        # engines' while-loop exit both show here
+        cfg_tick = dataclasses.replace(cfg_p, mu_tol=1e-4)
+
+        def resident_tick(q):
+            qb = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (1024,) + x.shape), q)
+            sol = ipm_resident.solve_batched_resident(dims, qb, cfg_tick)
+            return jax.tree_util.tree_map(lambda a: a[0], sol)
+
         strategies = {
             "seq": lambda q: ipm.solve(dims, q, cfg),
             "par_in_time": lambda q: ipm.solve(dims, q, cfg, backend=bk_par),
             # pad the instance into one 1024-lane block and ride the
             # mega engine (parallel/batch.solve_single)
             "mega_block": lambda q: pbatch.solve_single(dims, q, cfg_p),
+            "mega_tick": lambda q: pbatch.solve_single(dims, q, cfg_tick),
         }
         if rk.resident_fits(8, 3, dims.NB, N):
             strategies["resident_block"] = resident_block
+            strategies["resident_tick"] = resident_tick
         if N >= 8:
             strategies["partial_cond_N2_4"] = lambda q: cond.solve_partial_cond(
                 dims, q, cfg, 4
