@@ -99,11 +99,13 @@ def _engine_knobs() -> str:
     )
     mega_on = lanes_on and os.environ.get("HPMPC_MEGA_SWEEPS", "1") == "1"
     fused_on = os.environ.get("HPMPC_FUSED_SWEEPS", "0") == "1"
+    resident_on = os.environ.get("HPMPC_RESIDENT", "0") == "1"
     return "".join(
         f" {k}=1"
         for k, on in (
-            ("HPMPC_LANES_LOOP", lanes_on),
-            ("HPMPC_MEGA_SWEEPS", mega_on),
+            ("HPMPC_RESIDENT", resident_on),
+            ("HPMPC_LANES_LOOP", lanes_on and not resident_on),
+            ("HPMPC_MEGA_SWEEPS", mega_on and not resident_on),
             ("HPMPC_FUSED_SWEEPS", fused_on),
         )
         if on

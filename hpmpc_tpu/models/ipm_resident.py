@@ -17,8 +17,8 @@ engines' phase-1 exit.  Differences from the lanes engine, by design:
   * ``status=2`` (breakdown freeze) folds the NaN guard and the
     ``alpha_min`` exit into one per-lane frozen flag.
 
-Box constraints only (``n_ng == 0``); general-constraint problems stay
-on the lanes/mega engines.  Dispatch: ``HPMPC_RESIDENT=1`` routes
+General constraints supported (static active stages, in-kernel C-row
+machinery).  Dispatch: ``HPMPC_RESIDENT=1`` routes
 eligible ``parallel.batch.solve_batched`` calls here (opt-in until
 hardware-validated); ``parallel.batch.solve_single`` is the intended
 consumer (deployment latency ticks).
@@ -54,10 +54,10 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None):
     assert NB > 0 and dims.idxb is not None
     assert dt == jnp.float32, "resident engine is f32-only"
     ng_stages = tuple(n for n in range(Np1) if dims.ng[n] > 0)
-    assert not ng_stages, (
-        "resident engine is box-only; general constraints take the "
-        "lanes/mega engines")
+    n_ng = len(ng_stages)
     assert int(getattr(cfg, "iter_ref", 0)) == 0
+
+    from .ipm_lanes import make_ng_lanes
 
     cm = make_lanes_common(dims, qp, cfg, z0=z0, pi0=pi0)
     nb_blk = cm.nb_blk
@@ -68,13 +68,39 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None):
     # phase-1-only: run to the flagship's phase-1 floor
     mu_tol = float(max(cfg.mu_tol, getattr(cfg, "mu_switch", 0.0)))
 
-    z_l, pi_l, lam_l, t_l, mu_t, kk_t, frz_t, stat_l = rk.ipm_resident(
+    ngh = make_ng_lanes(dims, qp, ng_stages, dt, B)
+    ng_kw = {}
+    if n_ng:
+        NGF = n_ng * NG
+
+        def g_lanes(flat):  # (B, 2*NGF) [lo-all; up-all] -> lanes
+            lo = flat[:, :NGF].reshape(B, n_ng, NG)
+            up = flat[:, NGF:].reshape(B, n_ng, NG)
+            return sk._to_lanes(jnp.concatenate([lo, up], -1), B)
+
+        lam_g0, t_g0 = cm.ng_init(ngh)
+        C_stack = jnp.stack(
+            [qp.C[:, n] for n in ng_stages], 1).astype(dt)
+        ng_kw = dict(
+            NG=NG, ng_stage_ids=ng_stages,
+            Cg=sk._to_lanes(C_stack, B),
+            dgg=g_lanes(ngh.dg_cat),
+            mgg=g_lanes(ngh.mg2),
+            lamg0=g_lanes(lam_g0),
+            tg0=g_lanes(t_g0),
+        )
+
+    outs = rk.ipm_resident(
         cm.idxT, cm.lamL0, cm.tL0, cm.zL0, pi0l,
         cm.gL, cm.pdregL, cm.Hl, cm.Fl, cm.bL, cm.dcatL, cm.mbL,
         NB=NB, NU=NU, NZ=NZ, NX=NX, k_max=int(cfg.k_max),
         mu_scal=float(mu_scal), mu_tol=mu_tol,
         alpha_min=float(cfg.alpha_min), mu0=float(cfg.mu0),
+        **ng_kw,
     )
+    z_l, pi_l, lam_l, t_l, mu_t, kk_t, frz_t, stat_l = outs[:8]
+    if n_ng:
+        lamg_l, tg_l = outs[8:10]
 
     # ---- final residuals (one kernel; engines do this at phase-1 exit) --
     zmaskL = cm.to_lanes3(qp.z_mask)
@@ -84,13 +110,39 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None):
         cm.dcatL, cm.mbL, zmaskL, xmaskL, NB=NB, NU=NU, NZ=NZ, NX=NX,
     )
     rbL = rbL[:, :N]
-    mu_res = cm.sc_B(jnp.sum(musumL, axis=1)) * mu_scal
+    mu_sum = cm.sc_B(jnp.sum(musumL, axis=1))
 
     def absmax_l(y):
         return cm.sc_B(jnp.max(jnp.abs(y), axis=tuple(range(1, y.ndim - 2))))
 
+    def absmax_f(x):
+        if x.shape[1] == 0:
+            return jnp.zeros((B,), dt)
+        return jnp.max(jnp.abs(x), axis=1)
+
+    if n_ng:
+        NGF = n_ng * NG
+        g3 = cm.from_lanes3(lamg_l)                    # (B, n_ng, 2NG)
+        lam_g_f = jnp.concatenate(
+            [g3[..., :NG].reshape(B, NGF),
+             g3[..., NG:].reshape(B, NGF)], 1)
+        g3t = cm.from_lanes3(tg_l)
+        t_g_f = jnp.concatenate(
+            [g3t[..., :NG].reshape(B, NGF),
+             g3t[..., NG:].reshape(B, NGF)], 1)
+        rqL = ngh.ct_add_lanes(
+            rqL, ngh.fold_g(-ngh.sgn_g * lam_g_f) * ngh.mgF)
+        czn = ngh.cz_of(z_l)
+        rd_g = (ngh.dg_cat - cm.cat2(czn) + ngh.sgn_g * t_g_f) * ngh.mg2
+        rm_g = lam_g_f * t_g_f * ngh.mg2
+        mu_sum = mu_sum + jnp.sum(rm_g, axis=1)
+    else:
+        rd_g = jnp.zeros((B, 0), dt)
+    mu_res = mu_sum * mu_scal
+
     inf_norm_res = jnp.stack([
-        absmax_l(rqL), absmax_l(rbL), absmax_l(rdL), mu_res,
+        absmax_l(rqL), absmax_l(rbL),
+        jnp.maximum(absmax_l(rdL), absmax_f(rd_g)), mu_res,
     ], axis=1)
 
     mu = mu_t.reshape(B)
@@ -105,12 +157,20 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None):
     stat = jnp.transpose(stat_l, (0, 3, 4, 1, 2)).reshape(
         B, int(cfg.k_max), 5)
 
+    lam_g_s = jnp.zeros((B, Np1, 2, NG), dt)
+    t_g_s = jnp.ones((B, Np1, 2, NG), dt)
+    if n_ng:
+        for j, n in enumerate(ng_stages):
+            lam_g_s = lam_g_s.at[:, n, 0].set(g3[:, j, :NG])
+            lam_g_s = lam_g_s.at[:, n, 1].set(g3[:, j, NG:])
+            t_g_s = t_g_s.at[:, n, 0].set(g3t[:, j, :NG])
+            t_g_s = t_g_s.at[:, n, 1].set(g3t[:, j, NG:])
+
     return _ipm.IPMSolution(
         z=cm.from_lanes3(z_l),
         pi=cm.from_lanes3(pi_l),
         lam_b=lam_b_s, t_b=t_b_s,
-        lam_g=jnp.zeros((B, Np1, 2, NG), dt),
-        t_g=jnp.ones((B, Np1, 2, NG), dt),
+        lam_g=lam_g_s, t_g=t_g_s,
         kk=kk, status=status, stat=stat,
         inf_norm_res=inf_norm_res,
     )

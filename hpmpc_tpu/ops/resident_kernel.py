@@ -30,10 +30,12 @@ Semantics: the reference's legacy no-residual solver (``d_ip2_hard.c``,
 the ``mu_switch=0`` degeneracy of ``d_ip2_res_hard.c``) — pure phase-1
 delta formulation to ``mu_tol``/``k_max``, per-lane NaN freeze
 (status=2 analogue via the ``frozen`` output) and per-lane early-stop
-(updates gate off once a lane converges; compute still runs).  Box
-constraints only (the general-constraint rows of the flagship problem
-stay on the lanes/mega engines).  Iterate-parity with the lanes engine
-at ``mu_switch = mu_tol`` is asserted by tests/test_resident.py.
+(updates gate off once a lane converges; compute stops entirely once
+the whole batch is done).  General constraints supported: the (static)
+active stages' barrier fold, corrector rows and alpha contributions run
+in-kernel from C tiles, value-masked by stage id.  Iterate-parity with
+the lanes engine at ``mu_switch = mu_tol`` is asserted by
+tests/test_resident.py.
 
 Dispatched from :mod:`..models.ipm_resident` (knob ``HPMPC_RESIDENT``).
 """
@@ -54,6 +56,7 @@ from .stage_kernel import (
 )
 from .step_kernel import (
     _alpha_cands, _corr_co_qx, _dt_dlam, _qx_fold, _scatter_add_box,
+    _t_inv_lamt,
 )
 
 _BIG = 3.0e38  # fraction-to-boundary "no blocking row" sentinel
@@ -105,9 +108,16 @@ def _gather_list(z_tiles, idx_ref, NB, row):
     return jnp.concatenate([o[None] for o in out], axis=0)
 
 
-def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
-                     mu0, *refs):
+def _gs_row(slab, j, count):
+    """(n_ng, count*S, L) scratch, STATIC row j -> list of tiles."""
+    return [slab[j, i * SUBS : (i + 1) * SUBS, :] for i in range(count)]
+
+
+def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
+                     mu_scal, mu_tol, alpha_min, mu0, *refs):
     NB2 = 2 * NB
+    NG2 = 2 * NG
+    n_ng = len(ng_stage_ids)
     NT = _sym_nt(NZ)
     Np1 = N + 1
     it = pl.program_id(1)
@@ -116,15 +126,24 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
     s = s4 % Np1
     k = N - s  # stage for the backward phases
 
+    pos = 12 + (5 if n_ng else 0)
     (idx_ref, lam0_ref, t0_ref, z0_ref, pi0_ref, base_ref, pd_ref,
      H_ref, F_ref, b_ref, A_ref, mb_ref) = refs[:12]
+    if n_ng:
+        C_ref, dg_ref, mg_ref, lamg0_ref, tg0_ref = refs[12:17]
+    n_out = 8 + (2 if n_ng else 0)
     (z_out, pi_out, lam_out, t_out, mu_out, kk_out, frz_out,
-     stat_out) = refs[12:20]
+     stat_out) = refs[pos:pos + 8]
+    if n_ng:
+        lamg_out, tg_out = refs[pos + 8:pos + 10]
+    scr = refs[pos + n_out:]
     (zs, pis, lams, ts, dz2s, dpi2s, dt2s, dl2s, dtas, dlas, cos,
      lls, eus, pxs, lxxs, pbs,
      Lxx_c, px_c, x_c, ge_s,
      a2p_s, mu_s, sm_s, frz_s, kk_s, amin_s, s0_s, s1_s, s2_s,
-     aa_s, muaff_s, sg_s, stat_c) = refs[20:]
+     aa_s, muaff_s, sg_s, stat_c) = scr[:33]
+    if n_ng:
+        (lamg_s, tg_s, dtag_s, dlag_s, cog_s, dt2g_s, dl2g_s) = scr[33:40]
 
     dt = zs.dtype
     one = jnp.ones((SUBS, LANES), dt)
@@ -147,6 +166,13 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
             pis[pl.ds(e, 1), :, :] = _cat_slab(
                 [_row(pi0_ref, e)[i] for i in range(NX)])
             dpi2s[pl.ds(e, 1), :, :] = jnp.zeros((1, NX * SUBS, LANES), dt)
+        for j in range(n_ng):
+            lamg_s[j, :, :] = jnp.concatenate(
+                [lamg0_ref[0, j, i] for i in range(NG2)], axis=0)
+            tg_s[j, :, :] = jnp.concatenate(
+                [tg0_ref[0, j, i] for i in range(NG2)], axis=0)
+            dt2g_s[j, :, :] = jnp.zeros((NG2 * SUBS, LANES), dt)
+            dl2g_s[j, :, :] = jnp.zeros((NG2 * SUBS, LANES), dt)
         a2p_s[...] = zero
         mu_s[...] = jnp.full((SUBS, LANES), mu0, dt)
         frz_s[...] = zero
@@ -187,6 +213,19 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
                 [pi_old[i] + a2 * (dpi2[i] - pi_old[i])
                  for i in range(NX)])
 
+        # ng state rides the same pending update, once, at its stage
+        for j, stg in enumerate(ng_stage_ids):
+            @pl.when(k == stg)
+            def _(j=j):
+                lg = _gs_row(lamg_s, j, NG2)
+                tg = _gs_row(tg_s, j, NG2)
+                dlg = _gs_row(dl2g_s, j, NG2)
+                dtg = _gs_row(dt2g_s, j, NG2)
+                lamg_s[j, :, :] = jnp.concatenate(
+                    [lg[i] + a2 * dlg[i] for i in range(NG2)], axis=0)
+                tg_s[j, :, :] = jnp.concatenate(
+                    [tg[i] + a2 * dtg[i] for i in range(NG2)], axis=0)
+
         # pending update consumed after the last stage (stage 0): a
         # liveness-skipped iteration must not re-apply it (the convex
         # z += a2 (dz2 - z) step is not idempotent)
@@ -211,6 +250,35 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
                 Hp[di] = Hp[di] + ge_s[i]
             ge_s[:] = _row(base_ref, k)
             _scatter_add_box(ge_s, idx_ref, qx_f, NB, k)
+            # general-constraint barrier: Hp += C' diag(Qxg) C and
+            # ge += C' qxg on the (static) active stages, value-masked
+            for j, stg in enumerate(ng_stage_ids):
+                mtc = (k == stg)
+                lamg = jnp.concatenate(
+                    [v[None] for v in _gs_row(lamg_s, j, NG2)], axis=0)
+                tgv = jnp.concatenate(
+                    [v[None] for v in _gs_row(tg_s, j, NG2)], axis=0)
+                mg = jnp.concatenate(
+                    [mg_ref[0, j, i][None] for i in range(NG2)], axis=0)
+                dg = jnp.concatenate(
+                    [dg_ref[0, j, i][None] for i in range(NG2)], axis=0)
+                Qxg, qxg = _qx_fold(NG, False, lamg, tgv, mg, dg, None)
+                Cj = [[C_ref[0, j, g, i] for i in range(NZ)]
+                      for g in range(NG)]
+                for i in range(NZ):
+                    for jj in range(i + 1):
+                        acc = None
+                        for g in range(NG):
+                            tt_ = Cj[g][i] * Qxg[g] * Cj[g][jj]
+                            acc = tt_ if acc is None else acc + tt_
+                        ti = _sym_idx(i, jj)
+                        Hp[ti] = Hp[ti] + jnp.where(mtc, acc, 0.0)
+                for i in range(NZ):
+                    acc = None
+                    for g in range(NG):
+                        tt_ = Cj[g][i] * qxg[g]
+                        acc = tt_ if acc is None else acc + tt_
+                    ge_s[i] = ge_s[i] + jnp.where(mtc, acc, 0.0)
             g = [ge_s[i] for i in range(NZ)]
             ke = jnp.minimum(k, N - 1)
             Fk = _row(F_ref, ke)
@@ -279,6 +347,43 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
         s1_s[...] = s1_s[...] + jnp.sum(lam * dt_b + tt * dl_b, axis=0)
         s2_s[...] = s2_s[...] + jnp.sum(dl_b * dt_b, axis=0)
 
+        # general-constraint rows at the (static) active stages
+        for j, stg in enumerate(ng_stage_ids):
+            mtc = (s == stg)
+            lamg = jnp.concatenate(
+                [v[None] for v in _gs_row(lamg_s, j, NG2)], axis=0)
+            tgv = jnp.concatenate(
+                [v[None] for v in _gs_row(tg_s, j, NG2)], axis=0)
+            mg = jnp.concatenate(
+                [mg_ref[0, j, i][None] for i in range(NG2)], axis=0)
+            dg = jnp.concatenate(
+                [dg_ref[0, j, i][None] for i in range(NG2)], axis=0)
+            cz = jnp.concatenate([
+                sum(C_ref[0, j, g, i] * z_tiles[i]
+                    for i in range(NZ))[None]
+                for g in range(NG)], axis=0)
+            dtg, dlg = _dt_dlam(NG, False, lamg, tgv, mg, dg, None,
+                                cz, 0.0)
+
+            @pl.when(mtc)
+            def _(j=j, dtg=dtg, dlg=dlg):
+                dtag_s[j, :, :] = jnp.concatenate(
+                    [dtg[i] for i in range(NG2)], axis=0)
+                dlag_s[j, :, :] = jnp.concatenate(
+                    [dlg[i] for i in range(NG2)], axis=0)
+
+            cg = jnp.minimum(_alpha_cands(lamg, dlg, mg),
+                             _alpha_cands(tgv, dtg, mg))
+            cgm = jnp.min(cg, axis=0)
+            amin_s[...] = jnp.minimum(
+                amin_s[...], jnp.where(mtc, cgm, _BIG))
+            s0_s[...] = s0_s[...] + jnp.where(
+                mtc, jnp.sum(lamg * tgv * mg, axis=0), 0.0)
+            s1_s[...] = s1_s[...] + jnp.where(
+                mtc, jnp.sum(lamg * dtg + tgv * dlg, axis=0), 0.0)
+            s2_s[...] = s2_s[...] + jnp.where(
+                mtc, jnp.sum(dlg * dtg, axis=0), 0.0)
+
         @pl.when(s == N)
         def _():
             alpha_aff = jnp.minimum(one, amin_s[...])
@@ -310,6 +415,36 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
         cos[pl.ds(k, 1), :, :] = _cat_slab([co[i] for i in range(NB2)])
         ge_s[:] = _row(base_ref, k)
         _scatter_add_box(ge_s, idx_ref, qx_f, NB, k)
+
+        # corrector gradient rows of the (static) active ng stages
+        for j, stg in enumerate(ng_stage_ids):
+            mtc = (k == stg)
+            lamg = jnp.concatenate(
+                [v[None] for v in _gs_row(lamg_s, j, NG2)], axis=0)
+            tgv = jnp.concatenate(
+                [v[None] for v in _gs_row(tg_s, j, NG2)], axis=0)
+            mg = jnp.concatenate(
+                [mg_ref[0, j, i][None] for i in range(NG2)], axis=0)
+            dg = jnp.concatenate(
+                [dg_ref[0, j, i][None] for i in range(NG2)], axis=0)
+            dtag = jnp.concatenate(
+                [v[None] for v in _gs_row(dtag_s, j, NG2)], axis=0)
+            dlag = jnp.concatenate(
+                [v[None] for v in _gs_row(dlag_s, j, NG2)], axis=0)
+            cog, qxg2 = _corr_co_qx(NG, False, lamg, tgv, mg, dg, None,
+                                    dtag, dlag, sm_s[...])
+
+            @pl.when(mtc)
+            def _(j=j, cog=cog):
+                cog_s[j, :, :] = jnp.concatenate(
+                    [cog[i] for i in range(NG2)], axis=0)
+
+            for i in range(NZ):
+                acc = None
+                for g in range(NG):
+                    tt_ = C_ref[0, j, g, i] * qxg2[g]
+                    acc = tt_ if acc is None else acc + tt_
+                ge_s[i] = ge_s[i] + jnp.where(mtc, acc, 0.0)
 
         ll = _slab_row(lls, k, NZ * NU)
         Ll = [[ll[i * NU + j] for j in range(NU)] for i in range(NZ)]
@@ -388,6 +523,45 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
         s1_s[...] = s1_s[...] + jnp.sum(lam * dt_b + tt * dl_b, axis=0)
         s2_s[...] = s2_s[...] + jnp.sum(dl_b * dt_b, axis=0)
 
+        # corrector rows of the (static) active ng stages
+        for j, stg in enumerate(ng_stage_ids):
+            mtc = (s == stg)
+            lamg = jnp.concatenate(
+                [v[None] for v in _gs_row(lamg_s, j, NG2)], axis=0)
+            tgv = jnp.concatenate(
+                [v[None] for v in _gs_row(tg_s, j, NG2)], axis=0)
+            mg = jnp.concatenate(
+                [mg_ref[0, j, i][None] for i in range(NG2)], axis=0)
+            dg = jnp.concatenate(
+                [dg_ref[0, j, i][None] for i in range(NG2)], axis=0)
+            cz2 = jnp.concatenate([
+                sum(C_ref[0, j, g, i] * z_tiles[i]
+                    for i in range(NZ))[None]
+                for g in range(NG)], axis=0)
+            cogv = jnp.concatenate(
+                [v[None] for v in _gs_row(cog_s, j, NG2)], axis=0)
+            dtg2, dlg2 = _dt_dlam(NG, False, lamg, tgv, mg, dg, None,
+                                  cz2, cogv)
+
+            @pl.when(mtc)
+            def _(j=j, dtg2=dtg2, dlg2=dlg2):
+                dt2g_s[j, :, :] = jnp.concatenate(
+                    [dtg2[i] for i in range(NG2)], axis=0)
+                dl2g_s[j, :, :] = jnp.concatenate(
+                    [dlg2[i] for i in range(NG2)], axis=0)
+
+            cg = jnp.minimum(_alpha_cands(lamg, dlg2, mg),
+                             _alpha_cands(tgv, dtg2, mg))
+            cgm = jnp.min(cg, axis=0)
+            amin_s[...] = jnp.minimum(
+                amin_s[...], jnp.where(mtc, cgm, _BIG))
+            s0_s[...] = s0_s[...] + jnp.where(
+                mtc, jnp.sum(lamg * tgv * mg, axis=0), 0.0)
+            s1_s[...] = s1_s[...] + jnp.where(
+                mtc, jnp.sum(lamg * dtg2 + tgv * dlg2, axis=0), 0.0)
+            s2_s[...] = s2_s[...] + jnp.where(
+                mtc, jnp.sum(dlg2 * dtg2, axis=0), 0.0)
+
         @pl.when(s == N)
         def _():
             alpha2 = jnp.minimum(one, amin_s[...])
@@ -428,27 +602,39 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, mu_scal, mu_tol, alpha_min,
     frz_out[0, 0] = frz_s[...]
     for r in range(5):
         stat_out[0, 0, r] = stat_c[r]
+    for j in range(n_ng):
+        lgt = _gs_row(lamg_s, j, NG2)
+        tgt = _gs_row(tg_s, j, NG2)
+        for i in range(NG2):
+            lamg_out[0, j, i] = lgt[i]
+            tg_out[0, j, i] = tgt[i]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("NB", "NU", "NZ", "NX", "k_max", "mu_scal",
-                     "mu_tol", "alpha_min", "mu0"),
+                     "mu_tol", "alpha_min", "mu0", "NG",
+                     "ng_stage_ids"),
 )
 def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
                  dcat, mb, NB, NU, NZ, NX, k_max, mu_scal, mu_tol,
-                 alpha_min, mu0):
+                 alpha_min, mu0, NG=0, ng_stage_ids=(),
+                 Cg=None, dgg=None, mgg=None, lamg0=None, tg0=None):
     """Run the whole phase-1 IPM in one pallas_call.
 
     All array args are the lanes streams of :func:`make_lanes_common`
-    (``models/ipm_lanes.py``).  Returns
-    (z_l, pi_l, lam_l, t_l, mu, kk, frozen, stat) in lanes form, with
-    mu/kk/frozen as (nb, 1, 8, 128) tiles and stat
+    (``models/ipm_lanes.py``).  General constraints: ``ng_stage_ids``
+    (static) names the active stages; ``Cg`` (nb, n_ng, NG, NZ, 8, 128),
+    ``dgg``/``mgg``/``lamg0``/``tg0`` (nb, n_ng, 2NG, 8, 128).  Returns
+    (z_l, pi_l, lam_l, t_l, mu, kk, frozen, stat[, lamg_l, tg_l]) in
+    lanes form, with mu/kk/frozen as (nb, 1, 8, 128) tiles and stat
     (nb, k_max, 5, 8, 128)."""
     nb, Np1 = lam0.shape[0], lam0.shape[1]
     N = Np1 - 1
     dt = lam0.dtype
     NB2 = 2 * NB
+    NG2 = 2 * NG
+    n_ng = len(ng_stage_ids)
     NT = _sym_nt(NZ)
 
     def whole(shape):
@@ -476,6 +662,17 @@ def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
         whole((Np1, NB2, SUBS, LANES)),   # d_cat
         whole((Np1, NB2, SUBS, LANES)),   # mb
     ]
+    args = [idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
+            dcat, mb]
+    if n_ng:
+        in_specs += [
+            whole((n_ng, NG, NZ, SUBS, LANES)),   # C rows
+            whole((n_ng, NG2, SUBS, LANES)),      # dg_cat
+            whole((n_ng, NG2, SUBS, LANES)),      # mg
+            whole((n_ng, NG2, SUBS, LANES)),      # lam_g0
+            whole((n_ng, NG2, SUBS, LANES)),      # t_g0
+        ]
+        args += [Cg, dgg, mgg, lamg0, tg0]
 
     def st_map(bb, it, s4):
         Np1_ = N + 1
@@ -525,6 +722,17 @@ def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
         jax.ShapeDtypeStruct((nb, 1, SUBS, LANES), dt),
         jax.ShapeDtypeStruct((nb, k_max, 5, SUBS, LANES), dt),
     ]
+    if n_ng:
+        ng_out = pl.BlockSpec(
+            (1, n_ng, NG2, SUBS, LANES),
+            lambda bb, it, s4: (bb, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs += [ng_out, ng_out]
+        out_shape += [
+            jax.ShapeDtypeStruct((nb, n_ng, NG2, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, n_ng, NG2, SUBS, LANES), dt),
+        ]
 
     def sv(count, rows=None):
         return pltpu.VMEM(((Np1 if rows is None else rows),
@@ -559,10 +767,14 @@ def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
         tile(), tile(), tile(),                  # alpha_aff mu_aff sigma
         pltpu.VMEM((5, SUBS, LANES), dt),        # stat row
     ]
+    if n_ng:
+        scratch += [
+            pltpu.VMEM((n_ng, NG2 * SUBS, LANES), dt) for _ in range(7)
+        ]  # lamg tg dtag dlag cog dt2g dl2g
 
     kernel = functools.partial(
-        _resident_kernel, NB, NU, NX, NZ, N, k_max,
-        mu_scal, mu_tol, alpha_min, mu0,
+        _resident_kernel, NB, NU, NX, NZ, N, k_max, NG,
+        tuple(ng_stage_ids), mu_scal, mu_tol, alpha_min, mu0,
     )
     return pcall(
         kernel,
@@ -571,4 +783,4 @@ def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-    )(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl, dcat, mb)
+    )(*args)

@@ -85,7 +85,6 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
             os.environ.get("HPMPC_RESIDENT", "0") == "1"
             and dims.NB > 0
             and qp.dtype == jnp.float32
-            and not any(g > 0 for g in dims.ng)
             and int(getattr(cfg, "iter_ref", 0)) == 0
         ):
             from ..models import ipm_resident

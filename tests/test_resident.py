@@ -113,3 +113,43 @@ def test_resident_early_stop_freeze(interpret_pallas, monkeypatch):
     # converged instances report status 0
     assert np.all(np.asarray(sol_r.status)[same]
                   == np.asarray(sol_l.status)[same])
+
+
+def test_resident_matches_lanes_phase1_ng(interpret_pallas, monkeypatch):
+    """General constraints through the resident kernel (in-kernel C-row
+    barrier fold / corrector / alpha contributions on the static active
+    stages) vs the lanes engine in the same phase-1-only config."""
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
+    dims, qp = mass_spring_qp(8, 3, 4, ngN=4, dtype=jnp.float32)
+    qpb = pbatch.broadcast_qp(qp, 1024)
+    rng = np.random.default_rng(0)
+    qpb = dataclasses.replace(
+        qpb,
+        b=qpb.b * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(1024), jnp.float32
+        )[:, None, None],
+    )
+    cfg = dataclasses.replace(
+        ipm.IPMConfig(k_max=3, mu_tol=1e-4), use_pallas=True
+    )
+    sol_r = jax.jit(
+        lambda q: ipm_resident.solve_batched_resident(dims, q, cfg)
+    )(qpb)
+    sol_l = _lanes_phase1_only(dims, qpb, cfg)
+    np.testing.assert_array_equal(np.asarray(sol_r.kk),
+                                  np.asarray(sol_l.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_r.z), np.asarray(sol_l.z), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_r.lam_g), np.asarray(sol_l.lam_g),
+        rtol=5e-3, atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_r.stat), np.asarray(sol_l.stat),
+        rtol=2e-2, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_r.inf_norm_res), np.asarray(sol_l.inf_norm_res),
+        rtol=5e-2, atol=5e-3,
+    )
