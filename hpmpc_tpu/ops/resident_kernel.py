@@ -190,18 +190,27 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
     # ---- phase 0: apply pending update (stage k), prep + factor ---------
     @pl.when(phase == 0)
     def _():
+        # NaN-SAFE pending update: a frozen iteration leaves a2p = 0
+        # but its direction slabs may hold NaN (the breakdown that froze
+        # it) — arithmetic masking (0 * NaN = NaN) would corrupt the
+        # frozen state, so every update is a lane-select, exactly like
+        # the engines' where-gating
         a2 = a2p_s[...]
+        upd = a2 > 0.0
         z_old = _slab_row(zs, k, NZ)
         dz2 = _slab_row(dz2s, k, NZ)
-        z_new = [z_old[i] + a2 * (dz2[i] - z_old[i]) for i in range(NZ)]
+        z_new = [jnp.where(upd, z_old[i] + a2 * (dz2[i] - z_old[i]),
+                           z_old[i]) for i in range(NZ)]
         zs[pl.ds(k, 1), :, :] = _cat_slab(z_new)
         lam_old = _slab_row(lams, k, NB2)
         dl2 = _slab_row(dl2s, k, NB2)
-        lam_new = [lam_old[i] + a2 * dl2[i] for i in range(NB2)]
+        lam_new = [jnp.where(upd, lam_old[i] + a2 * dl2[i], lam_old[i])
+                   for i in range(NB2)]
         lams[pl.ds(k, 1), :, :] = _cat_slab(lam_new)
         t_old = _slab_row(ts, k, NB2)
         dt2 = _slab_row(dt2s, k, NB2)
-        t_new = [t_old[i] + a2 * dt2[i] for i in range(NB2)]
+        t_new = [jnp.where(upd, t_old[i] + a2 * dt2[i], t_old[i])
+                 for i in range(NB2)]
         ts[pl.ds(k, 1), :, :] = _cat_slab(t_new)
 
         @pl.when(k >= 1)
@@ -210,8 +219,8 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
             pi_old = _slab_row(pis, e, NX)
             dpi2 = _slab_row(dpi2s, e, NX)
             pis[pl.ds(e, 1), :, :] = _cat_slab(
-                [pi_old[i] + a2 * (dpi2[i] - pi_old[i])
-                 for i in range(NX)])
+                [jnp.where(upd, pi_old[i] + a2 * (dpi2[i] - pi_old[i]),
+                           pi_old[i]) for i in range(NX)])
 
         # ng state rides the same pending update, once, at its stage
         for j, stg in enumerate(ng_stage_ids):
@@ -222,9 +231,11 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
                 dlg = _gs_row(dl2g_s, j, NG2)
                 dtg = _gs_row(dt2g_s, j, NG2)
                 lamg_s[j, :, :] = jnp.concatenate(
-                    [lg[i] + a2 * dlg[i] for i in range(NG2)], axis=0)
+                    [jnp.where(upd, lg[i] + a2 * dlg[i], lg[i])
+                     for i in range(NG2)], axis=0)
                 tg_s[j, :, :] = jnp.concatenate(
-                    [tg[i] + a2 * dtg[i] for i in range(NG2)], axis=0)
+                    [jnp.where(upd, tg[i] + a2 * dtg[i], tg[i])
+                     for i in range(NG2)], axis=0)
 
         # pending update consumed after the last stage (stage 0): a
         # liveness-skipped iteration must not re-apply it (the convex
@@ -576,11 +587,12 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
             frz_s[...] = jnp.where(
                 live & (~ok | (a2 < alpha_min)), one, frz_s[...])
             kk_s[...] = kk_s[...] + jnp.where(upd, one, zero)
-            lv = jnp.where(live, one, zero)
-            stat_c[0] = sg_s[...] * lv
-            stat_c[1] = aa_s[...] * lv
-            stat_c[2] = muaff_s[...] * lv
-            stat_c[3] = alpha2 * lv
+            # rows recorded only for APPLIED iterations (the engines'
+            # ok-gate drops the breakdown row, incl. its NaN sigma)
+            stat_c[0] = jnp.where(upd, sg_s[...], zero)
+            stat_c[1] = jnp.where(upd, aa_s[...], zero)
+            stat_c[2] = jnp.where(upd, muaff_s[...], zero)
+            stat_c[3] = jnp.where(upd, alpha2, zero)
             stat_c[4] = jnp.where(upd, mu_new, zero)
 
     # ---- every-step output writes (garbage-free progressive flush) ------
