@@ -130,6 +130,18 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
                 cfg, iter_ref=0,
                 mu_tol=max(float(cfg.mu_tol), ref_thr),
             )
+            if os.environ.get("HPMPC_RESIDENT", "0") == "1":
+                # stage 1 is phase-1-to-mu_tol — exactly the resident
+                # engine's contract (and its fastest consumer)
+                from ..models import ipm_resident
+                from ..ops import resident_kernel as _rk
+
+                if _rk.resident_fits(int(dims.NX), int(dims.NU),
+                                     int(dims.NB), int(dims.N)):
+                    sol1 = ipm_resident.solve_batched_resident(
+                        dims, qp, cfg1, z0=z0, pi0=pi0)
+                    return ipm_fast.solve_batched_flat(
+                        dims, qp, cfg, state0=sol1)
             sol1 = ipm_lanes.solve_batched_lanes(dims, qp, cfg1,
                                                  z0=z0, pi0=pi0)
             return ipm_fast.solve_batched_flat(dims, qp, cfg, state0=sol1)
