@@ -433,7 +433,9 @@ def make_pallas_chain_kkt(ng_stages: tuple, NU: int):
     @_fs.def_vmap
     def _fs_vmap(axis_size, in_batched, dvec, Qx_g, g, H, C, F, rhs_b):
         assert all(in_batched), "pallas path expects fully batched data"
-        if axis_size % stage_kernel.BI == 0:
+        NZ = H.shape[-1]
+        fits = stage_kernel.engine_fits(NZ - NU, NU)
+        if axis_size % stage_kernel.BI == 0 and fits:
             if len(ng_stages) > 0:
                 idx = np.asarray(ng_stages)
                 ngterm = jnp.einsum(
@@ -446,6 +448,23 @@ def make_pallas_chain_kkt(ng_stages: tuple, NU: int):
             z, pi, L, eu, px, Pb = stage_kernel.factor_solve_folded(
                 H, dvec, ngterm, ng_stages, g, F, rhs_b, NU
             )
+        elif axis_size % stage_kernel.BI == 0:
+            # MEDIUM/LARGE band: past the per-scalar engines' VMEM
+            # envelope the batch rides the blocked Riccati — batched
+            # MXU matmuls per stage with the Pallas right-looking
+            # Cholesky replacing the D&C recursion (ops/batch_chol).
+            from . import riccati_blocked
+
+            H_eff = H + jnp.eye(NZ, dtype=H.dtype) * dvec[..., None, :]
+            if len(ng_stages) > 0:
+                idx = np.asarray(ng_stages)
+                H_eff = H_eff.at[:, idx].add(jnp.einsum(
+                    "bngz,bng,bngw->bnzw", C[:, idx], Qx_g[:, idx], C[:, idx]
+                ))
+            sol, L, eu, px, Pb = riccati_blocked.factor_solve(
+                H_eff, g, F, rhs_b, NU
+            )
+            z, pi = sol.z, sol.pi
         else:
             z, pi, L, Pb = jax.vmap(
                 lambda *a: _fs.fun(*a)
@@ -460,8 +479,14 @@ def make_pallas_chain_kkt(ng_stages: tuple, NU: int):
     @_trs.def_vmap
     def _trs_vmap(axis_size, in_batched, L, g, F, rhs_b, Pb):
         assert all(in_batched)
-        if axis_size % stage_kernel.BI == 0:
+        fits = stage_kernel.engine_fits(F.shape[-1], NU)
+        if axis_size % stage_kernel.BI == 0 and fits:
             z, pi = stage_kernel.solve_batched(L, g, F, rhs_b, Pb, NU)
+        elif axis_size % stage_kernel.BI == 0:
+            from . import riccati_blocked
+
+            sol, _ = riccati_blocked.solve(L, g, F, rhs_b, NU, Pb=Pb)
+            z, pi = sol.z, sol.pi
         else:
             z, pi = jax.vmap(lambda *a: _trs.fun(*a))(L, g, F, rhs_b, Pb)
         return (z, pi), (True, True)

@@ -115,6 +115,32 @@ def test_resident_early_stop_freeze(interpret_pallas, monkeypatch):
                   == np.asarray(sol_l.status)[same])
 
 
+def test_resident_stage1_two_stage_parity(interpret_pallas, monkeypatch):
+    """bench.py's parity line under HPMPC_RESIDENT=1: the resident engine
+    runs stage 1 (phase-1 to mu <= iter_ref_mu_thr), hands its full
+    primal-dual state to the flat engine, which finishes with mu-gated
+    ITER_REF — final controls must hold <=1e-6 f64 parity, iteration
+    budget respected across the handoff (dispatch: parallel/batch.py)."""
+    monkeypatch.setenv("HPMPC_RESIDENT", "1")
+    K = 6
+    dims, qpb = _batch_qp()
+    qpb64 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64)
+        if x.dtype == jnp.float32 else x, qpb
+    )
+    sol64 = jax.jit(lambda q: pbatch.solve_batched(
+        dims, q, ipm.IPMConfig(k_max=K, mu_tol=0.0)))(qpb64)
+    cfg = ipm.IPMConfig(k_max=K, mu_tol=0.0, iter_ref=2,
+                        iter_ref_mu_thr=1e-2, use_pallas=True)
+    sol = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
+    assert int(np.max(np.asarray(sol.kk))) <= K
+    u_cols = slice(0, dims.NU)
+    err = np.max(np.abs(
+        np.asarray(sol.z, np.float64)[:, :, u_cols]
+        - np.asarray(sol64.z, np.float64)[:, :, u_cols]))
+    assert err <= 1e-6, f"resident-stage1 control error {err:.2e}"
+
+
 def test_resident_matches_lanes_phase1_ng(interpret_pallas, monkeypatch):
     """General constraints through the resident kernel (in-kernel C-row
     barrier fold / corrector / alpha contributions on the static active

@@ -29,8 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-SIZES = ((8, 3), (16, 1), (16, 3), (24, 3), (32, 4), (48, 6))
+SIZES = ((8, 3), (16, 1), (16, 3), (24, 3), (32, 4), (48, 6),
+         (64, 8), (96, 12))
 ENGINES = ("xla", "flat", "mega")
+# Past the per-scalar engines' VMEM envelope (engine_fits False) the
+# pallas dispatch rides the blocked batched Riccati instead
+# (models/riccati_blocked + ops/batch_chol) — measured as its own row.
+ENGINES_LARGE = ("xla", "blocked")
 
 # optional CLI: nx,nu pairs to run, e.g. `bench_size_sweep.py 32,4 48,6`
 if len(sys.argv) > 1:
@@ -104,9 +109,12 @@ def main():
                 lambda q: pbatch.solve_batched(dims, q, cfg)
             )(qpb)
 
+        from hpmpc_tpu.ops import stage_kernel as _sk
+
+        engines = ENGINES if _sk.engine_fits(nx, nu) else ENGINES_LARGE
         sol_ref = None
         t_x = None
-        for engine in ENGINES:
+        for engine in engines:
             os.environ["HPMPC_LANES_LOOP"] = (
                 "1" if engine == "mega" else "0")
             os.environ["HPMPC_MEGA_SWEEPS"] = (
