@@ -92,15 +92,127 @@ def _pick_tb(B: int, n: int, itemsize: int) -> int:
     return 8
 
 
-@functools.partial(jax.jit, static_argnames=("tb",))
-def cholesky(M, tb: int | None = None):
-    """Batched lower Cholesky of SPD ``M`` (..., n, n) via the Pallas
-    right-looking kernel.  Leading dims are flattened into the grid; the
-    batch is padded to a TB multiple with identity instances.  Matches
-    ``tri.cholesky`` (clamped-pivot semantics differ only on non-SPD
-    inputs, where neither factor is meaningful)."""
+def _panel_body(p: int, TB: int, a_ref, l_ref, li_ref):
+    """Fused panel factor + lower-triangular inverse: L = chol(A),
+    Linv = L^-1, both (TB, p, p).  The inverse lets the caller run the
+    column-block trsm as ONE MXU matmul (L21 = A21 @ Linv^T) instead of
+    a p-step substitution over a (B, m, p) block."""
+    A = a_ref[...]
+    dt = A.dtype
+    tiny = jnp.asarray(1e-30 if dt == jnp.float64 else 1e-20, dt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
+    dvec = jnp.zeros((TB, 1, p), dt)
+    for j in range(p):
+        ajj = A[:, j : j + 1, j : j + 1]
+        d = jax.lax.rsqrt(jnp.maximum(ajj, tiny))
+        r = A[:, j : j + 1, :] * d
+        rm = jnp.where(lane > j, r, jnp.zeros((), dt))
+        A = A - (A[:, :, j : j + 1] * d) * rm
+        dvec = jnp.where(lane == j, d, dvec)
+    L = jnp.where(row >= lane, A * dvec, jnp.zeros((), dt))
+    l_ref[...] = L
+    # forward substitution, one row at a time: Linv[i, :] =
+    # (e_i - L[i, <i] @ Linv[<i, :]) / L[i, i]
+    eye = jnp.where(row == lane, jnp.ones((), dt), jnp.zeros((), dt))
+    eye = jnp.broadcast_to(eye, (TB, p, p))
+    dinv = jnp.where(row == lane, jnp.swapaxes(dvec, -1, -2),
+                     jnp.zeros((), dt))  # (TB, p, p) diag of 1/L[j,j]
+    Linv = jnp.zeros((TB, p, p), dt)
+    for i in range(p):
+        li = jnp.where(lane < i, L[:, i : i + 1, :], jnp.zeros((), dt))
+        acc = jnp.sum(jnp.swapaxes(li, -1, -2) * Linv, axis=-2,
+                      keepdims=True)  # (TB, 1, p)
+        ri = (eye[:, i : i + 1, :] - acc) * dinv[:, i : i + 1, i : i + 1]
+        Linv = jnp.where(row == i, ri, Linv)
+    li_ref[...] = Linv
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _panel_factor(A, p: int):
+    """Batched (B, p, p) panel chol + inverse via one Pallas call."""
+    B = A.shape[0]
+    TB = 64 if B % 64 == 0 else 8
+    Bp = ((B + TB - 1) // TB) * TB
+    if Bp != B:
+        pad = jnp.broadcast_to(jnp.eye(p, dtype=A.dtype), (Bp - B, p, p))
+        A = jnp.concatenate([A, pad], axis=0)
+    L, Li = pcall(
+        functools.partial(_panel_body, p, TB),
+        grid=(Bp // TB,),
+        in_specs=[pl.BlockSpec((TB, p, p), lambda i: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((TB, p, p), lambda i: (i, 0, 0))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Bp, p, p), A.dtype)] * 2,
+    )(A)
+    return L[:B], Li[:B]
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def cholesky_blocked(M, p: int = 8):
+    """Blocked right-looking batched Cholesky: panels of width ``p``
+    factor in a fused Pallas kernel (with their triangular inverse); the
+    column-block trsm and the trailing syrk run as MXU batched matmuls.
+
+    The rank-1 kernel (:func:`cholesky`) and the XLA divide-&-conquer
+    are both LATENCY-bound (~n sequential (B, n, n) VPU sweeps; measured
+    ~140 GFLOP/s at (1024, 72, 72) on v5e) — blocking turns all O(n^3)
+    work into n/p MXU syrk passes.  HIGHEST-precision matmuls keep f32
+    accuracy at D&C level (parity-tested)."""
     batch_shape = M.shape[:-2]
     n = M.shape[-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    npad = ((n + p - 1) // p) * p
+    A = M.reshape((B, n, n))
+    if npad != n:
+        A = jnp.pad(A, ((0, 0), (0, npad - n), (0, npad - n)))
+        # identity on the padded diagonal keeps the trailing block SPD
+        ii = jnp.arange(n, npad)
+        A = A.at[:, ii, ii].set(jnp.ones((), M.dtype))
+    cols = []
+    for k in range(0, npad, p):
+        A11 = jax.lax.slice(A, (0, k, k), (B, k + p, k + p))
+        L11, L11i = _panel_factor(A11, p)
+        m = npad - k - p
+        if m > 0:
+            A21 = jax.lax.slice(A, (0, k + p, k), (B, npad, k + p))
+            L21 = jnp.matmul(A21, jnp.swapaxes(L11i, -1, -2),
+                             precision=_HI)
+            A22 = jax.lax.slice(A, (0, k + p, k + p), (B, npad, npad))
+            A22 = A22 - jnp.matmul(L21, jnp.swapaxes(L21, -1, -2),
+                                   precision=_HI)
+            A = jax.lax.dynamic_update_slice(A, A22, (0, k + p, k + p))
+            col = jnp.concatenate([L11, L21], axis=1)  # (B, p+m, p)
+        else:
+            col = L11
+        if k > 0:
+            col = jnp.pad(col, ((0, 0), (k, 0), (0, 0)))
+        cols.append(col)
+    L = jnp.concatenate(cols, axis=-1)
+    return L[:, :n, :n].reshape(batch_shape + (n, n))
+
+
+# blocked beats the rank-1 kernel once the O(n) sequential VPU sweep
+# chain outweighs the per-panel dispatch overhead (hardware A/B:
+# tools/probe_large_nx.py)
+_BLOCKED_MIN_N = 32
+
+
+@functools.partial(jax.jit, static_argnames=("tb",))
+def cholesky(M, tb: int | None = None):
+    """Batched lower Cholesky of SPD ``M`` (..., n, n).  Small n runs the
+    single-kernel rank-1 form below; n >= ``_BLOCKED_MIN_N`` auto-routes
+    to :func:`cholesky_blocked` (MXU panel form).  Leading dims are
+    flattened into the grid; the batch is padded to a TB multiple with
+    identity instances.  Matches ``tri.cholesky`` (clamped-pivot
+    semantics differ only on non-SPD inputs, where neither factor is
+    meaningful)."""
+    batch_shape = M.shape[:-2]
+    n = M.shape[-1]
+    if n >= _BLOCKED_MIN_N and tb is None:
+        return cholesky_blocked(M)
     B = int(np.prod(batch_shape)) if batch_shape else 1
     Mf = M.reshape((B, n, n))
     TB = tb or _pick_tb(max(B, SUBS), n, M.dtype.itemsize)

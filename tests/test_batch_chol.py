@@ -55,6 +55,38 @@ def test_batch_padding_and_leading_dims(interpret_pallas):
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("n", [8, 12, 24, 40])
+def test_blocked_matches_dc_cholesky(interpret_pallas, n):
+    rng = np.random.default_rng(3)
+    B = 16
+    M = _spd(rng, B, n, jnp.float64)
+    L = batch_chol.cholesky_blocked(M)
+    L_ref = tri.cholesky(M)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                               rtol=1e-11, atol=1e-11)
+    assert np.allclose(np.triu(np.asarray(L), 1), 0.0)
+
+
+def test_blocked_f32_accuracy(interpret_pallas):
+    rng = np.random.default_rng(4)
+    M64 = _spd(rng, 8, 36, jnp.float64)
+    L64 = np.asarray(tri.cholesky(M64))
+    L32 = np.asarray(batch_chol.cholesky_blocked(
+        M64.astype(jnp.float32)), np.float64)
+    rel = np.max(np.abs(L32 - L64)) / np.max(np.abs(L64))
+    assert rel < 5e-6
+
+
+def test_auto_route_large_n_is_blocked(interpret_pallas):
+    """cholesky() at n >= _BLOCKED_MIN_N returns the blocked result."""
+    rng = np.random.default_rng(5)
+    M = _spd(rng, 8, batch_chol._BLOCKED_MIN_N, jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(batch_chol.cholesky(M)),
+        np.asarray(batch_chol.cholesky_blocked(M)),
+        rtol=1e-12, atol=1e-12)
+
+
 def test_f32_accuracy(interpret_pallas):
     rng = np.random.default_rng(2)
     M64 = _spd(rng, 16, 20, jnp.float64)

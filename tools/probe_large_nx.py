@@ -60,7 +60,12 @@ def main():
     from hpmpc_tpu.ops import batch_chol
 
     timed("cholesky (HIGHEST, D&C)", tri.cholesky)
-    timed("cholesky (Pallas batched)", batch_chol.cholesky)
+    timed("cholesky (Pallas rank-1)",
+          lambda x: batch_chol.cholesky(x, tb=batch_chol._pick_tb(
+              B, x.shape[-1], x.dtype.itemsize)))
+    timed("cholesky (blocked MXU p=8)", batch_chol.cholesky_blocked)
+    timed("cholesky (blocked MXU p=16)",
+          lambda x: batch_chol.cholesky_blocked(x, p=16))
     timed("tril_inverse (HIGHEST, D&C)", tri.tril_inverse)
     timed("matmul HIGHEST", lambda x: jnp.matmul(x, V, precision=hi))
     timed("solve_triangular (lapack)",
