@@ -452,17 +452,17 @@ def make_pallas_chain_kkt(ng_stages: tuple, NU: int):
             # MEDIUM/LARGE band: past the per-scalar engines' VMEM
             # envelope the batch rides the blocked Riccati — batched
             # MXU matmuls per stage with the Pallas right-looking
-            # Cholesky replacing the D&C recursion (ops/batch_chol).
+            # Cholesky replacing the D&C recursion (ops/batch_chol),
+            # effective Hessians assembled in-scan (never in HBM).
             from . import riccati_blocked
 
-            H_eff = H + jnp.eye(NZ, dtype=H.dtype) * dvec[..., None, :]
+            # fun's semantics: the barrier term only exists at ng_stages
+            smask = np.zeros((1, H.shape[1], 1), dtype=np.float64)
             if len(ng_stages) > 0:
-                idx = np.asarray(ng_stages)
-                H_eff = H_eff.at[:, idx].add(jnp.einsum(
-                    "bngz,bng,bngw->bnzw", C[:, idx], Qx_g[:, idx], C[:, idx]
-                ))
-            sol, L, eu, px, Pb = riccati_blocked.factor_solve(
-                H_eff, g, F, rhs_b, NU
+                smask[:, np.asarray(ng_stages)] = 1.0
+            sol, L, eu, px, Pb = riccati_blocked.factor_solve_folded(
+                H, dvec, C, Qx_g * jnp.asarray(smask, Qx_g.dtype),
+                g, F, rhs_b, NU
             )
             z, pi = sol.z, sol.pi
         else:

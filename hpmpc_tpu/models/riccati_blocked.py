@@ -56,17 +56,44 @@ def factor_solve(H_eff, g_eff, F, b, NU, with_pi=True):
     batch leading on every leaf — the layout ``make_pallas_chain_kkt``'s
     vmap rule hands back.
     """
-    N = F.shape[1]
-    NZ = H_eff.shape[-1]
-    NX = NZ - NU
+    def assemble(n):
+        return lax.dynamic_index_in_dim(H_eff, n, 1, keepdims=False)
 
-    L_N = bchol(H_eff[:, N])
+    return _factor_solve(assemble, g_eff, F, b, NU, with_pi)
+
+
+def factor_solve_folded(H, dvec, C, Qx_g, g_eff, F, b, NU, with_pi=True):
+    """Folded-assembly variant: the effective stage Hessian
+    ``H_n + diag(dvec_n) + C_n' diag(Qx_g_n) C_n`` is built INSIDE the
+    stage scan, so the (B, N+1, NZ, NZ) H_eff stack never exists in HBM
+    (the blocked twin of ``stage_kernel.factor_solve_folded``'s in-VMEM
+    assembly; at nx=64, B=1024 the stack is 2.6 GB per iteration).
+    ``Qx_g`` must already be ng-masked (zero rows at non-ng stages make
+    the rank-NG einsum a no-op there)."""
+    NZ = H.shape[-1]
+    eye = jnp.eye(NZ, dtype=H.dtype)
+
+    def assemble(n):
+        H_n = lax.dynamic_index_in_dim(H, n, 1, keepdims=False)
+        dv = lax.dynamic_index_in_dim(dvec, n, 1, keepdims=False)
+        C_n = lax.dynamic_index_in_dim(C, n, 1, keepdims=False)
+        q_n = lax.dynamic_index_in_dim(Qx_g, n, 1, keepdims=False)
+        return (H_n + eye * dv[..., None, :]
+                + jnp.einsum("bgz,bg,bgw->bzw", C_n, q_n, C_n,
+                             precision=_HI))
+
+    return _factor_solve(assemble, g_eff, F, b, NU, with_pi)
+
+
+def _factor_solve(assemble, g_eff, F, b, NU, with_pi=True):
+    N = F.shape[1]
+
+    L_N = bchol(assemble(N))
     eu_N = _tril_solve_vec(L_N[:, :NU, :NU], g_eff[:, N, :NU])
     px_N = g_eff[:, N, NU:] - _mm(L_N[:, NU:, :NU], eu_N[..., None])[..., 0]
 
     def bwd(carry, n):
         Lxx_next, px_next = carry
-        H_n = lax.dynamic_index_in_dim(H_eff, n, 1, keepdims=False)
         g_n = lax.dynamic_index_in_dim(g_eff, n, 1, keepdims=False)
         F_n = lax.dynamic_index_in_dim(F, n, 1, keepdims=False)
         b_n = lax.dynamic_index_in_dim(b, n, 1, keepdims=False)
@@ -74,7 +101,7 @@ def factor_solve(H_eff, g_eff, F, b, NU, with_pi=True):
         Pb_n = _mm(Lxx_next, _mm(jnp.swapaxes(Lxx_next, -1, -2),
                                  b_n[..., None]))[..., 0]
         m = g_n + _mm(F_n, (Pb_n + px_next)[..., None])[..., 0]
-        M = H_n + _mm(W, jnp.swapaxes(W, -1, -2))
+        M = assemble(n) + _mm(W, jnp.swapaxes(W, -1, -2))
         L_n = bchol(M)
         eu_n = _tril_solve_vec(L_n[:, :NU, :NU], m[:, :NU])
         px_n = m[:, NU:] - _mm(L_n[:, NU:, :NU], eu_n[..., None])[..., 0]

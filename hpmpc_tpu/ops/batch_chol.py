@@ -51,35 +51,48 @@ LANES = 128
 SUBS = 8
 
 
-def _chol_body(n: int, TB: int, a_ref, l_ref):
-    A = a_ref[...]  # (TB, n, n)
-    dt = A.dtype
+def _chol_body(n: int, TB: int, a_ref, l_ref, s_ref):
+    """Right-looking rank-1 factorization IN-PLACE on a VMEM scratch.
+
+    Two deliberate choices vs a value-carried loop:
+      * each column step loads/stores only the TRAILING rows
+        (sublane-aligned static slice) — the rank-1 work shrinks from
+        n * (n x n) to ~n^3/2 elements total;
+      * the matrix lives in a scratch REF between steps, so Mosaic's
+        live-value window stays O(slice) instead of accumulating
+        whole-matrix copies (the stack-OOM mode at n >= ~100).
+    """
+    dt = a_ref.dtype
     tiny = jnp.asarray(1e-30 if dt == jnp.float64 else 1e-20, dt)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
     row = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    s_ref[...] = a_ref[...]
     dvec = jnp.zeros((TB, 1, n), dt)
     for j in range(n):
-        ajj = A[:, j : j + 1, j : j + 1]  # (TB, 1, 1)
+        r0 = (j // SUBS) * SUBS  # sublane-aligned trailing-row start
+        ajj = s_ref[:, j : j + 1, j : j + 1]  # (TB, 1, 1)
         d = jax.lax.rsqrt(jnp.maximum(ajj, tiny))
-        r = A[:, j : j + 1, :] * d  # (TB, 1, n) row j, scaled
+        r = s_ref[:, j : j + 1, :] * d  # (TB, 1, n) row j, scaled
         rm = jnp.where(lane > j, r, jnp.zeros((), dt))
-        c = A[:, :, j : j + 1] * d  # (TB, n, 1) col j, scaled
-        A = A - c * rm  # rank-1 on the trailing block (cols > j)
+        Asub = s_ref[:, r0:, :]  # (TB, n - r0, n)
+        c = Asub[:, :, j : j + 1] * d  # (TB, n - r0, 1) col j, scaled
+        s_ref[:, r0:, :] = Asub - c * rm
         dvec = jnp.where(lane == j, d, dvec)
     # column j (rows >= j) of the updated A is the unscaled factor column
-    L = jnp.where(row >= lane, A * dvec, jnp.zeros((), dt))
-    l_ref[...] = L
+    l_ref[...] = jnp.where(row >= lane, s_ref[...] * dvec,
+                           jnp.zeros((), dt))
 
 
 def _need_bytes(tb: int, n: int, itemsize: int) -> int:
     """Scoped-VMEM estimate for one grid step: in+out blocks double-
-    buffered (4 copies) plus the kernel's live stack — the loaded A, the
-    assembled L and ~2 rank-1 temporaries (4 more).  Calibrated on v5e
-    Mosaic stack-OOM reports (TB=64, n=72: reported 22.0 MiB; this model
-    gives 23.6 MiB)."""
+    buffered (4 tiles), the scratch matrix (1), and a few live slice
+    temporaries.  With the in-place scratch-ref loop the live window no
+    longer grows with n (the value-carried form accumulated whole-matrix
+    copies: 9.3 at n=72, 18.1 at n=108 — v5e stack-OOM reports).
+    Hardware-calibrated by tools/calib_chol_vmem.py."""
     npad = max(((n + LANES - 1) // LANES) * LANES, LANES)
     nsub = max(((n + SUBS - 1) // SUBS) * SUBS, SUBS)
-    return 8 * tb * nsub * npad * itemsize
+    return 10 * tb * nsub * npad * itemsize
 
 
 def _pick_tb(B: int, n: int, itemsize: int) -> int:
@@ -156,11 +169,13 @@ def cholesky_blocked(M, p: int = 8):
     factor in a fused Pallas kernel (with their triangular inverse); the
     column-block trsm and the trailing syrk run as MXU batched matmuls.
 
-    The rank-1 kernel (:func:`cholesky`) and the XLA divide-&-conquer
-    are both LATENCY-bound (~n sequential (B, n, n) VPU sweeps; measured
-    ~140 GFLOP/s at (1024, 72, 72) on v5e) — blocking turns all O(n^3)
-    work into n/p MXU syrk passes.  HIGHEST-precision matmuls keep f32
-    accuracy at D&C level (parity-tested)."""
+    MEASURED NEGATIVE RESULT on v5e (tools/probe_large_nx.py, B=1024,
+    n=72): 8.1 ms (p=8) / 5.8 ms (p=16) vs the rank-1 kernel's 0.255 ms
+    and the D&C's 1.43 ms.  The n/p XLA steps each materialize the
+    trailing block in HBM and pay dispatch latency, which swamps the MXU
+    win at these sizes — the single-kernel rank-1 form keeps everything
+    in VMEM and is ~5.6x FASTER than the D&C instead.  Kept as a tested
+    variant for much larger n; NOT auto-routed."""
     batch_shape = M.shape[:-2]
     n = M.shape[-1]
     B = int(np.prod(batch_shape)) if batch_shape else 1
@@ -194,25 +209,18 @@ def cholesky_blocked(M, p: int = 8):
     return L[:, :n, :n].reshape(batch_shape + (n, n))
 
 
-# blocked beats the rank-1 kernel once the O(n) sequential VPU sweep
-# chain outweighs the per-panel dispatch overhead (hardware A/B:
-# tools/probe_large_nx.py)
-_BLOCKED_MIN_N = 32
-
-
 @functools.partial(jax.jit, static_argnames=("tb",))
 def cholesky(M, tb: int | None = None):
-    """Batched lower Cholesky of SPD ``M`` (..., n, n).  Small n runs the
-    single-kernel rank-1 form below; n >= ``_BLOCKED_MIN_N`` auto-routes
-    to :func:`cholesky_blocked` (MXU panel form).  Leading dims are
-    flattened into the grid; the batch is padded to a TB multiple with
-    identity instances.  Matches ``tri.cholesky`` (clamped-pivot
-    semantics differ only on non-SPD inputs, where neither factor is
-    meaningful)."""
+    """Batched lower Cholesky of SPD ``M`` (..., n, n) via the Pallas
+    right-looking rank-1 kernel — measured 5.6x the XLA D&C at
+    (1024, 72, 72) f32 on v5e (0.255 vs 1.43 ms; the MXU panel variant
+    :func:`cholesky_blocked` measured SLOWER, see its docstring).
+    Leading dims are flattened into the grid; the batch is padded to a
+    TB multiple with identity instances.  Matches ``tri.cholesky``
+    (clamped-pivot semantics differ only on non-SPD inputs, where
+    neither factor is meaningful)."""
     batch_shape = M.shape[:-2]
     n = M.shape[-1]
-    if n >= _BLOCKED_MIN_N and tb is None:
-        return cholesky_blocked(M)
     B = int(np.prod(batch_shape)) if batch_shape else 1
     Mf = M.reshape((B, n, n))
     TB = tb or _pick_tb(max(B, SUBS), n, M.dtype.itemsize)
@@ -220,11 +228,11 @@ def cholesky(M, tb: int | None = None):
     if Bp != B:
         pad = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), (Bp - B, n, n))
         Mf = jnp.concatenate([Mf, pad], axis=0)
+    from jax.experimental.pallas import tpu as pltpu
+
     kwargs = {}
     need = _need_bytes(TB, n, M.dtype.itemsize)
     if need > (14 << 20):  # even TB=8 outgrows the Mosaic default (big n)
-        from jax.experimental.pallas import tpu as pltpu
-
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(min(2 * need, 112 << 20)))
     out = pcall(
@@ -233,6 +241,7 @@ def cholesky(M, tb: int | None = None):
         in_specs=[pl.BlockSpec((TB, n, n), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((TB, n, n), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, n, n), M.dtype),
+        scratch_shapes=[pltpu.VMEM((TB, n, n), M.dtype)],
         **kwargs,
     )(Mf)
     return out[:B].reshape(batch_shape + (n, n))

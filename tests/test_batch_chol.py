@@ -77,16 +77,6 @@ def test_blocked_f32_accuracy(interpret_pallas):
     assert rel < 5e-6
 
 
-def test_auto_route_large_n_is_blocked(interpret_pallas):
-    """cholesky() at n >= _BLOCKED_MIN_N returns the blocked result."""
-    rng = np.random.default_rng(5)
-    M = _spd(rng, 8, batch_chol._BLOCKED_MIN_N, jnp.float64)
-    np.testing.assert_allclose(
-        np.asarray(batch_chol.cholesky(M)),
-        np.asarray(batch_chol.cholesky_blocked(M)),
-        rtol=1e-12, atol=1e-12)
-
-
 def test_f32_accuracy(interpret_pallas):
     rng = np.random.default_rng(2)
     M64 = _spd(rng, 16, 20, jnp.float64)

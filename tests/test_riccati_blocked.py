@@ -59,6 +59,35 @@ def test_factor_solve_matches_vmapped(interpret_pallas, NX, NU):
                                rtol=1e-9, atol=1e-9)
 
 
+def test_folded_assembly_matches_explicit(interpret_pallas):
+    """factor_solve_folded (in-scan H_eff assembly) == factor_solve on
+    the pre-assembled stack, exactly."""
+    rng = np.random.default_rng(7)
+    B, N, NX, NU, NG = 8, 4, 5, 2, 3
+    NZ = NX + NU
+    H, g, F, b = _chain_data(rng, B, N, NX, NU)
+    dvec = jnp.asarray(np.abs(rng.standard_normal((B, N + 1, NZ))) + 0.1,
+                       jnp.float64)
+    C = jnp.asarray(rng.standard_normal((B, N + 1, NG, NZ)), jnp.float64)
+    Qxg = jnp.asarray(np.abs(rng.standard_normal((B, N + 1, NG))),
+                      jnp.float64)
+    # mask two stages inactive, as the dispatch's ng_mask would
+    Qxg = Qxg.at[:, 1].set(0.0).at[:, 3].set(0.0)
+
+    H_eff = (H + jnp.eye(NZ, dtype=H.dtype) * dvec[..., None, :]
+             + jnp.einsum("bngz,bng,bngw->bnzw", C, Qxg, C))
+    sol_a, L_a, eu_a, px_a, Pb_a = riccati_blocked.factor_solve(
+        H_eff, g, F, b, NU)
+    sol_f, L_f, eu_f, px_f, Pb_f = riccati_blocked.factor_solve_folded(
+        H, dvec, C, Qxg, g, F, b, NU)
+    np.testing.assert_allclose(np.asarray(sol_f.z), np.asarray(sol_a.z),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(L_f), np.asarray(L_a),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Pb_f), np.asarray(Pb_a),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_solve_retained_factor_matches_vmapped(interpret_pallas):
     rng = np.random.default_rng(1)
     B, N, NX, NU = 8, 4, 5, 2

@@ -76,14 +76,17 @@ def main():
             # runtime trip count (bench.py's trick): ONE compiled module
             # serves both K values — at nx>=32 the unrolled per-scalar
             # kernels already push the module near the compile relay's
-            # 10 MB payload cap, so the timing graph must not grow with K
+            # 10 MB payload cap, so the timing graph must not grow with K.
+            # The QP is an ARGUMENT (closing over it embeds the
+            # per-instance b as a module constant — 8 MB at nx=64, which
+            # alone breaches the relay cap: HTTP 413).
             @jax.jit
-            def run(K, seed):
+            def run(q0, K, seed):
                 def body(i, acc):
                     q = dataclasses.replace(
-                        qpb,
-                        b=qpb.b * (1.0 + 1e-5 * (i.astype(dt) + seed)
-                                   + 1e-30 * acc),
+                        q0,
+                        b=q0.b * (1.0 + 1e-5 * (i.astype(dt) + seed)
+                                  + 1e-30 * acc),
                     )
                     sol = pbatch.solve_batched(dims, q, cfg)
                     return acc + jnp.sum(sol.z) + jnp.sum(
@@ -95,12 +98,12 @@ def main():
 
         def slope(cfg, K_lo=2, K_hi=6, reps=2):
             f = make_run(cfg)
-            float(f(K_lo, jnp.asarray(0.0, dt)))  # compile + warm
+            float(f(qpb, K_lo, jnp.asarray(0.0, dt)))  # compile + warm
             ts = {}
             for K in (K_lo, K_hi):
                 t0 = time.perf_counter()
                 for r in range(1, reps + 1):
-                    float(f(K, jnp.asarray(r * 31.0, dt)))
+                    float(f(qpb, K, jnp.asarray(r * 31.0, dt)))
                 ts[K] = (time.perf_counter() - t0) / reps
             return max((ts[K_hi] - ts[K_lo]) / (K_hi - K_lo), 1e-9)
 
@@ -158,10 +161,21 @@ def main():
                     mx, mf = rx.max(axis=0), rf.max(axis=0)
                     row["res_max_xla"] = [float(v) for v in mx]
                     row["res_max_eng"] = [float(v) for v in mf]
-                    ok = bool(np.all(mf <= 2.0 * mx + 1e-4))
-                    assert ok and kk_match >= 0.9, (
-                        f"PARITY FAIL res_eng={mf} res_xla={mx} "
-                        f"kk={kk_match:.3f}")
+                    if mx.max() > 1e6:
+                        # the ANCHOR diverged (measured at nx=96: the f32
+                        # XLA D&C Cholesky loses SPD on some instances,
+                        # rq ~ 3e17, while the clamped-pivot Pallas
+                        # engines stay bounded) — parity against it is
+                        # meaningless; require only that THIS engine is
+                        # bounded and report the anchor failure.
+                        row["anchor_diverged"] = True
+                        assert mf.max() < 1e6, (
+                            f"engine diverged too: {mf}")
+                    else:
+                        ok = bool(np.all(mf <= 2.0 * mx + 1e-4))
+                        assert ok and kk_match >= 0.9, (
+                            f"PARITY FAIL res_eng={mf} res_xla={mx} "
+                            f"kk={kk_match:.3f}")
                 t = slope(cfg)
                 if engine == "xla":
                     t_x = t

@@ -71,11 +71,57 @@ def main():
     timed("solve_triangular (lapack)",
           lambda x: tri.solve_tril(jnp.tril(x), V))
 
+    # the per-stage / per-iteration small solves of the blocked Riccati
+    nu = nz - nx
+    vvec = jnp.asarray(rng.standard_normal((B, nz)), dt)
+    timed("trsv lapack vec (B, nz)",
+          lambda x: tri.solve_tril(jnp.tril(x), vvec[..., None])[..., 0])
+    timed("trsv lapack vec (B, nu, nu)",
+          lambda x: tri.solve_tril(
+              jnp.tril(x[:, :nu, :nu]), vvec[:, :nu, None])[..., 0])
+    timed("matvec (B, nu, nu)",
+          lambda x: jnp.matmul(x[:, :nu, :nu], vvec[:, :nu, None],
+                               precision=hi)[..., 0])
+
     # accuracy cross-check on-device
     Lp = np.asarray(jax.jit(batch_chol.cholesky)(SPD), np.float64)
     Ld = np.asarray(jax.jit(tri.cholesky)(SPD), np.float64)
     rel = np.max(np.abs(Lp - Ld)) / np.max(np.abs(Ld))
     print(f"max rel |L_pallas - L_dc| = {rel:.3e}")
+
+    # ---- full blocked Riccati factor+solve at this size (N=30) ---------
+    from jax import lax as _lax
+
+    from hpmpc_tpu.models import riccati_blocked
+
+    N = 30
+    nu = nz - nx
+    Hs = jnp.asarray(
+        np.broadcast_to(np.asarray(SPD)[:, None], (B, N + 1, nz, nz)), dt)
+    g = jnp.asarray(rng.standard_normal((B, N + 1, nz)), dt)
+    F = jnp.asarray(0.3 * rng.standard_normal((B, N, nz, nx)), dt)
+    b = jnp.asarray(rng.standard_normal((B, N, nx)), dt)
+
+    @jax.jit
+    def run_ric(Hs, g, F, b, K, seed):
+        def body(i, acc):
+            s = 1.0 + 1e-5 * (i.astype(dt) + seed) + 1e-30 * acc
+            sol, L, eu, px, Pb = riccati_blocked.factor_solve(
+                Hs * s, g * s, F, b, nu)
+            return acc + jnp.sum(sol.z) + jnp.sum(L[:, 0, 0, 0])
+
+        return _lax.fori_loop(0, K, body, jnp.asarray(0.0, dt))
+
+    float(run_ric(Hs, g, F, b, 1, jnp.asarray(0.0, dt)))
+    ts = {}
+    for K in (1, 3):
+        t0 = time.perf_counter()
+        for r in (1, 2):
+            float(run_ric(Hs, g, F, b, K, jnp.asarray(r * 7.0, dt)))
+        ts[K] = (time.perf_counter() - t0) / 2
+    ms = max((ts[3] - ts[1]) / 2, 1e-9) * 1e3
+    print(f"{'riccati_blocked factor_solve N=30':34s} {ms:9.3f} ms/call"
+          f"  (B={B}, nz={nz})", flush=True)
 
 
 if __name__ == "__main__":
