@@ -88,43 +88,9 @@ def _watchdog(budget_s: float):
     # measurements printed normally; nothing to do
 
 
-def _engine_knobs() -> str:
-    """The engine knobs ACTUALLY in effect, mirroring
-    hpmpc_tpu.parallel.batch.solve_batched's dispatch (lanes selected by
-    LANES_LOOP default-ON or MEGA=1; mega only inside the lanes engine,
-    ipm_lanes default-ON)."""
-    lanes_on = (
-        os.environ.get("HPMPC_LANES_LOOP", "1") == "1"
-        or os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
-    )
-    mega_on = lanes_on and os.environ.get("HPMPC_MEGA_SWEEPS", "1") == "1"
-    fused_on = os.environ.get("HPMPC_FUSED_SWEEPS", "0") == "1"
-    resident_on = os.environ.get("HPMPC_RESIDENT", "0") == "1"
-    return "".join(
-        f" {k}=1"
-        for k, on in (
-            ("HPMPC_RESIDENT", resident_on),
-            ("HPMPC_LANES_LOOP", lanes_on and not resident_on),
-            ("HPMPC_MEGA_SWEEPS", mega_on and not resident_on),
-            ("HPMPC_FUSED_SWEEPS", fused_on),
-        )
-        if on
-    )
-
-
 def main():
     budget = float(os.environ.get("HPMPC_BENCH_BUDGET_S", "1380"))
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
-
-    # Default the bench to the 4th-generation solver-resident engine —
-    # hardware-validated bit-exact vs the lanes engine on this problem
-    # (tools/check_resident_tpu.py: kk match 100%, dz=0.0) and measured
-    # fastest (541k vs mega 481k equiv solves/s on v5e).  On the flagship
-    # bench the two semantics coincide: the f32 barrier floor (~1e-4) is
-    # above mu_switch (1e-5), so the 2-phase solver never leaves phase 1
-    # either (mean 5.45 vs 5.44 iters).  Library dispatch stays opt-in;
-    # set HPMPC_RESIDENT=0 to A/B the mega engine here.
-    os.environ.setdefault("HPMPC_RESIDENT", "1")
 
     import jax
 
@@ -153,10 +119,17 @@ def main():
     # use_pallas routes solve_batched to the flat-state batch-level engine
     # (models/ipm_fast.py): lanes-form Pallas Riccati/residual kernels plus
     # tile-friendly (batch, flat) loop state — ~30x over the vmapped XLA path
+    # mu_switch=0 pins the LEGACY no-residual semantics (d_ip2_hard) the
+    # work-normalized headline has always measured: every iteration is a
+    # phase-1 iteration to the f32 barrier floor.  Under that contract the
+    # library dispatch (select_engine) picks the 4th-generation resident
+    # engine by construction — the headline row measures the SHIPPED
+    # default, and the engine actually dispatched is stamped below.
     cfg = ipm.IPMConfig(
-        k_max=K_MAX, mu_tol=0.0, alpha_min=1e-8,
+        k_max=K_MAX, mu_tol=0.0, alpha_min=1e-8, mu_switch=0.0,
         use_pallas=jax.default_backend() == "tpu",
     )
+    engine = pbatch.select_engine(dims, cfg, BATCH, dtype)
 
     @jax.jit
     def run(q, K, seed):
@@ -204,19 +177,14 @@ def main():
 
     per_solve_s = (times[10] - times[2]) / (10 - 2)
     solves_per_s = (BATCH * mean_kk / K_MAX) / per_solve_s
-    # stamp the EFFECTIVE engine knobs (lanes + mega default ON since the
-    # hardware A/B: flat 372k < lanes 416k < mega 481k solves/s on v5e).
-    # Replicates batch.py's dispatch: MEGA only runs inside the lanes
-    # engine, so a flat-engine A/B (LANES=0, MEGA unset) stamps neither.
-    knobs = _engine_knobs()
     payload = {
         "metric": "ipm_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": (
             f"equivalent 8-iteration solves/s (mass-spring nx=8 nu=3 N=30 "
             f"nb=7 ngN=8, batch={BATCH}, f32, mean_iters={mean_kk:.2f}, "
-            f"slope K=2..10 in-graph, {per_solve_s*1e3:.3f} ms/batch"
-            f"{knobs})"
+            f"slope K=2..10 in-graph, {per_solve_s*1e3:.3f} ms/batch, "
+            f"engine={engine} [library default dispatch])"
         ),
         "vs_baseline": round(solves_per_s / _BASELINE, 2),
     }
@@ -257,6 +225,7 @@ def _parity_measurement(jax, jnp, lax, ipm, pbatch, dims, qpb, dtype,
         iter_ref_mu_thr=1e-2,
         use_pallas=jax.default_backend() == "tpu",
     )
+    engine_p = pbatch.select_engine(dims, cfg_par, BATCH, dtype)
 
     @jax.jit
     def run_par(q, K, seed):
@@ -290,11 +259,12 @@ def _parity_measurement(jax, jnp, lax, ipm, pbatch, dims, qpb, dtype,
         "value": round(solves_p, 1),
         "unit": (
             f"true 8-iteration solves/s at reference tolerance (two-stage:"
-            f" mega engine to mu<=1e-2, then flat + iter_ref=2 via hot"
-            f" continuation; <=1e-6 control parity with f64 at matched"
+            f" fast stage-1 engine to mu<=1e-2, then flat + iter_ref=2 via"
+            f" hot continuation; <=1e-6 control parity with f64 at matched"
             f" iterations; mass-spring nx=8 nu=3 N=30 nb=7 ngN=8, "
             f"batch={BATCH}, slope K=2..10 in-graph, "
-            f"{per_solve_p*1e3:.3f} ms/batch{_engine_knobs()})"
+            f"{per_solve_p*1e3:.3f} ms/batch, engine={engine_p} "
+            f"[library default dispatch])"
         ),
         "vs_baseline": round(solves_p / _BASELINE, 2),
     }

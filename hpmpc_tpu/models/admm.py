@@ -44,6 +44,13 @@ class ADMMConfig:
     tol_p: float = 1e-5
     tol_d: float = 1e-5
     warm_start: bool = False
+    # route the per-iteration retained-factor Riccati resolve through the
+    # custom_vmap KKT wrapper (models/ipm.make_pallas_chain_kkt._trs):
+    # vmapped over a 1024-multiple batch it dispatches to the fused Pallas
+    # stage solve kernels (ops/stage_kernel.solve_batched) — the ADMM
+    # z-step is EXACTLY the "new rhs, retained factor" fast path the
+    # reference's update_hessian=0 flag selects (test_d_admm_box.c:381).
+    use_pallas: bool = False
 
 
 class ADMMSolution(NamedTuple):
@@ -94,6 +101,25 @@ def _solve_common(dims, qp, cfg, prox, z0=None, v0=None, w0=None):
         qp.pad_diag + rho * qp.z_mask
     )
     L = riccati.factor(H_eff, qp.F, NU)
+    # Pb_n = P_{n+1} b_n = Lxx_{n+1} (Lxx_{n+1}' b_n): retained across
+    # every z-step (the reference's compute_Pb=0 resolve fast path)
+    Lxx = L[1:, NU:, NU:]
+    Pb = jnp.einsum(
+        "nij,nkj,nk->ni", Lxx, Lxx, qp.b,
+        precision=jax.lax.Precision.HIGHEST)
+
+    if cfg.use_pallas:
+        from .ipm import make_pallas_chain_kkt
+
+        _, _trs = make_pallas_chain_kkt((), NU)
+
+        def resolve(g_eff):
+            z, pi = _trs(L, g_eff, qp.F, qp.b, Pb)
+            return z, pi
+    else:
+        def resolve(g_eff):
+            sol, _ = riccati.solve(L, g_eff, qp.F, qp.b, NU, Pb=Pb)
+            return sol.z, sol.pi
 
     zeros = jnp.zeros((N + 1, NZ), dt)
     state0 = _State(
@@ -110,8 +136,8 @@ def _solve_common(dims, qp, cfg, prox, z0=None, v0=None, w0=None):
     def body(s: _State) -> _State:
         # z-step: gradient g - rho (v - w) on real coords
         g_eff = (qp.g - rho * (s.v - s.w)) * qp.z_mask
-        sol, _ = riccati.solve(L, g_eff, qp.F, qp.b, NU)
-        z = sol.z * qp.z_mask
+        z_new, pi_new = resolve(g_eff)
+        z = z_new * qp.z_mask
         zh = alpha * z + (1.0 - alpha) * s.v
         y = zh + s.w
         v = prox(y) * qp.z_mask
@@ -122,7 +148,7 @@ def _solve_common(dims, qp, cfg, prox, z0=None, v0=None, w0=None):
         stat = lax.dynamic_update_slice(
             s.stat, row[None].astype(dt), (s.kk, jnp.asarray(0, s.kk.dtype))
         )
-        return _State(z=z, v=v, w=w, pi=sol.pi, rp=rp, rd=rd, kk=s.kk + 1, stat=stat)
+        return _State(z=z, v=v, w=w, pi=pi_new, rp=rp, rd=rd, kk=s.kk + 1, stat=stat)
 
     def pred(s: _State):
         return (s.kk < cfg.k_max) & ((s.rp > tol_p) | (s.rd > tol_d))

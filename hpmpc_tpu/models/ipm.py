@@ -356,6 +356,28 @@ def init_vars(dims: OCPDims, qp: OCPQP, cfg: IPMConfig, z0=None, pi0=None,
 # --------------------------------------------------------------------------
 
 
+def step_ok(mu_new, mu_old):
+    """Numerical-breakdown guard predicate, shared by every solver loop
+    (structured / flat / lanes, hard and soft).
+
+    Freezes the last good iterate (alpha-min exit, status=2) when the
+    accepted step produced (a) a non-finite duality measure — the
+    reference's unimplemented "if mu is nan, recover solution" hook,
+    ``d_ip2_res_hard.c:1306-1311`` — or (b), on f32 only, a DIVERGING
+    one: mu growing >10x from below 1e-3 means the barrier system's
+    conditioning (~1/mu) has outrun f32 and the computed direction is
+    garbage (measured at nx=16 nu=3: 1-2 instances per 1024 blow their
+    duals to ~1e4 while mu jumps 1.1e-5 -> 3.0e-4; the iterate BEFORE
+    the jump is fine — tools/diag_eng_resid.py).  Healthy solves never
+    trigger (b): a 10x mu increase from below 1e-3 does not occur on the
+    central path at f32-reachable tolerances, and f64 is exempt.
+    """
+    ok = jnp.isfinite(mu_new)
+    if mu_new.dtype == jnp.float32:
+        ok = ok & ~((mu_new > 10.0 * mu_old) & (mu_old < 1e-3))
+    return ok
+
+
 def compute_residuals(qp: OCPQP, oh, mu_scal, z, pi, lam_b, t_b, lam_g, t_g):
     N = qp.F.shape[0]
     NU = qp.H.shape[-1] - qp.x_mask.shape[-1]
@@ -430,11 +452,27 @@ def make_pallas_chain_kkt(ng_stages: tuple, NU: int):
         sol, L, eu, px, Pb = riccati.factor_solve(H_eff, g_eff, F, rhs_b, NU)
         return sol.z, sol.pi, L, Pb
 
+    def _blocked_ok(axis_size, dtype):
+        """Gate for the blocked medium/large-NZ branch.
+
+        On TPU: any sublane-multiple batch, f32 only (the batch_chol
+        Pallas kernel cannot lower f64 on hardware — f64 degrades to the
+        vmapped XLA path instead of failing compile).  On CPU the gate
+        stays at the BI multiple so ordinary f64 parity tests keep the
+        pure-XLA route (Pallas on CPU only runs under the tests'
+        interpret monkeypatch)."""
+        from ..ops import stage_kernel
+
+        if jax.default_backend() == "tpu":
+            return axis_size % 8 == 0 and dtype == jnp.float32
+        return axis_size % stage_kernel.BI == 0
+
     @_fs.def_vmap
     def _fs_vmap(axis_size, in_batched, dvec, Qx_g, g, H, C, F, rhs_b):
         assert all(in_batched), "pallas path expects fully batched data"
         NZ = H.shape[-1]
-        fits = stage_kernel.engine_fits(NZ - NU, NU)
+        fits = stage_kernel.engine_fits(NZ - NU, NU) and (
+            H.dtype == jnp.float32 or jax.default_backend() != "tpu")
         if axis_size % stage_kernel.BI == 0 and fits:
             if len(ng_stages) > 0:
                 idx = np.asarray(ng_stages)
@@ -448,7 +486,7 @@ def make_pallas_chain_kkt(ng_stages: tuple, NU: int):
             z, pi, L, eu, px, Pb = stage_kernel.factor_solve_folded(
                 H, dvec, ngterm, ng_stages, g, F, rhs_b, NU
             )
-        elif axis_size % stage_kernel.BI == 0:
+        elif _blocked_ok(axis_size, H.dtype):
             # MEDIUM/LARGE band: past the per-scalar engines' VMEM
             # envelope the batch rides the blocked Riccati — batched
             # MXU matmuls per stage with the Pallas right-looking
@@ -479,10 +517,11 @@ def make_pallas_chain_kkt(ng_stages: tuple, NU: int):
     @_trs.def_vmap
     def _trs_vmap(axis_size, in_batched, L, g, F, rhs_b, Pb):
         assert all(in_batched)
-        fits = stage_kernel.engine_fits(F.shape[-1], NU)
+        fits = stage_kernel.engine_fits(F.shape[-1], NU) and (
+            L.dtype == jnp.float32 or jax.default_backend() != "tpu")
         if axis_size % stage_kernel.BI == 0 and fits:
             z, pi = stage_kernel.solve_batched(L, g, F, rhs_b, Pb, NU)
-        elif axis_size % stage_kernel.BI == 0:
+        elif _blocked_ok(axis_size, L.dtype):
             from . import riccati_blocked
 
             sol, _ = riccati_blocked.solve(L, g, F, rhs_b, NU, Pb=Pb)
@@ -800,11 +839,9 @@ def _solve_impl(
             mu=mu_new, alpha=a2, kk=s.kk + 1, sigma=sigma, stat=stat,
             carry=carry,
         )
-        # numerical-breakdown guard (the reference's unimplemented "if mu is
-        # nan, recover solution", d_ip2_res_hard.c:1306-1311): at the f32
-        # precision floor the barrier Hessian factorization breaks down;
-        # keep the last good iterate and force the alpha_min exit.
-        ok = jnp.isfinite(mu_new)
+        # numerical-breakdown guard: see step_ok (finite + f32
+        # divergence freeze)
+        ok = step_ok(mu_new, s.mu)
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b),
             s_new,
@@ -920,8 +957,8 @@ def _solve_impl(
             mu=mu_new, alpha=a2, kk=s.kk + 1, sigma=sigma, stat=stat,
             carry=carry,
         )
-        # numerical-breakdown guard — see phase-1 note
-        ok = jnp.isfinite(mu_new)
+        # numerical-breakdown guard — see step_ok
+        ok = step_ok(mu_new, s.mu)
         s_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b),
             s_new,

@@ -632,7 +632,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
             stat=stat_update(s.stat, s.kk, row),
         )
         # numerical-breakdown guard — see ipm phase-1 note
-        ok = jnp.isfinite(mu_new)
+        ok = _ipm.step_ok(mu_new, s.mu)
         return gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
 
     def phase1_pred_b(s):
@@ -754,7 +754,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
         )
-        ok = jnp.isfinite(mu_new)
+        ok = _ipm.step_ok(mu_new, s.mu)
         s_new = gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
         res_new = gate_res(ok, res_new, res)
         return (s_new, res_new)

@@ -567,7 +567,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
         )
-        ok = jnp.isfinite(mu_new)
+        ok = _ipm.step_ok(mu_new, s.mu)
         return gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
 
     def phase1_pred_b(s):
@@ -673,7 +673,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
         )
-        ok = jnp.isfinite(mu_new)
+        ok = _ipm.step_ok(mu_new, s.mu)
         s_new = gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
         res_new = gate_res(ok, res_new, res)
         return (s_new, res_new)

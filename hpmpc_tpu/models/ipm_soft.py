@@ -41,6 +41,7 @@ from .ipm import (
     _min_ratio,
     _scatter_box,
     make_pallas_chain_kkt,
+    step_ok,
 )
 
 
@@ -400,7 +401,7 @@ def _solve_impl(dims, qp, soft, cfg, exact_mehrotra_soft=True,
             lam_s=lam_s_new, t_s=t_s_new,
             mu=mu_new, alpha=a2, kk=s.kk + 1, sigma=sigma, stat=stat,
         )
-        ok = jnp.isfinite(mu_new)
+        ok = step_ok(mu_new, s.mu)
         return jax.tree_util.tree_map(
             lambda a_, b_: jnp.where(ok, a_, b_),
             s_new,

@@ -35,6 +35,7 @@ from jax import lax
 
 from ..ocp import OCPDims, OCPQP
 from . import ipm_soft as _soft
+from .ipm import step_ok as _step_ok
 
 
 class _FState(NamedTuple):
@@ -439,7 +440,7 @@ def _impl(dims, qp, soft, cfg, idxbs_static, exact_mehrotra_soft):
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
         )
-        ok = jnp.isfinite(mu_new)
+        ok = _step_ok(mu_new, s.mu)
         return gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
 
     def pred_b(s):

@@ -297,16 +297,23 @@ def tree_backend(
     return ipm.KKTBackend(factor_solve=factor_solve, resolve=resolve, residuals=residuals)
 
 
-def solve_tree_ipm(tdef: TreeDef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
+def solve_tree_ipm(tdef: TreeDef, dims: OCPDims, qp: OCPQP,
+                   cfg: ipm.IPMConfig, z0=None, pi0=None):
     """Tree IPM (``d_tree_ip2_res_mpc_hard_libstr``): the shared two-phase
     Mehrotra loop with the tree backend injected.
 
     ``dims`` must describe the NODE arrays: dims.N + 1 == n_nodes (the
     chain-specific fields nx/nu are per-node here; masks drive everything).
+
+    ``z0`` (n_nodes, NZ) / ``pi0`` (n_nodes-1, NX) with ``cfg.warm_start``
+    seed the iterate (the reference tree solver's ``warm_start`` argument,
+    ``d_tree_ip2_res_hard_libstr.c:80``) — closed-loop tree-RTI re-solves
+    start from the previous tick's node trajectory.
     """
     assert dims.N + 1 == tdef.n_nodes
     return ipm.solve(
-        dims, qp, cfg, backend=tree_backend(tdef, dims, qp, reg_eps=cfg.reg_eps)
+        dims, qp, cfg, z0=z0, pi0=pi0,
+        backend=tree_backend(tdef, dims, qp, reg_eps=cfg.reg_eps)
     )
 
 
@@ -423,7 +430,8 @@ def _flat_tree_kkt_factory(tdef: TreeDef):
 
 
 def solve_tree_ipm_flat(
-    tdef: TreeDef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig
+    tdef: TreeDef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
+    z0=None, pi0=None,
 ):
     """Batched tree IPM through the flat-state Pallas engine — the tree
     twin of ``parallel.batch``'s chain/soft fast paths.  ``qp`` leaves
@@ -442,5 +450,6 @@ def solve_tree_ipm_flat(
         "VMEM accumulator); use the level-batched XLA path (solve_tree_ipm)"
     )
     return ipm_fast.solve_batched_flat(
-        dims, qp, cfg, kkt_factory=_flat_tree_kkt_factory(tdef)
+        dims, qp, cfg, kkt_factory=_flat_tree_kkt_factory(tdef),
+        z0=z0, pi0=pi0,
     )

@@ -580,7 +580,10 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
             mu_new = (s0_s[...] + a2 * s1_s[...]
                       + a2 * a2 * s2_s[...]) * mu_scal
             # NaN-safe finiteness (x == x rejects NaN; bound rejects inf)
-            ok = (mu_new == mu_new) & (jnp.abs(mu_new) < _BIG)
+            # + the f32 divergence freeze (models/ipm.step_ok: mu growing
+            # >10x from below 1e-3 = breakdown; keep the last good state)
+            ok = ((mu_new == mu_new) & (jnp.abs(mu_new) < _BIG)
+                  & ~((mu_new > 10.0 * mu_s[...]) & (mu_s[...] < 1e-3)))
             upd = live & ok
             a2p_s[...] = jnp.where(upd, a2, zero)
             mu_s[...] = jnp.where(upd, mu_new, mu_s[...])

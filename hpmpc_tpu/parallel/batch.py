@@ -42,31 +42,44 @@ def broadcast_qp(qp: OCPQP, batch: int) -> OCPQP:
     )
 
 
-def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
-                  z0=None, pi0=None):
-    """vmap the full IPM over a leading instance axis of every QP leaf.
+#: chunk width for very large batches: past ~4096 instances the engines'
+#: HBM working set spills and per-batch time goes superlinear (measured
+#: 8192 = 3.4x the 4096 time on v5e round-3); solve_batched sweeps such
+#: batches through the engines in <=4096-instance chunks via lax.map
+#: (ONE compiled body, sequential grid) so users see ~linear ms/batch.
+CHUNK_B = 4096
 
-    With ``cfg.use_pallas`` and a 1024-multiple batch, dispatches to the
-    flat-state batch-level engine (:mod:`..models.ipm_fast`) — same
-    algorithm, TPU-tile-friendly (B, flat) loop state and fused Pallas
-    Riccati/residual kernels.  Other batch sizes take the vmapped
-    structured path (which itself uses the Pallas stage kernels through
-    ``custom_vmap`` when the batch allows).
 
-    ``HPMPC_LANES_LOOP=1`` (hardware A/B knob) further routes eligible
-    f32 solves to the lanes-resident engine (:mod:`..models.ipm_lanes`):
-    all step primitives as Pallas kernels, zero per-iteration transposes
-    and selection matmuls.
+def _pick_chunk(B: int) -> int | None:
+    if B <= CHUNK_B:
+        return None
+    for c in (CHUNK_B, CHUNK_B // 2, CHUNK_B // 4):
+        if B % c == 0:
+            return c
+    return None
 
-    ``z0`` (B, N+1, NZ) / ``pi0`` (B, N, NX) with ``cfg.warm_start`` seed
-    the iterate on EVERY path (the reference's hot-loop ``warm_start``,
-    ``d_ip2_res_hard.c:116`` arg 6) — batched RTI/closed-loop re-solves
-    stay on the throughput engines."""
+
+def select_engine(dims: OCPDims, cfg: ipm.IPMConfig, B: int, dtype) -> str:
+    """Single source of truth for the hard-path dispatch rule.
+
+    Returns the engine :func:`solve_batched` will run for this
+    (problem, config, batch): ``"resident"`` (whole-IPM single
+    pallas_call, 4th generation), ``"lanes"`` (lanes/mega half-iteration
+    kernels), ``"flat"`` (flat-state engine), ``"two_stage_resident"`` /
+    ``"two_stage_lanes"`` (fast stage-1 to ``iter_ref_mu_thr``, then
+    flat + mu-gated refinement), or ``"structured"`` (vmapped
+    structured path — which itself Pallas-dispatches its KKT solves via
+    ``custom_vmap``: per-scalar stage kernels or, past their VMEM
+    envelope, the blocked batched Riccati).  bench.py stamps this value
+    into its JSON line so the headline row is self-describing.
+
+    Env knobs (hardware A/B, all default ON where validated):
+    ``HPMPC_RESIDENT=0`` disables the resident engine,
+    ``HPMPC_LANES_LOOP=0`` the lanes/mega engine.
+    """
     import os
 
-    B = qp.b.shape[0]
-    warm = bool(cfg.warm_start)
-    if (
+    if not (
         cfg.use_pallas
         and dims.n_constr > 0
         and dims.idxb is not None
@@ -77,74 +90,139 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
         # boundary: tools/bench_size_sweep.py.
         and _engine_fits(dims)
     ):
-        if (
-            # opt-in 4th generation (latency mode): the ENTIRE phase-1
-            # IPM in ONE pallas_call, state VMEM-resident, step glue
-            # in-kernel — the reference's legacy no-residual d_ip2_hard
-            # semantics (phase 1 to mu_tol; box-only)
-            os.environ.get("HPMPC_RESIDENT", "0") == "1"
-            and dims.NB > 0
-            and qp.dtype == jnp.float32
-            and int(getattr(cfg, "iter_ref", 0)) == 0
-        ):
-            from ..models import ipm_resident
-            from ..ops import resident_kernel as _rk
+        return "structured"
+    f32 = dtype == jnp.float32
+    iter_ref = int(getattr(cfg, "iter_ref", 0))
+    ref_thr = float(getattr(cfg, "iter_ref_mu_thr", 0.0))
 
-            if _rk.resident_fits(int(dims.NX), int(dims.NU),
-                                 int(dims.NB), int(dims.N)):
-                return ipm_resident.solve_batched_resident(
-                    dims, qp, cfg, z0=z0, pi0=pi0)
-        lanes_ok = (
-            (
-                # default ON: hardware-validated fastest hard-path engine
-                # (480k vs 372k solves/s on v5e); set =0 to A/B the
-                # flat-state engine
-                os.environ.get("HPMPC_LANES_LOOP", "1") == "1"
-                # MEGA implies the lanes engine (the mega kernels only
-                # exist there) — one knob is enough for the A/B run
-                or os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
-            )
+    def resident_ok(stage1_mu_tol: float) -> bool:
+        # 4th generation: the ENTIRE phase-1 IPM in ONE pallas_call,
+        # state VMEM-resident, step glue in-kernel — the reference's
+        # legacy no-residual d_ip2_hard semantics (phase 1 to mu_tol).
+        # Default ON (hardware-validated bit-exact vs the lanes engine,
+        # tools/check_resident_tpu.py) — but ONLY where those semantics
+        # coincide with the requested config: mu_switch <= the target
+        # tolerance means the 2-phase solver would never leave phase 1
+        # either, so the solutions are identical by construction.
+        from ..ops import resident_kernel as _rk
+
+        return (
+            os.environ.get("HPMPC_RESIDENT", "1") == "1"
             and dims.NB > 0
-            and qp.dtype == jnp.float32  # mixed precision stays on ipm_fast
-            and _engine_fits(dims, lanes=True)  # tighter VMEM bound
+            and f32
+            and float(cfg.mu_switch) <= stage1_mu_tol
+            and _rk.resident_fits(int(dims.NX), int(dims.NU),
+                                  int(dims.NB), int(dims.N))
         )
-        ref_thr = float(getattr(cfg, "iter_ref_mu_thr", 0.0))
-        if lanes_ok and int(getattr(cfg, "iter_ref", 0)) == 0:
+
+    lanes_ok = (
+        (
+            # default ON: hardware-validated fastest 2-phase engine
+            # (481k vs 372k solves/s on v5e); set =0 to A/B the
+            # flat-state engine.  MEGA implies the lanes engine (the
+            # mega kernels only exist there).
+            os.environ.get("HPMPC_LANES_LOOP", "1") == "1"
+            or os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
+        )
+        and dims.NB > 0
+        and f32  # mixed precision stays on ipm_fast
+        and _engine_fits(dims, lanes=True)  # tighter VMEM bound
+    )
+    if iter_ref == 0:
+        if resident_ok(float(cfg.mu_tol)):
+            return "resident"
+        return "lanes" if lanes_ok else "flat"
+    if ref_thr > 0 and lanes_ok:
+        if resident_ok(max(float(cfg.mu_tol), ref_thr)):
+            return "two_stage_resident"
+        return "two_stage_lanes"
+    return "flat"
+
+
+def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
+                  z0=None, pi0=None):
+    """vmap the full IPM over a leading instance axis of every QP leaf.
+
+    With ``cfg.use_pallas`` and a 1024-multiple batch, dispatches to the
+    Pallas engine ladder (see :func:`select_engine` — the rule, and the
+    A/B env knobs): resident / lanes+mega / flat-state
+    (:mod:`..models.ipm_fast`) — same algorithm, TPU-tile-friendly
+    (B, flat) loop state and fused Pallas Riccati/residual kernels.
+    Other batch sizes take the vmapped structured path (which itself
+    uses the Pallas stage kernels or the blocked batched Riccati through
+    ``custom_vmap`` when the batch allows).
+
+    Batches wider than :data:`CHUNK_B` are swept through the engines in
+    chunks inside ONE compiled ``lax.map`` — ms/batch stays ~linear in B
+    instead of cliffing when the whole batch outgrows HBM working sets.
+
+    ``z0`` (B, N+1, NZ) / ``pi0`` (B, N, NX) with ``cfg.warm_start`` seed
+    the iterate on EVERY path (the reference's hot-loop ``warm_start``,
+    ``d_ip2_res_hard.c:116`` arg 6) — batched RTI/closed-loop re-solves
+    stay on the throughput engines."""
+    B = qp.b.shape[0]
+    warm = bool(cfg.warm_start)
+    engine = select_engine(dims, cfg, B, qp.dtype)
+    chunk = _pick_chunk(B) if engine != "structured" else None
+    if chunk is not None:
+        nch = B // chunk
+
+        def _split(x):
+            return x.reshape((nch, chunk) + x.shape[1:])
+
+        qc = jax.tree_util.tree_map(_split, qp)
+        zc = None if z0 is None else _split(z0)
+        pc = None if pi0 is None else _split(pi0)
+
+        sol = jax.lax.map(
+            lambda args: solve_batched(dims, args[0], cfg,
+                                       z0=args[1], pi0=args[2]),
+            (qc, zc, pc),
+        )
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((B,) + x.shape[2:]), sol)
+
+    if engine == "resident":
+        from ..models import ipm_resident
+
+        return ipm_resident.solve_batched_resident(
+            dims, qp, cfg, z0=z0, pi0=pi0)
+    if engine == "lanes":
+        from ..models import ipm_lanes
+
+        return ipm_lanes.solve_batched_lanes(dims, qp, cfg, z0=z0, pi0=pi0)
+    if engine in ("two_stage_resident", "two_stage_lanes"):
+        # TWO-STAGE parity route (reference-tolerance accuracy at
+        # near-mega speed): the resident or lanes/mega engine runs the
+        # well-conditioned early iterations to mu <= iter_ref_mu_thr,
+        # then hands its FULL primal-dual state to the flat engine,
+        # which finishes with mu-gated iterative refinement.  kk and
+        # the stat trace continue across the handoff, so the total
+        # iteration budget and per-iteration rows match a
+        # single-engine run.
+        import dataclasses
+
+        from ..models import ipm_fast
+
+        cfg1 = dataclasses.replace(
+            cfg, iter_ref=0,
+            mu_tol=max(float(cfg.mu_tol),
+                       float(getattr(cfg, "iter_ref_mu_thr", 0.0))),
+        )
+        if engine == "two_stage_resident":
+            # stage 1 is phase-1-to-mu_tol — exactly the resident
+            # engine's contract (and its fastest consumer)
+            from ..models import ipm_resident
+
+            sol1 = ipm_resident.solve_batched_resident(
+                dims, qp, cfg1, z0=z0, pi0=pi0)
+        else:
             from ..models import ipm_lanes
 
-            return ipm_lanes.solve_batched_lanes(dims, qp, cfg, z0=z0, pi0=pi0)
-        if lanes_ok and ref_thr > 0:
-            # TWO-STAGE parity route (reference-tolerance accuracy at
-            # near-mega speed): the lanes/mega engine runs the
-            # well-conditioned early iterations to mu <= iter_ref_mu_thr,
-            # then hands its FULL primal-dual state to the flat engine,
-            # which finishes with mu-gated iterative refinement.  kk and
-            # the stat trace continue across the handoff, so the total
-            # iteration budget and per-iteration rows match a
-            # single-engine run.
-            import dataclasses
-
-            from ..models import ipm_fast, ipm_lanes
-
-            cfg1 = dataclasses.replace(
-                cfg, iter_ref=0,
-                mu_tol=max(float(cfg.mu_tol), ref_thr),
-            )
-            if os.environ.get("HPMPC_RESIDENT", "0") == "1":
-                # stage 1 is phase-1-to-mu_tol — exactly the resident
-                # engine's contract (and its fastest consumer)
-                from ..models import ipm_resident
-                from ..ops import resident_kernel as _rk
-
-                if _rk.resident_fits(int(dims.NX), int(dims.NU),
-                                     int(dims.NB), int(dims.N)):
-                    sol1 = ipm_resident.solve_batched_resident(
-                        dims, qp, cfg1, z0=z0, pi0=pi0)
-                    return ipm_fast.solve_batched_flat(
-                        dims, qp, cfg, state0=sol1)
             sol1 = ipm_lanes.solve_batched_lanes(dims, qp, cfg1,
                                                  z0=z0, pi0=pi0)
-            return ipm_fast.solve_batched_flat(dims, qp, cfg, state0=sol1)
+        return ipm_fast.solve_batched_flat(dims, qp, cfg, state0=sol1)
+    if engine == "flat":
         from ..models import ipm_fast
 
         return ipm_fast.solve_batched_flat(dims, qp, cfg, z0=z0, pi0=pi0)
@@ -239,14 +317,20 @@ def solve_batched_soft(
     )(qp, soft)
 
 
-def solve_batched_tree(tdef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
+def solve_batched_tree(tdef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
+                       z0=None, pi0=None):
     """Tree-IPM twin of :func:`solve_batched`: batched scenario-tree QPs
     (node/edge arrays with a leading batch axis).  With ``cfg.use_pallas``,
     a 1024-multiple batch, static ``dims.idxb``, f32 data and a tree small
     enough for the fused kernels' VMEM accumulator, dispatches to the
     flat-state tree engine (``models/tree.solve_tree_ipm_flat``, Pallas
     tree sweeps through the shared flat IPM loop); otherwise the vmapped
-    level-batched XLA path."""
+    level-batched XLA path.
+
+    ``z0`` (B, n_nodes, NZ) / ``pi0`` (B, n_nodes-1, NX) with
+    ``cfg.warm_start`` seed the node iterate on BOTH paths — closed-loop
+    tree-RTI re-solves stay on the fused engine (the reference tree
+    solver's ``warm_start`` argument, ``d_tree_ip2_res_hard_libstr.c:80``)."""
     from ..models import tree as _tree
     from ..ops import tree_kernel as tk
 
@@ -257,13 +341,45 @@ def solve_batched_tree(tdef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig):
         and B % 1024 == 0
         and qp.dtype == jnp.float32
         and int(getattr(cfg, "iter_ref", 0)) == 0
-        and not cfg.warm_start
         and tk.tree_fits_fused(tdef.n_nodes, dims.NZ)
     ):
-        return _tree.solve_tree_ipm_flat(tdef, dims, qp, cfg)
+        return _tree.solve_tree_ipm_flat(tdef, dims, qp, cfg,
+                                         z0=z0, pi0=pi0)
+    if cfg.warm_start and z0 is not None:
+        return jax.vmap(
+            lambda q, zz, pp: _tree.solve_tree_ipm(tdef, dims, q, cfg,
+                                                   z0=zz, pi0=pp)
+        )(qp, z0, pi0 if pi0 is not None else jnp.zeros(
+            (B, dims.N, dims.NX), qp.dtype))
     return jax.vmap(
         lambda q: _tree.solve_tree_ipm(tdef, dims, q, cfg)
     )(qp)
+
+
+def solve_batched_admm(dims: OCPDims, qp: OCPQP, cfg, soft=None,
+                       z0=None, v0=None, w0=None):
+    """ADMM twin of :func:`solve_batched`: batched box (or, with
+    ``soft=(Z, z_lin)``, soft) ADMM solves.  With ``cfg.use_pallas`` and a
+    1024-multiple batch the per-iteration retained-factor Riccati resolve
+    inside every instance dispatches to the fused Pallas stage solve
+    kernels through the shared ``custom_vmap`` KKT wrapper — the batched
+    analogue of the reference's ``update_hessian=0`` hot loop
+    (``test_problems/test_d_admm_box.c:381``)."""
+    from ..models import admm as _admm
+
+    kw = {}
+    if z0 is not None:
+        kw = dict(z0=z0, v0=v0, w0=w0)
+    if soft is None:
+        fn = lambda q, **k: _admm.solve_box(dims, q, cfg, **k)  # noqa: E731
+    else:
+        Z, z_lin = soft
+        fn = lambda q, **k: _admm.solve_soft(  # noqa: E731
+            dims, q, Z, z_lin, cfg, **k)
+    if kw:
+        return jax.vmap(lambda q, z, v, w: fn(q, z0=z, v0=v, w0=w))(
+            qp, z0, v0, w0)
+    return jax.vmap(fn)(qp)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
@@ -285,14 +401,56 @@ def solve_sharded(
     cfg: ipm.IPMConfig,
     mesh: Mesh,
     axis: str = "batch",
+    z0=None,
+    pi0=None,
 ):
     """jit-compiled batch solve with the instance axis sharded over ``mesh``.
 
-    XLA partitions the whole two-phase IPM per-device; no collectives are
-    needed (embarrassingly parallel over instances), so scaling across
-    ICI/DCN is linear up to compilation constants.
+    No collectives are needed (embarrassingly parallel over instances), so
+    scaling across ICI/DCN is linear up to compilation constants.
+
+    Two partitioning modes, one semantics:
+
+    * XLA path (``cfg.use_pallas`` False, or the engine gates reject the
+      per-device batch): plain ``jit`` with sharded in/out — XLA's SPMD
+      partitioner splits the structured solve per device.
+    * Engine path: the Pallas engines are opaque kernels with no SPMD
+      partitioning rules, so the solve is wrapped in ``jax.shard_map`` —
+      each device runs the FULL engine on its local batch shard, which is
+      exactly the engines' contract (the per-device batch must satisfy
+      the 1024-multiple gate for the engines to engage; the dispatch
+      gates see the LOCAL shape inside shard_map and degrade gracefully
+      otherwise).  Per-instance results are independent, so sharded ==
+      unsharded bit-for-bit (asserted by tests/test_sharding.py and
+      ``__graft_entry__.dryrun_multichip`` step 6).
     """
     sh = NamedSharding(mesh, P(axis))
+
+    if cfg.use_pallas:
+        spec_in = jax.tree_util.tree_map(lambda _: P(axis), qp)
+        warm = {}
+        if z0 is not None:
+            warm["z0"] = z0
+        if pi0 is not None:
+            warm["pi0"] = pi0
+        wspec = {k: P(axis) for k in warm}
+
+        @jax.jit
+        def _solve_sm(q, w):
+            return jax.shard_map(
+                lambda qq, ww: solve_batched(dims, qq, cfg,
+                                             z0=ww.get("z0"),
+                                             pi0=ww.get("pi0")),
+                mesh=mesh,
+                in_specs=(spec_in, wspec),
+                out_specs=P(axis),
+                # the engines' pallas_calls don't annotate varying-across-
+                # mesh metadata on their out_shapes; replication checking
+                # is meaningless here anyway (everything is batch-varying)
+                check_vma=False,
+            )(q, w)
+
+        return _solve_sm(qp, warm)
 
     @functools.partial(
         jax.jit,
@@ -302,4 +460,10 @@ def solve_sharded(
     def _solve(q):
         return solve_batched(dims, q, cfg)
 
+    if z0 is not None or pi0 is not None:
+        @jax.jit
+        def _solve_w(q, zz, pp):
+            return solve_batched(dims, q, cfg, z0=zz, pi0=pp)
+
+        return _solve_w(qp, z0, pi0)
     return _solve(qp)

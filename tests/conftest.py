@@ -15,6 +15,12 @@ import os
 # 8-device mesh, both CPU-only.  TPU execution is exercised by bench.py /
 # __graft_entry__.py on the real chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The suite pins engines explicitly per test (flat / lanes / mega A/B
+# coverage); the 4th-generation resident engine — the library default
+# where its phase-1 semantics coincide with the config (select_engine) —
+# is exercised by tests/test_resident.py (which sets =1) and the
+# dispatch RULE by tests/test_dispatch.py (which deletes the override).
+os.environ.setdefault("HPMPC_RESIDENT", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

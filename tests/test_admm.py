@@ -98,3 +98,46 @@ def test_admm_soft_converges_to_soft_ipm_solution():
     np.testing.assert_allclose(
         np.asarray(sol.z), np.asarray(sol_ipm.z), atol=5e-5
     )
+
+
+def test_admm_pallas_resolve_matches_xla(monkeypatch):
+    """cfg.use_pallas routes the per-iteration retained-factor resolve
+    through the custom_vmap stage-solve kernels (interpret mode on CPU);
+    iterates must match the XLA resolve to fp round-off."""
+    import dataclasses
+
+    import pytest
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+    from hpmpc_tpu.parallel import batch as pbatch
+
+    dims, qp = mass_spring_qp(8, 3, 4, dtype=jnp.float32)
+    B = 1024
+    qpb = pbatch.broadcast_qp(qp, B)
+    rng = np.random.default_rng(5)
+    qpb = __import__("dataclasses").replace(
+        qpb,
+        b=qpb.b * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(B), jnp.float32)[:, None, None],
+    )
+    cfg_x = admm.ADMMConfig(k_max=30, tol_p=1e-5, tol_d=1e-5)
+    cfg_p = __import__("dataclasses").replace(cfg_x, use_pallas=True)
+    sol_x = jax.jit(
+        lambda q: pbatch.solve_batched_admm(dims, q, cfg_x))(qpb)
+    sol_p = jax.jit(
+        lambda q: pbatch.solve_batched_admm(dims, q, cfg_p))(qpb)
+    np.testing.assert_array_equal(np.asarray(sol_p.kk), np.asarray(sol_x.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_p.z), np.asarray(sol_x.z), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_p.v), np.asarray(sol_x.v), atol=2e-5
+    )

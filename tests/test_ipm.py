@@ -338,3 +338,27 @@ def test_warm_start_from_solution_converges_immediately():
     )(qp, cold.z, cold.pi)
     assert int(warm.status) == 0
     assert int(warm.kk) < int(cold.kk)
+
+
+def test_step_ok_divergence_guard():
+    import jax.numpy as jnp
+
+    """step_ok (shared breakdown guard): rejects non-finite mu always, and
+    f32 endgame divergence (mu growing >10x from below 1e-3 — the
+    (16, 3) dual-blowup mode, tools/diag_eng_resid.py); f64 and healthy
+    f32 steps pass."""
+    f32 = jnp.float32
+    ok = ipm.step_ok
+    assert not bool(ok(jnp.asarray(jnp.nan, f32), jnp.asarray(1.0, f32)))
+    # the measured blowup: 1.1e-5 -> 3.0e-4 (27x)
+    assert not bool(ok(jnp.asarray(3.0e-4, f32), jnp.asarray(1.1e-5, f32)))
+    # healthy decrease
+    assert bool(ok(jnp.asarray(1e-6, f32), jnp.asarray(1e-5, f32)))
+    # early-phase increases (mu >= 1e-3) are legitimate (centering)
+    assert bool(ok(jnp.asarray(1.0, f32), jnp.asarray(0.05, f32)))
+    # mild late increase (< 10x) tolerated
+    assert bool(ok(jnp.asarray(5e-5, f32), jnp.asarray(1e-5, f32)))
+    # f64 exempt from the divergence rule
+    f64 = jnp.float64
+    assert bool(ok(jnp.asarray(3.0e-4, f64), jnp.asarray(1.1e-5, f64)))
+    assert not bool(ok(jnp.asarray(jnp.inf, f64), jnp.asarray(1.0, f64)))

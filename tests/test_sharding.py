@@ -7,10 +7,24 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+from jax.experimental import pallas as pl
 
 from hpmpc_tpu.models import ipm
 from hpmpc_tpu.parallel import batch as pbatch
 from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    yield
 
 
 def test_virtual_mesh_has_8_devices():
@@ -39,6 +53,49 @@ def test_sharded_solve_matches_batched():
     )
     # the output really is sharded over the mesh
     assert len(sol_sharded.z.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize("engine", ["flat", "lanes"])
+def test_sharded_engine_matches_unsharded(interpret_pallas, monkeypatch,
+                                          engine):
+    """The fast Pallas engines under a 2-device mesh (VERDICT r3 #2): the
+    engines are opaque kernels with no SPMD partitioning rules, so
+    solve_sharded wraps them in jax.shard_map — each device runs the full
+    engine on its local 1024-instance shard.  Per-instance results are
+    independent, so sharded must equal unsharded BIT-FOR-BIT."""
+    monkeypatch.setenv("HPMPC_LANES_LOOP", "1" if engine == "lanes" else "0")
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "1" if engine == "lanes" else "0")
+    monkeypatch.setenv("HPMPC_RESIDENT", "0")
+
+    dims, qp = mass_spring_qp(8, 3, 4, dtype=jnp.float32)
+    B = 2048
+    qpb = pbatch.broadcast_qp(qp, B)
+    rng = np.random.default_rng(7)
+    qpb = dataclasses.replace(
+        qpb,
+        b=qpb.b * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(B), jnp.float32)[:, None, None],
+    )
+    cfg = ipm.IPMConfig(k_max=3, mu_tol=0.0, alpha_min=1e-8,
+                        use_pallas=True)
+    # the dispatch must actually select the engine under test (the
+    # per-device batch inside shard_map is 1024, a BI multiple)
+    assert pbatch.select_engine(dims, cfg, 1024, jnp.float32) == engine
+
+    sol_plain = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
+
+    mesh = pbatch.make_mesh(2)
+    qps = pbatch.shard_qp(qpb, mesh)
+    sol_sh = pbatch.solve_sharded(dims, qps, cfg, mesh)
+    jax.block_until_ready(sol_sh.z)
+
+    assert len(sol_sh.z.sharding.device_set) == 2
+    np.testing.assert_array_equal(np.asarray(sol_sh.z),
+                                  np.asarray(sol_plain.z))
+    np.testing.assert_array_equal(np.asarray(sol_sh.kk),
+                                  np.asarray(sol_plain.kk))
+    np.testing.assert_array_equal(np.asarray(sol_sh.inf_norm_res),
+                                  np.asarray(sol_plain.inf_norm_res))
 
 
 def test_graft_entry_compiles():

@@ -89,6 +89,40 @@ def test_solve_batched_tree_dispatch(interpret_pallas):
     )
 
 
+def test_tree_flat_warm_start(interpret_pallas):
+    """Warm start rides the fused engine (VERDICT r3 #7: the old
+    ``not cfg.warm_start`` gate dropped closed-loop tree-RTI re-solves to
+    the level-batched XLA route).  Seeding with a prior solution must (a)
+    stay on the flat engine, (b) agree with the warm-started structured
+    route iterate-for-iterate, (c) converge at least as fast as cold."""
+    tdef, dims, qp = _tree_qp()
+    qpb = _batched(qp)
+    cfg_cold = ipm.IPMConfig(k_max=6, mu_tol=1e-5, use_pallas=True)
+    sol_cold = jax.jit(
+        lambda q: pbatch.solve_batched_tree(tdef, dims, q, cfg_cold)
+    )(qpb)
+
+    cfg_w = dataclasses.replace(cfg_cold, warm_start=True, k_max=4)
+    sol_w = jax.jit(
+        lambda q, z, p: pbatch.solve_batched_tree(
+            tdef, dims, q, cfg_w, z0=z, pi0=p)
+    )(qpb, sol_cold.z, sol_cold.pi)
+
+    cfg_wx = dataclasses.replace(cfg_w, use_pallas=False)
+    sol_wx = jax.jit(
+        jax.vmap(lambda q, z, p: tree.solve_tree_ipm(
+            tdef, dims, q, cfg_wx, z0=z, pi0=p))
+    )(qpb, sol_cold.z, sol_cold.pi)
+
+    assert bool(jnp.all(sol_w.kk == sol_wx.kk))
+    np.testing.assert_allclose(
+        np.asarray(sol_w.z), np.asarray(sol_wx.z), atol=5e-4
+    )
+    # warm re-solve from the converged point needs fewer iterations than
+    # the cold solve took
+    assert int(jnp.max(sol_w.kk)) <= int(jnp.max(sol_cold.kk))
+
+
 def test_tree_flat_71_nodes(interpret_pallas):
     """Reference tree-benchmark scale (md=2 Nr=3 Nh=10 -> 71 nodes,
     ``test_problems/test_d_tree_ip_hard_libstr.c:61-66``): the fused

@@ -1,0 +1,118 @@
+"""Batched ADMM on real TPU: the last solver family without a hardware
+number (VERDICT r3 weak #8).
+
+Two rows on the flagship problem (mass-spring nx=8 nu=3 N=30, box):
+
+* ``admm_iters_per_s``: fixed-iteration throughput (tol=0, k_max=50) —
+  the per-iteration cost is ONE retained-factor Riccati resolve + prox,
+  i.e. the reference's ``update_hessian=0`` hot loop
+  (``test_problems/test_d_admm_box.c:381``), dispatched through the
+  Pallas stage solve kernels (cfg.use_pallas).
+* ``admm_solves_per_s``: converged solves (tol 1e-5 scaled) with the
+  mean iteration count reported.
+
+Methodology identical to bench.py: runtime-K fori_loop, min-over-reps
+slope between two K values (axon relay noise is additive).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from jax import lax
+
+    from hpmpc_tpu.models import admm
+    from hpmpc_tpu.parallel import batch as pbatch
+    from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+
+    B = 1024
+    dt = jnp.float32
+    dims, qp = mass_spring_qp(8, 3, 30, dtype=dt)
+    qpb = pbatch.broadcast_qp(qp, B)
+    rng = np.random.default_rng(0)
+    qpb = dataclasses.replace(
+        qpb,
+        b=qpb.b * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(B), dt)[:, None, None],
+    )
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    def make_run(cfg):
+        @jax.jit
+        def run(q0, K, seed):
+            def body(i, acc):
+                q = dataclasses.replace(
+                    q0, b=q0.b * (1.0 + 1e-5 * (i.astype(dt) + seed)
+                                  + 1e-30 * acc))
+                sol = pbatch.solve_batched_admm(dims, q, cfg)
+                return acc + jnp.sum(sol.v) + jnp.sum(
+                    sol.kk.astype(dt))
+
+            return lax.fori_loop(0, K, body, jnp.asarray(0.0, dt))
+
+        return run
+
+    def slope(cfg, K_lo=2, K_hi=10, reps=3):
+        f = make_run(cfg)
+        float(f(qpb, 1, jnp.asarray(0.0, dt)))
+        ts = {}
+        for K in (K_lo, K_hi):
+            rts = []
+            for r in range(1, reps + 1):
+                t0 = time.perf_counter()
+                float(f(qpb, K, jnp.asarray(r * 31.0 + K, dt)))
+                rts.append(time.perf_counter() - t0)
+            ts[K] = min(rts)
+        return max((ts[K_hi] - ts[K_lo]) / (K_hi - K_lo), 1e-9)
+
+    # row 1: fixed-iteration throughput
+    KFIX = 50
+    cfg_fix = admm.ADMMConfig(k_max=KFIX, tol_p=0.0, tol_d=0.0,
+                              use_pallas=use_pallas)
+    t = slope(cfg_fix)
+    print(json.dumps({
+        "metric": "admm_iters_per_s",
+        "value": round(B * KFIX / t, 1),
+        "unit": (f"ADMM iterations/s (retained-factor resolve + prox; "
+                 f"mass-spring nx=8 nu=3 N=30 box, batch={B}, f32, "
+                 f"k_max={KFIX}, {t*1e3:.3f} ms/batch, "
+                 f"use_pallas={use_pallas})"),
+        "vs_baseline": 0.0,
+    }), flush=True)
+
+    # row 2: converged solves
+    cfg_c = admm.ADMMConfig(k_max=400, tol_p=1e-5, tol_d=1e-5,
+                            use_pallas=use_pallas)
+    sol = jax.jit(
+        lambda q: pbatch.solve_batched_admm(dims, q, cfg_c))(qpb)
+    kk = np.asarray(sol.kk)
+    conv = float(np.mean(np.asarray(sol.status) == 0))
+    t_c = slope(cfg_c, K_lo=2, K_hi=6, reps=3)
+    print(json.dumps({
+        "metric": "admm_solves_per_s",
+        "value": round(B / t_c, 1),
+        "unit": (f"converged ADMM solves/s (tol 1e-5 scaled, mean "
+                 f"iters={float(kk.mean()):.1f}, converged "
+                 f"{conv*100:.1f}%, batch={B}, f32, "
+                 f"{t_c*1e3:.3f} ms/batch, use_pallas={use_pallas})"),
+        "vs_baseline": 0.0,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,27 +1,44 @@
 """Solver-level problem-size sweep on real TPU: solves/s per engine per
-(nx, nu), with on-chip parity checks.
+(nx, nu), with TRUE-residual parity verdicts.
 
 The reference's canonical benchmark protocol sweeps problem size
-(``test_problems/test_d_ric_mpc.c:283-284``, n = 4...300) — this is the
-solver-level TPU equivalent.  For each size it measures the structured
-vmapped-XLA route and the Pallas engine generations (flat / mega) on the
-mass-spring problem at N=30, and CHECKS each engine's solution against
-the structured route on the same batch (f32 tolerance) — the hardware
-validation of the unrolled per-scalar-tile kernels beyond NZ=11, where
-interpret-mode compile is intractable (XLA:CPU inlines the kernel body
-per grid step; Mosaic compiles it once).
+(``test_problems/test_d_ric_mpc.c:283-284``, n = 4...300; design envelope
+nx <= ~300, ``doc/guide.tex:27``) — this is the solver-level TPU
+equivalent.  For each size it measures the structured vmapped-XLA route
+and the Pallas engine generations (flat / mega in the per-scalar band;
+the blocked batched Riccati in the medium/large band) on the mass-spring
+problem at N=30, and judges each engine's returned iterate with the f64
+HOST oracle (``utils/resid64``): backward-error-relative residuals are
+evaluation-noise-free and conditioning-independent, so "the engines must
+be equally converged" is an assertable statement even where on-chip f32
+``inf_norm_res`` is dominated by cancellation (round-3's nx=16 nu=3
+"blowup" was exactly that).
+
+Anchor protocol (ADVICE r3): the f32 XLA route anchors each size; if its
+own relative residuals show divergence (measured at nx>=96: the f32 D&C
+Cholesky loses SPD on some instances) — or for every row of the large
+band — a TRUSTED anchor is recomputed for a sub-batch by a SUBPROCESS
+running the structured solver in f64 on CPU (``tools/_cpu_f64_anchor.py``)
+and the engine is judged against that.
+
+Measurement floor: the K-slope span escalates (2,6) -> (6,22) -> (22,86)
+until the timing delta clears 40 ms, so sub-millisecond batches (the
+round-3 "475x" artifact at nx=16 nu=1) are timed over enough work.
 
 Engines that fail to compile or exceed VMEM at a size are reported as
 failed rows — that boundary IS the dispatch rule's data
 (``parallel/batch.py`` engine-selection notes).
 
-Prints one JSON line per (size, engine): solves/s, parity, ms/batch.
+Prints one JSON line per (size, engine): solves/s, parity verdicts,
+ms/batch.  Rows never abort the sweep; ``parity_ok`` carries the verdict.
 """
 
 import dataclasses
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 import traceback
 
@@ -29,17 +46,64 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-SIZES = ((8, 3), (16, 1), (16, 3), (24, 3), (32, 4), (48, 6),
-         (64, 8), (96, 12))
+# (nx, nu, batch): batch shrinks at large nx to keep the (B, N+1, NZ, NZ)
+# factor stack + inputs inside HBM (nx=256: 2 x 2.6 GB at B=256)
+SIZES = ((8, 3, 1024), (16, 1, 1024), (16, 3, 1024), (24, 3, 1024),
+         (32, 4, 1024), (48, 6, 1024),
+         (64, 8, 1024), (96, 12, 1024), (128, 16, 512), (192, 24, 512),
+         (256, 32, 256))
 ENGINES = ("xla", "flat", "mega")
 # Past the per-scalar engines' VMEM envelope (engine_fits False) the
 # pallas dispatch rides the blocked batched Riccati instead
 # (models/riccati_blocked + ops/batch_chol) — measured as its own row.
 ENGINES_LARGE = ("xla", "blocked")
 
-# optional CLI: nx,nu pairs to run, e.g. `bench_size_sweep.py 32,4 48,6`
+K_ITERS = 8
+# anchor health: max backward-error-relative stationarity residual the
+# f32 anchor may show before it is considered diverged at that size
+REL_ANCHOR_HEALTHY = 1e-3
+# engine gates vs a healthy f32 anchor (batch-max, f64-oracle relative)
+GATE_RATIO = 10.0
+GATE_RQ_FLOOR = 1e-4
+GATE_RB_FLOOR = 1e-5
+
+# optional CLI: nx,nu[,B] triples to run, e.g. `bench_size_sweep.py 32,4`
 if len(sys.argv) > 1:
-    SIZES = tuple(tuple(int(v) for v in a.split(",")) for a in sys.argv[1:])
+    _parsed = []
+    for a in sys.argv[1:]:
+        parts = [int(v) for v in a.split(",")]
+        _parsed.append(tuple(parts) if len(parts) == 3
+                       else (parts[0], parts[1], 1024))
+    SIZES = tuple(_parsed)
+
+
+def _f64_anchor(dims, qp_np, b_batched, idx, k_max):
+    """Run the CPU-f64 subprocess anchor on sub-batch ``idx``; returns the
+    loaded npz dict or None on failure.  ``qp_np``: UNBATCHED stage data;
+    ``b_batched``: the (B, N, NX) per-instance dynamics offsets."""
+    with tempfile.TemporaryDirectory() as td:
+        fin = os.path.join(td, "in.npz")
+        fout = os.path.join(td, "out.npz")
+        payload = {f"qp_{k}": v for k, v in qp_np.items()}
+        payload["b_batched"] = np.asarray(b_batched)[idx]
+        payload.update(
+            N=dims.N, nx=dims.NX, nu=dims.NU,
+            nb=np.asarray(dims.nb), ng=np.asarray(dims.ng),
+            k_max=k_max, mu_tol=0.0, alpha_min=1e-8,
+        )
+        np.savez(fin, **payload)
+        helper = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "_cpu_f64_anchor.py")
+        try:
+            subprocess.run([sys.executable, helper, fin, fout],
+                           check=True, timeout=1800,
+                           capture_output=True)
+            d = np.load(fout)
+            return {k: d[k] for k in d.files}
+        except Exception as e:  # noqa: BLE001 — report, don't abort
+            print(json.dumps({"f64_anchor_error": str(e)[:200]}),
+                  file=sys.stderr, flush=True)
+            return None
 
 
 def main():
@@ -54,12 +118,12 @@ def main():
     from hpmpc_tpu.models import ipm
     from hpmpc_tpu.parallel import batch as pbatch
     from hpmpc_tpu.utils.mass_spring import mass_spring_qp
+    from hpmpc_tpu.utils.resid64 import true_residuals_sol
 
-    B = 1024
-    K_ITERS = 8
     dt = jnp.float32
+    failures = []
 
-    for nx, nu in SIZES:
+    for nx, nu, B in SIZES:
         dims, qp = mass_spring_qp(nx, nu, 30, dtype=dt)
         qpb = pbatch.broadcast_qp(qp, B)
         rng = np.random.default_rng(0)
@@ -69,17 +133,22 @@ def main():
                 1 + 0.02 * rng.standard_normal(B), dt
             )[:, None, None],
         )
+        # UNBATCHED stage data for the host oracle / f64 anchor (the batch
+        # differs only in b — keeps f64 host copies at large NZ small)
+        qp_np = {f.name: np.asarray(getattr(qp, f.name))
+                 for f in dataclasses.fields(qp)}
+        qp_light = dataclasses.replace(qp, b=qpb.b)
         cfg_x = ipm.IPMConfig(k_max=K_ITERS, mu_tol=0.0, alpha_min=1e-8)
         cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
 
         def make_run(cfg):
             # runtime trip count (bench.py's trick): ONE compiled module
-            # serves both K values — at nx>=32 the unrolled per-scalar
-            # kernels already push the module near the compile relay's
-            # 10 MB payload cap, so the timing graph must not grow with K.
-            # The QP is an ARGUMENT (closing over it embeds the
-            # per-instance b as a module constant — 8 MB at nx=64, which
-            # alone breaches the relay cap: HTTP 413).
+            # serves every K — at nx>=32 the unrolled per-scalar kernels
+            # push the module near the compile relay's 10 MB payload cap,
+            # so the timing graph must not grow with K.  The QP is an
+            # ARGUMENT (closing over it embeds the per-instance b as a
+            # module constant — 8 MB at nx=64 alone breaches the relay
+            # cap: HTTP 413).
             @jax.jit
             def run(q0, K, seed):
                 def body(i, acc):
@@ -96,16 +165,27 @@ def main():
 
             return run
 
-        def slope(cfg, K_lo=2, K_hi=6, reps=2):
+        def slope(cfg, row):
+            """min-over-reps K-slope with floor escalation: widen the K
+            span until the timing delta clears 40 ms of device work."""
             f = make_run(cfg)
-            float(f(qpb, K_lo, jnp.asarray(0.0, dt)))  # compile + warm
-            ts = {}
-            for K in (K_lo, K_hi):
-                t0 = time.perf_counter()
-                for r in range(1, reps + 1):
-                    float(f(qpb, K, jnp.asarray(r * 31.0, dt)))
-                ts[K] = (time.perf_counter() - t0) / reps
-            return max((ts[K_hi] - ts[K_lo]) / (K_hi - K_lo), 1e-9)
+            float(f(qpb, 2, jnp.asarray(0.0, dt)))  # compile + warm
+            for K_lo, K_hi in ((2, 6), (6, 22), (22, 86)):
+                ts = {}
+                for K in (K_lo, K_hi):
+                    rts = []
+                    for r in range(1, 3):
+                        t0 = time.perf_counter()
+                        float(f(qpb, K, jnp.asarray(r * 31.0 + K, dt)))
+                        rts.append(time.perf_counter() - t0)
+                    ts[K] = min(rts)
+                dt_span = ts[K_hi] - ts[K_lo]
+                row["k_span"] = [K_lo, K_hi]
+                if dt_span >= 0.04:
+                    row["floor_cleared"] = True
+                    return max(dt_span / (K_hi - K_lo), 1e-9)
+            row["floor_cleared"] = False  # even 64 extra solves < 40 ms
+            return max(dt_span / (K_hi - K_lo), 1e-9)
 
         def one_solve(cfg):
             return jax.jit(
@@ -114,10 +194,14 @@ def main():
 
         from hpmpc_tpu.ops import stage_kernel as _sk
 
-        engines = ENGINES if _sk.engine_fits(nx, nu) else ENGINES_LARGE
-        sol_ref = None
+        large_band = not _sk.engine_fits(nx, nu)
+        engines = ENGINES_LARGE if large_band else ENGINES
+        anchor = None          # (sol, res, rel) of the f32 XLA route
+        anchor_f64 = None      # cached f64 sub-batch anchor
+        f64_idx = None
         t_x = None
         for engine in engines:
+            os.environ["HPMPC_RESIDENT"] = "0"
             os.environ["HPMPC_LANES_LOOP"] = (
                 "1" if engine == "mega" else "0")
             os.environ["HPMPC_MEGA_SWEEPS"] = (
@@ -128,55 +212,88 @@ def main():
                 "unit": (f"8-iteration solves/s (mass-spring nx={nx} "
                          f"nu={nu} N=30, batch={B}, f32)"),
             }
+            if engine != "xla":
+                row["dispatch_engine"] = pbatch.select_engine(
+                    dims, cfg, B, dt)
             try:
                 t0 = time.time()
                 sol = one_solve(cfg)
-                z = np.asarray(sol.z, np.float64)
-                kk = np.asarray(sol.kk)
-                assert np.isfinite(z).all(), "non-finite solution"
+                sol = jax.tree.map(np.asarray, sol)
                 row["compile_s"] = round(time.time() - t0, 1)
-                res = np.asarray(sol.inf_norm_res, np.float64)  # (B, 4)
-                if sol_ref is None:
-                    # normally the XLA route; if that failed to compile
-                    # (the relay rejects >10 MB modules at nx>=32), the
-                    # first surviving engine anchors the cross-check
-                    sol_ref = (z, kk, res)
-                    row["is_reference"] = engine != "xla"
+                assert np.isfinite(sol.z).all(), "non-finite solution"
+                res, rel = true_residuals_sol(qp_light, sol)
+                row["true_res_max"] = [float(v) for v in res.max(axis=0)]
+                row["rel_rq_max"] = float(rel[:, 0].max())
+                row["rel_rq_p50"] = float(np.median(rel[:, 0]))
+                row["rel_rb_max"] = float(rel[:, 1].max())
+
+                if engine == "xla":
+                    healthy = bool(rel[:, 0].max() < REL_ANCHOR_HEALTHY)
+                    anchor = (sol, res, rel, healthy)
+                    row["anchor_healthy"] = healthy
                 else:
-                    # Residual-based parity: the engines must be equally
-                    # converged on every instance.  Raw-iterate dz is NOT
-                    # asserted — on weakly actuated sizes (e.g. nx=16
-                    # nu=1, 8 masses / 1 force) the iterate is not
-                    # determined to f32 at a fixed iteration budget and
-                    # both engines stall identically (tools/diag_nx16.py:
-                    # rq_max xla 149 vs flat 115, per-instance ratios
-                    # ~1.1x) — dz there measures conditioning, not
-                    # kernel correctness.
-                    dz = float(np.max(np.abs(z - sol_ref[0])))
-                    kk_match = float(np.mean(kk == sol_ref[1]))
-                    row["parity_max_dz"] = dz
-                    row["parity_kk_match"] = round(kk_match, 4)
-                    rx, rf = sol_ref[2], res
-                    # componentwise batch-max: {rq, rb, rd, mu}
-                    mx, mf = rx.max(axis=0), rf.max(axis=0)
-                    row["res_max_xla"] = [float(v) for v in mx]
-                    row["res_max_eng"] = [float(v) for v in mf]
-                    if mx.max() > 1e6:
-                        # the ANCHOR diverged (measured at nx=96: the f32
-                        # XLA D&C Cholesky loses SPD on some instances,
-                        # rq ~ 3e17, while the clamped-pivot Pallas
-                        # engines stay bounded) — parity against it is
-                        # meaningless; require only that THIS engine is
-                        # bounded and report the anchor failure.
-                        row["anchor_diverged"] = True
-                        assert mf.max() < 1e6, (
-                            f"engine diverged too: {mf}")
+                    ok = True
+                    why = []
+                    if anchor is not None:
+                        sx, rx_abs, rx, healthy = anchor
+                        kk_match = float(np.mean(sol.kk == sx.kk))
+                        dz = float(np.max(np.abs(
+                            np.asarray(sol.z, np.float64)
+                            - np.asarray(sx.z, np.float64))))
+                        row["parity_max_dz"] = dz
+                        row["parity_kk_match"] = round(kk_match, 4)
+                        ratio = rel[:, 0] / np.maximum(rx[:, 0], 1e-16)
+                        row["rel_rq_ratio_p50"] = float(np.median(ratio))
+                        row["rel_rq_ratio_max"] = float(ratio.max())
+                    if anchor is not None and anchor[3]:
+                        rx = anchor[2]
+                        if kk_match < 0.9:
+                            ok, why = False, why + ["kk_match<0.9"]
+                        if row["rel_rq_ratio_p50"] > 3.0:
+                            ok, why = False, why + ["median rq ratio>3"]
+                        if rel[:, 0].max() > max(
+                                GATE_RATIO * rx[:, 0].max(),
+                                GATE_RQ_FLOOR):
+                            ok, why = False, why + ["rq above gate"]
+                        if rel[:, 1].max() > max(
+                                GATE_RATIO * rx[:, 1].max(),
+                                GATE_RB_FLOOR):
+                            ok, why = False, why + ["rb above gate"]
                     else:
-                        ok = bool(np.all(mf <= 2.0 * mx + 1e-4))
-                        assert ok and kk_match >= 0.9, (
-                            f"PARITY FAIL res_eng={mf} res_xla={mx} "
-                            f"kk={kk_match:.3f}")
-                t = slope(cfg)
+                        # anchor diverged or absent: judge against the
+                        # f64 CPU subprocess anchor on a sub-batch
+                        row["anchor_diverged"] = True
+                        if f64_idx is None:
+                            worst = np.argsort(-rel[:, 0])[:8]
+                            spread = np.linspace(
+                                0, B - 1, 8, dtype=int)
+                            f64_idx = np.unique(
+                                np.concatenate([worst, spread]))
+                            anchor_f64 = _f64_anchor(
+                                dims, qp_np, qpb.b, f64_idx, K_ITERS)
+                        if anchor_f64 is not None:
+                            z64 = anchor_f64["z"]
+                            ze = np.asarray(
+                                sol.z, np.float64)[f64_idx]
+                            zscale = max(np.abs(z64).max(), 1.0)
+                            dz64 = float(
+                                np.abs(ze - z64).max() / zscale)
+                            row["dz_vs_f64_rel"] = dz64
+                            row["kk_match_f64"] = float(np.mean(
+                                sol.kk[f64_idx] == anchor_f64["kk"]))
+                            if dz64 > 5e-2:
+                                ok, why = False, why + [
+                                    "traj vs f64 anchor"]
+                        if rel[:, 0].max() > GATE_RQ_FLOOR:
+                            ok, why = False, why + ["rq above floor"]
+                        if rel[:, 1].max() > GATE_RB_FLOOR:
+                            ok, why = False, why + ["rb above floor"]
+                    row["parity_ok"] = ok
+                    if not ok:
+                        row["parity_why"] = why
+                        failures.append(row["metric"])
+
+                t = slope(cfg, row)
                 if engine == "xla":
                     t_x = t
                 row["value"] = round(B / t, 1)
@@ -187,7 +304,12 @@ def main():
                 row["vs_baseline"] = 0.0
                 row["error"] = f"{type(e).__name__}: {e}"[:300]
                 traceback.print_exc(file=sys.stderr)
+                failures.append(row["metric"])
             print(json.dumps(row), flush=True)
+
+    print(json.dumps({"metric": "size_sweep_summary",
+                      "failures": failures,
+                      "ok": not failures}), flush=True)
 
 
 if __name__ == "__main__":
