@@ -85,6 +85,16 @@ class IPMConfig:
     # flat/Pallas engine (ipm_fast.newton_refine; Pb recomputed in-kernel
     # by stage_kernel.solve_flat_pb).
     iter_ref: int = 0
+    # Mehrotra corrector toggles, per phase (the reference's
+    # compile-time CORRECTOR_LOW / CORRECTOR_HIGH switches,
+    # d_ip2_res_hard.c:51-52): False takes the pure affine (predictor-
+    # only) step in that phase — the affine direction is applied with
+    # its own fraction-to-boundary step and no centering resolve.
+    # stat rows then carry [stale sigma, 0, 0, alpha, mu] exactly like
+    # the reference's untouched stat slots.  Structured path only
+    # (the engines always run the full Mehrotra iteration).
+    corrector_low: bool = True
+    corrector_high: bool = True
     # mu-gated refinement (flat engine only): when > 0, the `iter_ref`
     # correction re-solves run ONLY on iterations where some instance's
     # duality measure has dropped below this threshold — early iterations
@@ -356,25 +366,34 @@ def init_vars(dims: OCPDims, qp: OCPQP, cfg: IPMConfig, z0=None, pi0=None,
 # --------------------------------------------------------------------------
 
 
-def step_ok(mu_new, mu_old):
+def step_ok(mu_new, mu_old, lam_max_new=None, lam_max_old=None):
     """Numerical-breakdown guard predicate, shared by every solver loop
     (structured / flat / lanes, hard and soft).
 
     Freezes the last good iterate (alpha-min exit, status=2) when the
     accepted step produced (a) a non-finite duality measure — the
     reference's unimplemented "if mu is nan, recover solution" hook,
-    ``d_ip2_res_hard.c:1306-1311`` — or (b), on f32 only, a DIVERGING
+    ``d_ip2_res_hard.c:1306-1311`` — or, on f32 only, (b) a DIVERGING
     one: mu growing >10x from below 1e-3 means the barrier system's
     conditioning (~1/mu) has outrun f32 and the computed direction is
-    garbage (measured at nx=16 nu=3: 1-2 instances per 1024 blow their
-    duals to ~1e4 while mu jumps 1.1e-5 -> 3.0e-4; the iterate BEFORE
-    the jump is fine — tools/diag_eng_resid.py).  Healthy solves never
-    trigger (b): a 10x mu increase from below 1e-3 does not occur on the
-    central path at f32-reachable tolerances, and f64 is exempt.
+    garbage, or (c) EXPLODING duals: ``lam``'s max growing >100x in one
+    step from below-floor mu — the blowup mode mu alone misses, because
+    a huge-lam/tiny-t pair leaves the duality products balanced
+    (measured at nx=16 nu=3: 1-2 instances per 1024 reach lam ~1e4 on a
+    mu-DECREASING step while their controls stay within 1e-3 of the f64
+    trajectory — tools/diag_eng_resid.py).  Healthy solves never
+    trigger (b)/(c): neither occurs on the central path at
+    f32-reachable tolerances, and f64 is exempt.
     """
     ok = jnp.isfinite(mu_new)
     if mu_new.dtype == jnp.float32:
-        ok = ok & ~((mu_new > 10.0 * mu_old) & (mu_old < 1e-3))
+        floor = mu_old < 1e-3
+        ok = ok & ~((mu_new > 10.0 * mu_old) & floor)
+        if lam_max_new is not None:
+            ok = ok & ~(
+                (lam_max_new > 100.0 * jnp.maximum(lam_max_old, 1.0))
+                & floor
+            )
     return ok
 
 
@@ -795,26 +814,36 @@ def _solve_impl(
             jnp.zeros_like(s.lam_b), jnp.zeros_like(s.lam_g), s.lam_g,
         )
         alpha_aff = alpha_all(dtb, dtg, dlam_b, dlam_g, s.t_b, s.t_g, s.lam_b, s.lam_g)
-        a = alpha_aff * 0.995
-        mu_aff = mu_pred(a, s.lam_b, dlam_b, s.t_b, dtb, s.lam_g, dlam_g, s.t_g, dtg)
-        sigma = (mu_aff / s.mu) ** 3
+        if cfg.corrector_low:
+            a = alpha_aff * 0.995
+            mu_aff = mu_pred(a, s.lam_b, dlam_b, s.t_b, dtb, s.lam_g, dlam_g, s.t_g, dtg)
+            sigma = (mu_aff / s.mu) ** 3
 
-        # corrector gradient update (update_gradient, :387)
-        sm = sigma * s.mu
-        dlam2_b = t_inv_b * (sm - dlam_b * dtb) * mb2
-        dlam2_g = t_inv_g * (sm - dlam_g * dtg) * mg2
-        qx_b2 = qx_b + (dlam2_b[:, 1] - dlam2_b[:, 0]) * mb
-        qx_g2 = qx_g + (dlam2_g[:, 1] - dlam2_g[:, 0]) * mg
-        g_eff2 = _build_geff(
-            qp, oh, qp.g * qp.z_mask, qx_b2, qx_g2, ng_stages=ng_stages
-        )
+            # corrector gradient update (update_gradient, :387)
+            sm = sigma * s.mu
+            dlam2_b = t_inv_b * (sm - dlam_b * dtb) * mb2
+            dlam2_g = t_inv_g * (sm - dlam_g * dtg) * mg2
+            qx_b2 = qx_b + (dlam2_b[:, 1] - dlam2_b[:, 0]) * mb
+            qx_g2 = qx_g + (dlam2_g[:, 1] - dlam2_g[:, 0]) * mg
+            g_eff2 = _build_geff(
+                qp, oh, qp.g * qp.z_mask, qx_b2, qx_g2, ng_stages=ng_stages
+            )
 
-        dz2, dpi2 = backend.resolve(fstate, g_eff2, qp.b)
+            dz2, dpi2 = backend.resolve(fstate, g_eff2, qp.b)
 
-        dtb, dtg, dlam_b, dlam_g = dt_dlam_phase1(
-            dz2, s.t_b, s.t_g, s.lam_b, t_inv_b, t_inv_g, dlam2_b, dlam2_g, s.lam_g
-        )
-        alpha2 = alpha_all(dtb, dtg, dlam_b, dlam_g, s.t_b, s.t_g, s.lam_b, s.lam_g)
+            dtb, dtg, dlam_b, dlam_g = dt_dlam_phase1(
+                dz2, s.t_b, s.t_g, s.lam_b, t_inv_b, t_inv_g, dlam2_b, dlam2_g, s.lam_g
+            )
+            alpha2 = alpha_all(dtb, dtg, dlam_b, dlam_g, s.t_b, s.t_g, s.lam_b, s.lam_g)
+        else:
+            # predictor-only step (reference CORRECTOR_LOW=0,
+            # d_ip2_res_hard.c:643): the affine direction is applied
+            # directly; sigma stays stale, alpha_aff/mu_aff unrecorded
+            dz2, dpi2 = dz, dpi
+            alpha2 = alpha_aff
+            mu_aff = jnp.zeros_like(s.mu)
+            alpha_aff = jnp.zeros_like(alpha_aff)
+            sigma = s.sigma
         a2 = alpha2 * 0.995
 
         z_new = s.z + a2 * (dz2 - s.z)
@@ -840,8 +869,12 @@ def _solve_impl(
             carry=carry,
         )
         # numerical-breakdown guard: see step_ok (finite + f32
-        # divergence freeze)
-        ok = step_ok(mu_new, s.mu)
+        # divergence/dual-explosion freeze)
+        lmx_new = jnp.maximum(jnp.max(jnp.abs(lam_b_new)),
+                              jnp.max(jnp.abs(lam_g_new)))
+        lmx_old = jnp.maximum(jnp.max(jnp.abs(s.lam_b)),
+                              jnp.max(jnp.abs(s.lam_g)))
+        ok = step_ok(mu_new, s.mu, lmx_new, lmx_old)
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b),
             s_new,
@@ -913,22 +946,31 @@ def _solve_impl(
 
         dtb, dtg, dlam_b, dlam_g = dt_dlam_res(dz, res, t_inv_b, t_inv_g, s.lam_b, s.lam_g)
         alpha_aff = alpha_all(dtb, dtg, dlam_b, dlam_g, s.t_b, s.t_g, s.lam_b, s.lam_g)
-        a = alpha_aff * 0.995
-        mu_aff = mu_pred(a, s.lam_b, dlam_b, s.t_b, dtb, s.lam_g, dlam_g, s.t_g, dtg)
-        sigma = (mu_aff / s.mu) ** 3
+        if cfg.corrector_high:
+            a = alpha_aff * 0.995
+            mu_aff = mu_pred(a, s.lam_b, dlam_b, s.t_b, dtb, s.lam_g, dlam_g, s.t_g, dtg)
+            sigma = (mu_aff / s.mu) ** 3
 
-        # centering correction folded into res_m (:1512) + gradient (:1550)
-        sm = sigma * s.mu
-        rm_b2 = res.rm_b + (dtb * dlam_b - sm) * mb2
-        rm_g2 = res.rm_g + (dtg * dlam_g - sm) * mg2
-        qx_b2, qx_g2 = qx_from(rm_b2, rm_g2)
-        g_eff2 = _build_geff(qp, oh, res.rq, qx_b2, qx_g2, ng_stages=ng_stages)
-        res2 = res._replace(rm_b=rm_b2, rm_g=rm_g2)
+            # centering correction folded into res_m (:1512) + gradient (:1550)
+            sm = sigma * s.mu
+            rm_b2 = res.rm_b + (dtb * dlam_b - sm) * mb2
+            rm_g2 = res.rm_g + (dtg * dlam_g - sm) * mg2
+            qx_b2, qx_g2 = qx_from(rm_b2, rm_g2)
+            g_eff2 = _build_geff(qp, oh, res.rq, qx_b2, qx_g2, ng_stages=ng_stages)
+            res2 = res._replace(rm_b=rm_b2, rm_g=rm_g2)
 
-        dz2, dpi2 = backend.resolve(fstate, g_eff2, res.rb)
+            dz2, dpi2 = backend.resolve(fstate, g_eff2, res.rb)
 
-        dtb, dtg, dlam_b, dlam_g = dt_dlam_res(dz2, res2, t_inv_b, t_inv_g, s.lam_b, s.lam_g)
-        alpha2 = alpha_all(dtb, dtg, dlam_b, dlam_g, s.t_b, s.t_g, s.lam_b, s.lam_g)
+            dtb, dtg, dlam_b, dlam_g = dt_dlam_res(dz2, res2, t_inv_b, t_inv_g, s.lam_b, s.lam_g)
+            alpha2 = alpha_all(dtb, dtg, dlam_b, dlam_g, s.t_b, s.t_g, s.lam_b, s.lam_g)
+        else:
+            # predictor-only residual step (reference CORRECTOR_HIGH=0,
+            # d_ip2_res_hard.c:1003)
+            dz2, dpi2 = dz, dpi
+            alpha2 = alpha_aff
+            mu_aff = jnp.zeros_like(s.mu)
+            alpha_aff = jnp.zeros_like(alpha_aff)
+            sigma = s.sigma
         a2 = alpha2 * 0.995
 
         z_new = s.z + a2 * dz2
@@ -958,7 +1000,11 @@ def _solve_impl(
             carry=carry,
         )
         # numerical-breakdown guard — see step_ok
-        ok = step_ok(mu_new, s.mu)
+        lmx_new = jnp.maximum(jnp.max(jnp.abs(lam_b_new)),
+                              jnp.max(jnp.abs(lam_g_new)))
+        lmx_old = jnp.maximum(jnp.max(jnp.abs(s.lam_b)),
+                              jnp.max(jnp.abs(s.lam_g)))
+        ok = step_ok(mu_new, s.mu, lmx_new, lmx_old)
         s_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b),
             s_new,

@@ -550,6 +550,14 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
         return jnp.where(mask, row[:, None, :], stat)
 
     # ---- phase 1 (delta_mu formulation; ipm._solve_impl phase 1) --------
+
+    def _lam_inst_max(lam_b, lam_g):
+        """Per-instance max |dual| (the step_ok dual-explosion guard)."""
+        m = jnp.max(jnp.abs(lam_b), axis=1)
+        if lam_g.shape[1]:
+            m = jnp.maximum(m, jnp.max(jnp.abs(lam_g), axis=1))
+        return m
+
     def phase1_body(s):
         t_inv_b = jnp.where(mb2 > 0, 1.0 / s.t_b, 0.0)
         lamt_b = s.lam_b * t_inv_b
@@ -632,7 +640,9 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
             stat=stat_update(s.stat, s.kk, row),
         )
         # numerical-breakdown guard — see ipm phase-1 note
-        ok = _ipm.step_ok(mu_new, s.mu)
+        ok = _ipm.step_ok(mu_new, s.mu,
+                          _lam_inst_max(lam_b_n, lam_g_n),
+                          _lam_inst_max(s.lam_b, s.lam_g))
         return gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
 
     def phase1_pred_b(s):
@@ -754,7 +764,9 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
         )
-        ok = _ipm.step_ok(mu_new, s.mu)
+        ok = _ipm.step_ok(mu_new, s.mu,
+                          _lam_inst_max(lam_b_n, lam_g_n),
+                          _lam_inst_max(s.lam_b, s.lam_g))
         s_new = gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
         res_new = gate_res(ok, res_new, res)
         return (s_new, res_new)

@@ -502,6 +502,15 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
         return cm.finish_alpha_sums(outs, ngh, lam_g, t_g, dtg, dlg)
 
     # ---- phase 1 (delta formulation) -------------------------------------
+
+    def _lam_inst_max(lamL_, lam_g_):
+        """Per-instance max |dual| (step_ok dual-explosion guard):
+        lanes-layout box duals + flat general duals."""
+        m = sc_B(jnp.max(jnp.abs(lamL_), axis=(1, 2)))
+        if lam_g_.shape[1]:
+            m = jnp.maximum(m, jnp.max(jnp.abs(lam_g_), axis=1))
+        return m
+
     def phase1_body(s):
         if n_ng:
             t_inv_g = jnp.where(mg2 > 0, 1.0 / s.t_g, 0.0)
@@ -567,7 +576,9 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
         )
-        ok = _ipm.step_ok(mu_new, s.mu)
+        ok = _ipm.step_ok(mu_new, s.mu,
+                          _lam_inst_max(lam_n, lam_g_n),
+                          _lam_inst_max(s.lamL, s.lam_g))
         return gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
 
     def phase1_pred_b(s):
@@ -673,7 +684,9 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
         )
-        ok = _ipm.step_ok(mu_new, s.mu)
+        ok = _ipm.step_ok(mu_new, s.mu,
+                          _lam_inst_max(lam_n, lam_g_n),
+                          _lam_inst_max(s.lamL, s.lam_g))
         s_new = gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
         res_new = gate_res(ok, res_new, res)
         return (s_new, res_new)

@@ -80,6 +80,22 @@ def resident_fits(NX: int, NU: int, NB: int, N: int) -> bool:
     return resident_vmem_bytes(NX, NU, NB, N) <= int(0.85 * _vmem_cap())
 
 
+def resident_soft_vmem_bytes(NX: int, NU: int, NB: int, N: int,
+                             NS: int) -> int:
+    """Soft variant: hard footprint + per-stage soft streams (inputs
+    lam_s0/t_s0/softc/ms = 15 NS; scratch slabs = 7 x 4 NS)."""
+    return (resident_vmem_bytes(NX, NU, NB, N)
+            + (N + 1) * (15 + 28) * NS * 4 * SUBS * LANES)
+
+
+def resident_soft_fits(NX: int, NU: int, NB: int, N: int,
+                       NS: int) -> bool:
+    from .stage_kernel import _vmem_cap
+
+    return resident_soft_vmem_bytes(NX, NU, NB, N, NS) <= int(
+        0.85 * _vmem_cap())
+
+
 def _row(ref, k):
     """(1, Np1, X, S, L) input block -> (X, S, L) array of stage k."""
     return ref[0, pl.ds(k, 1)][0]
@@ -113,10 +129,11 @@ def _gs_row(slab, j, count):
     return [slab[j, i * SUBS : (i + 1) * SUBS, :] for i in range(count)]
 
 
-def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
+def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids, NS, exact,
                      mu_scal, mu_tol, alpha_min, mu0, *refs):
     NB2 = 2 * NB
     NG2 = 2 * NG
+    NS4 = 4 * NS
     n_ng = len(ng_stage_ids)
     NT = _sym_nt(NZ)
     Np1 = N + 1
@@ -126,28 +143,55 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
     s = s4 % Np1
     k = N - s  # stage for the backward phases
 
-    pos = 12 + (5 if n_ng else 0)
+    n_in_ng = 5 if n_ng else 0
+    n_in_s = 6 if NS else 0
+    pos = 12 + n_in_ng + n_in_s
     (idx_ref, lam0_ref, t0_ref, z0_ref, pi0_ref, base_ref, pd_ref,
      H_ref, F_ref, b_ref, A_ref, mb_ref) = refs[:12]
     if n_ng:
         C_ref, dg_ref, mg_ref, lamg0_ref, tg0_ref = refs[12:17]
-    n_out = 8 + (2 if n_ng else 0)
+    if NS:
+        (idxs_ref, lams0_ref, ts0_ref, softc_ref, ms_ref,
+         musc_ref) = refs[12 + n_in_ng:12 + n_in_ng + 6]
+    n_out = 8 + (2 if n_ng else 0) + (2 if NS else 0)
     (z_out, pi_out, lam_out, t_out, mu_out, kk_out, frz_out,
      stat_out) = refs[pos:pos + 8]
     if n_ng:
         lamg_out, tg_out = refs[pos + 8:pos + 10]
+    if NS:
+        lams_out, ts_out = refs[pos + 8 + (2 if n_ng else 0):
+                                pos + 10 + (2 if n_ng else 0)]
     scr = refs[pos + n_out:]
     (zs, pis, lams, ts, dz2s, dpi2s, dt2s, dl2s, dtas, dlas, cos,
      lls, eus, pxs, lxxs, pbs,
      Lxx_c, px_c, x_c, ge_s,
      a2p_s, mu_s, sm_s, frz_s, kk_s, amin_s, s0_s, s1_s, s2_s,
      aa_s, muaff_s, sg_s, stat_c) = scr[:33]
+    n_scr_ng = 7 if n_ng else 0
     if n_ng:
         (lamg_s, tg_s, dtag_s, dlag_s, cog_s, dt2g_s, dl2g_s) = scr[33:40]
+    if NS:
+        (lsofts, tsofts, dtass, dlass, dl2cs, dt2ss, dl2ss) = \
+            scr[33 + n_scr_ng:40 + n_scr_ng]
 
     dt = zs.dtype
     one = jnp.ones((SUBS, LANES), dt)
     zero = jnp.zeros((SUBS, LANES), dt)
+    # soft path: mu scaling is per-instance (4 ns slacks per instance
+    # enter the duality sum, d_ip2_soft.c:268-271) — a lanes tile input
+    musc = musc_ref[0, 0] if NS else mu_scal
+
+    def _soft_stage_schur(n):
+        """Soft Schur dict + (lam_s, t_s, ms) stacks of stage n."""
+        from .step_kernel import _soft_schur
+
+        lam_s = jnp.concatenate(
+            [v[None] for v in _slab_row(lsofts, n, NS4)], axis=0)
+        t_s = jnp.concatenate(
+            [v[None] for v in _slab_row(tsofts, n, NS4)], axis=0)
+        ms = _row(ms_ref, n)
+        c = _row(softc_ref, n)
+        return _soft_schur(NS, lam_s, t_s, ms, c), lam_s, t_s, ms
 
     # ---- one-time init (first grid step) --------------------------------
     @pl.when((it == 0) & (s4 == 0))
@@ -173,6 +217,16 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
                 [tg0_ref[0, j, i] for i in range(NG2)], axis=0)
             dt2g_s[j, :, :] = jnp.zeros((NG2 * SUBS, LANES), dt)
             dl2g_s[j, :, :] = jnp.zeros((NG2 * SUBS, LANES), dt)
+        if NS:
+            for n in range(Np1):
+                lsofts[pl.ds(n, 1), :, :] = _cat_slab(
+                    [_row(lams0_ref, n)[i] for i in range(NS4)])
+                tsofts[pl.ds(n, 1), :, :] = _cat_slab(
+                    [_row(ts0_ref, n)[i] for i in range(NS4)])
+                dt2ss[pl.ds(n, 1), :, :] = jnp.zeros(
+                    (1, NS4 * SUBS, LANES), dt)
+                dl2ss[pl.ds(n, 1), :, :] = jnp.zeros(
+                    (1, NS4 * SUBS, LANES), dt)
         a2p_s[...] = zero
         mu_s[...] = jnp.full((SUBS, LANES), mu0, dt)
         frz_s[...] = zero
@@ -212,6 +266,17 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
         t_new = [jnp.where(upd, t_old[i] + a2 * dt2[i], t_old[i])
                  for i in range(NB2)]
         ts[pl.ds(k, 1), :, :] = _cat_slab(t_new)
+        if NS:
+            ls_old = _slab_row(lsofts, k, NS4)
+            dls2 = _slab_row(dl2ss, k, NS4)
+            lsofts[pl.ds(k, 1), :, :] = _cat_slab(
+                [jnp.where(upd, ls_old[i] + a2 * dls2[i], ls_old[i])
+                 for i in range(NS4)])
+            ts_old = _slab_row(tsofts, k, NS4)
+            dts2 = _slab_row(dt2ss, k, NS4)
+            tsofts[pl.ds(k, 1), :, :] = _cat_slab(
+                [jnp.where(upd, ts_old[i] + a2 * dts2[i], ts_old[i])
+                 for i in range(NS4)])
 
         @pl.when(k >= 1)
         def _():
@@ -254,6 +319,12 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
             Qx_f, qx_f = _qx_fold(NB, False, lam, tt, mb, A, None)
             ge_s[:] = _row(pd_ref, k)
             _scatter_add_box(ge_s, idx_ref, Qx_f, NB, k)
+            if NS:
+                from .step_kernel import _soft_qx
+
+                S_s, _, _, ms_k = _soft_stage_schur(k)
+                Qx_s, qx_s = _soft_qx(NS, ms_k, S_s)
+                _scatter_add_box(ge_s, idxs_ref, Qx_s, NS, k)
             Hk = _row(H_ref, k)
             Hp = [Hk[t] for t in range(NT)]
             for i in range(NZ):
@@ -261,6 +332,8 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
                 Hp[di] = Hp[di] + ge_s[i]
             ge_s[:] = _row(base_ref, k)
             _scatter_add_box(ge_s, idx_ref, qx_f, NB, k)
+            if NS:
+                _scatter_add_box(ge_s, idxs_ref, qx_s, NS, k)
             # general-constraint barrier: Hp += C' diag(Qxg) C and
             # ge += C' qxg on the (static) active stages, value-masked
             for j, stg in enumerate(ng_stage_ids):
@@ -358,6 +431,27 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
         s1_s[...] = s1_s[...] + jnp.sum(lam * dt_b + tt * dl_b, axis=0)
         s2_s[...] = s2_s[...] + jnp.sum(dl_b * dt_b, axis=0)
 
+        if NS:
+            from .step_kernel import _soft_dt_dls
+
+            S_s, lam_s, t_s, ms_s = _soft_stage_schur(s)
+            zsv = _gather_list(z_tiles, idxs_ref, NS, s) * ms_s
+            dt_ss, dl_ss = _soft_dt_dls(
+                NS, lam_s, t_s, ms_s, S_s, zsv, 0.0,
+                S_s["zl0"], S_s["zl1"])
+            dtass[pl.ds(s, 1), :, :] = _cat_slab(
+                [dt_ss[i] for i in range(NS4)])
+            dlass[pl.ds(s, 1), :, :] = _cat_slab(
+                [dl_ss[i] for i in range(NS4)])
+            ms4 = S_s["ms4"]
+            cs = jnp.minimum(_alpha_cands(lam_s, dl_ss, ms4),
+                             _alpha_cands(t_s, dt_ss, ms4))
+            amin_s[...] = jnp.minimum(amin_s[...], jnp.min(cs, axis=0))
+            s0_s[...] = s0_s[...] + jnp.sum(lam_s * t_s * ms4, axis=0)
+            s1_s[...] = s1_s[...] + jnp.sum(
+                lam_s * dt_ss + t_s * dl_ss, axis=0)
+            s2_s[...] = s2_s[...] + jnp.sum(dl_ss * dt_ss, axis=0)
+
         # general-constraint rows at the (static) active stages
         for j, stg in enumerate(ng_stage_ids):
             mtc = (s == stg)
@@ -400,7 +494,7 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
             alpha_aff = jnp.minimum(one, amin_s[...])
             a = 0.995 * alpha_aff
             mu_aff = (s0_s[...] + a * s1_s[...]
-                      + a * a * s2_s[...]) * mu_scal
+                      + a * a * s2_s[...]) * musc
             mu = mu_s[...]
             ratio = mu_aff / jnp.where(mu > 0, mu, 1.0)
             sg_s[...] = ratio * ratio * ratio
@@ -426,6 +520,27 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
         cos[pl.ds(k, 1), :, :] = _cat_slab([co[i] for i in range(NB2)])
         ge_s[:] = _row(base_ref, k)
         _scatter_add_box(ge_s, idx_ref, qx_f, NB, k)
+        if NS:
+            from .step_kernel import _soft4, _soft_qx
+
+            S_s, _, _, ms_k = _soft_stage_schur(k)
+            dta_s = jnp.concatenate(
+                [v[None] for v in _slab_row(dtass, k, NS4)], axis=0)
+            dla_s = jnp.concatenate(
+                [v[None] for v in _slab_row(dlass, k, NS4)], axis=0)
+            dl2c = S_s["t_inv_s"] * (sm_s[...] - dla_s * dta_s) * \
+                S_s["ms4"]
+            dl2cs[pl.ds(k, 1), :, :] = _cat_slab(
+                [dl2c[i] for i in range(NS4)])
+            Qx_s, qx_s = _soft_qx(NS, ms_k, S_s)
+            if exact:
+                d0, d1, d2, d3 = _soft4(dl2c, NS)
+                rqx0c = d0 - S_s["rQx0"] * (d0 + d2) * S_s["Zl0"]
+                rqx1c = d1 - S_s["rQx1"] * (d1 + d3) * S_s["Zl1"]
+                qx_s2 = qx_s + (rqx1c - rqx0c) * ms_k
+            else:  # reference compat (stale-pointer bug, see ipm_soft)
+                qx_s2 = qx_s
+            _scatter_add_box(ge_s, idxs_ref, qx_s2, NS, k)
 
         # corrector gradient rows of the (static) active ng stages
         for j, stg in enumerate(ng_stage_ids):
@@ -534,6 +649,30 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
         s1_s[...] = s1_s[...] + jnp.sum(lam * dt_b + tt * dl_b, axis=0)
         s2_s[...] = s2_s[...] + jnp.sum(dl_b * dt_b, axis=0)
 
+        if NS:
+            from .step_kernel import _soft4, _soft_dt_dls
+
+            S_s, lam_s, t_s, ms_s = _soft_stage_schur(s)
+            zsv2 = _gather_list(z_tiles, idxs_ref, NS, s) * ms_s
+            dl2c = jnp.concatenate(
+                [v[None] for v in _slab_row(dl2cs, s, NS4)], axis=0)
+            d0, d1, d2, d3 = _soft4(dl2c, NS)
+            dt_s2, dl_s2 = _soft_dt_dls(
+                NS, lam_s, t_s, ms_s, S_s, zsv2, dl2c,
+                S_s["zl0"] + d0 + d2, S_s["zl1"] + d1 + d3)
+            dt2ss[pl.ds(s, 1), :, :] = _cat_slab(
+                [dt_s2[i] for i in range(NS4)])
+            dl2ss[pl.ds(s, 1), :, :] = _cat_slab(
+                [dl_s2[i] for i in range(NS4)])
+            ms4 = S_s["ms4"]
+            cs = jnp.minimum(_alpha_cands(lam_s, dl_s2, ms4),
+                             _alpha_cands(t_s, dt_s2, ms4))
+            amin_s[...] = jnp.minimum(amin_s[...], jnp.min(cs, axis=0))
+            s0_s[...] = s0_s[...] + jnp.sum(lam_s * t_s * ms4, axis=0)
+            s1_s[...] = s1_s[...] + jnp.sum(
+                lam_s * dt_s2 + t_s * dl_s2, axis=0)
+            s2_s[...] = s2_s[...] + jnp.sum(dl_s2 * dt_s2, axis=0)
+
         # corrector rows of the (static) active ng stages
         for j, stg in enumerate(ng_stage_ids):
             mtc = (s == stg)
@@ -578,12 +717,36 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
             alpha2 = jnp.minimum(one, amin_s[...])
             a2 = 0.995 * alpha2
             mu_new = (s0_s[...] + a2 * s1_s[...]
-                      + a2 * a2 * s2_s[...]) * mu_scal
+                      + a2 * a2 * s2_s[...]) * musc
+            # per-instance max |dual| of the would-be update (one pass
+            # over the lam + corrector-direction slabs; a2 is known
+            # here, so this is EXACTLY the post-update max the lanes
+            # engine's guard sees)
+            lmx_old = zero
+            lmx_new = zero
+            for n in range(Np1):
+                lamn = _slab_row(lams, n, NB2)
+                dln = _slab_row(dl2s, n, NB2)
+                for i in range(NB2):
+                    lmx_old = jnp.maximum(lmx_old, jnp.abs(lamn[i]))
+                    lmx_new = jnp.maximum(
+                        lmx_new, jnp.abs(lamn[i] + a2 * dln[i]))
+            for j in range(n_ng):
+                lgn = _gs_row(lamg_s, j, NG2)
+                dlgn = _gs_row(dl2g_s, j, NG2)
+                for i in range(NG2):
+                    lmx_old = jnp.maximum(lmx_old, jnp.abs(lgn[i]))
+                    lmx_new = jnp.maximum(
+                        lmx_new, jnp.abs(lgn[i] + a2 * dlgn[i]))
             # NaN-safe finiteness (x == x rejects NaN; bound rejects inf)
-            # + the f32 divergence freeze (models/ipm.step_ok: mu growing
-            # >10x from below 1e-3 = breakdown; keep the last good state)
+            # + the f32 divergence/dual-explosion freeze (models/ipm.
+            # step_ok: mu growing >10x, or max |lam| growing >100x, from
+            # below 1e-3 = breakdown; keep the last good state)
+            floor = mu_s[...] < 1e-3
             ok = ((mu_new == mu_new) & (jnp.abs(mu_new) < _BIG)
-                  & ~((mu_new > 10.0 * mu_s[...]) & (mu_s[...] < 1e-3)))
+                  & ~((mu_new > 10.0 * mu_s[...]) & floor)
+                  & ~((lmx_new > 100.0 * jnp.maximum(lmx_old, one))
+                      & floor))
             upd = live & ok
             a2p_s[...] = jnp.where(upd, a2, zero)
             mu_s[...] = jnp.where(upd, mu_new, mu_s[...])
@@ -623,32 +786,55 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids,
         for i in range(NG2):
             lamg_out[0, j, i] = lgt[i]
             tg_out[0, j, i] = tgt[i]
+    if NS:
+        lst = _slab_row(lsofts, st, NS4)
+        tst = _slab_row(tsofts, st, NS4)
+        for i in range(NS4):
+            lams_out[0, 0, i] = lst[i]
+            ts_out[0, 0, i] = tst[i]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("NB", "NU", "NZ", "NX", "k_max", "mu_scal",
                      "mu_tol", "alpha_min", "mu0", "NG",
-                     "ng_stage_ids"),
+                     "ng_stage_ids", "NS", "exact"),
 )
 def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
                  dcat, mb, NB, NU, NZ, NX, k_max, mu_scal, mu_tol,
                  alpha_min, mu0, NG=0, ng_stage_ids=(),
-                 Cg=None, dgg=None, mgg=None, lamg0=None, tg0=None):
+                 Cg=None, dgg=None, mgg=None, lamg0=None, tg0=None,
+                 NS=0, exact=True, idxs_tab=None, lams0=None, ts0=None,
+                 softc=None, msk=None, musc=None):
     """Run the whole phase-1 IPM in one pallas_call.
 
     All array args are the lanes streams of :func:`make_lanes_common`
     (``models/ipm_lanes.py``).  General constraints: ``ng_stage_ids``
     (static) names the active stages; ``Cg`` (nb, n_ng, NG, NZ, 8, 128),
-    ``dgg``/``mgg``/``lamg0``/``tg0`` (nb, n_ng, 2NG, 8, 128).  Returns
-    (z_l, pi_l, lam_l, t_l, mu, kk, frozen, stat[, lamg_l, tg_l]) in
-    lanes form, with mu/kk/frozen as (nb, 1, 8, 128) tiles and stat
-    (nb, k_max, 5, 8, 128)."""
+    ``dgg``/``mgg``/``lamg0``/``tg0`` (nb, n_ng, 2NG, 8, 128).
+
+    SOFT variant (``NS > 0``): the soft-slack Schur elimination, soft
+    corrector gradient and the 4-slack alpha/mu contributions of
+    ``d_ip2_soft.c`` run in-kernel per stage (helper cores shared with
+    :mod:`.step_kernel`'s ``soft_*`` kernels).  Extra streams:
+    ``idxs_tab`` (Np1, NS) SMEM soft-coordinate table, ``lams0``/``ts0``
+    (nb, Np1, 4NS, 8, 128), ``softc`` (nb, Np1, 6NS, 8, 128) constants
+    [d_lbs; d_ubs; Z0; Z1; zl0; zl1], ``msk`` (nb, Np1, NS, 8, 128)
+    soft masks, ``musc`` (nb, 1, 8, 128) per-instance 1/n_constr (the
+    4-ns slack terms make it instance-dependent).  The soft path IS the
+    soft engines' full semantics (the soft solver is single-phase), so
+    no legacy caveat applies.  Returns two extra trailing outputs
+    (lams_l, ts_l).
+
+    Returns (z_l, pi_l, lam_l, t_l, mu, kk, frozen, stat[, lamg_l,
+    tg_l][, lams_l, ts_l]) in lanes form, with mu/kk/frozen as
+    (nb, 1, 8, 128) tiles and stat (nb, k_max, 5, 8, 128)."""
     nb, Np1 = lam0.shape[0], lam0.shape[1]
     N = Np1 - 1
     dt = lam0.dtype
     NB2 = 2 * NB
     NG2 = 2 * NG
+    NS4 = 4 * NS
     n_ng = len(ng_stage_ids)
     NT = _sym_nt(NZ)
 
@@ -688,6 +874,18 @@ def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
             whole((n_ng, NG2, SUBS, LANES)),      # t_g0
         ]
         args += [Cg, dgg, mgg, lamg0, tg0]
+    if NS:
+        idxs_spec = pl.BlockSpec((Np1, NS), lambda bb, it, s4: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        in_specs += [
+            idxs_spec,                            # soft coordinate table
+            whole((Np1, NS4, SUBS, LANES)),       # lam_s0
+            whole((Np1, NS4, SUBS, LANES)),       # t_s0
+            whole((Np1, 6 * NS, SUBS, LANES)),    # soft constants
+            whole((Np1, NS, SUBS, LANES)),        # ns mask
+            whole((1, SUBS, LANES)),              # per-instance mu scal
+        ]
+        args += [idxs_tab, lams0, ts0, softc, msk, musc]
 
     def st_map(bb, it, s4):
         Np1_ = N + 1
@@ -748,6 +946,14 @@ def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
             jax.ShapeDtypeStruct((nb, n_ng, NG2, SUBS, LANES), dt),
             jax.ShapeDtypeStruct((nb, n_ng, NG2, SUBS, LANES), dt),
         ]
+    if NS:
+        s_out = pl.BlockSpec((1, 1, NS4, SUBS, LANES), st_map,
+                             memory_space=pltpu.VMEM)
+        out_specs += [s_out, s_out]
+        out_shape += [
+            jax.ShapeDtypeStruct((nb, Np1, NS4, SUBS, LANES), dt),
+            jax.ShapeDtypeStruct((nb, Np1, NS4, SUBS, LANES), dt),
+        ]
 
     def sv(count, rows=None):
         return pltpu.VMEM(((Np1 if rows is None else rows),
@@ -786,10 +992,13 @@ def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
         scratch += [
             pltpu.VMEM((n_ng, NG2 * SUBS, LANES), dt) for _ in range(7)
         ]  # lamg tg dtag dlag cog dt2g dl2g
+    if NS:
+        scratch += [sv(NS4) for _ in range(7)]
+        # lsofts tsofts dtass dlass dl2cs dt2ss dl2ss
 
     kernel = functools.partial(
         _resident_kernel, NB, NU, NX, NZ, N, k_max, NG,
-        tuple(ng_stage_ids), mu_scal, mu_tol, alpha_min, mu0,
+        tuple(ng_stage_ids), NS, exact, mu_scal, mu_tol, alpha_min, mu0,
     )
     return pcall(
         kernel,

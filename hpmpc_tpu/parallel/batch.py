@@ -284,6 +284,28 @@ def solve_batched_soft(
         import os
 
         idxbs_t = tuple(tuple(int(i) for i in row) for row in idxbs)
+        NS = soft.ns_mask.shape[-1]
+        if (
+            # 4th generation: the WHOLE soft IPM in one pallas_call.
+            # The soft solver is single-phase, so the resident contract
+            # IS the engine ladder's — no mu_switch gate needed (unlike
+            # the hard route).  HPMPC_RESIDENT=0 A/Bs back to lanes.
+            os.environ.get("HPMPC_RESIDENT", "1") == "1"
+            and dims.NB > 0
+            and NS > 0
+            and qp.dtype == jnp.float32
+            and int(getattr(cfg, "iter_ref", 0)) == 0
+        ):
+            from ..ops import resident_kernel as _rk
+
+            if _rk.resident_soft_fits(int(dims.NX), int(dims.NU),
+                                      int(dims.NB), int(dims.N), NS):
+                from ..models import ipm_soft_resident
+
+                return ipm_soft_resident.solve_batched_soft_resident(
+                    dims, qp, soft, cfg, idxbs_t,
+                    exact_mehrotra_soft=exact_mehrotra_soft,
+                )
         if (
             (
                 # default ON (hardware-validated 2026-08-19 on v5e:
@@ -294,7 +316,7 @@ def solve_batched_soft(
                 or os.environ.get("HPMPC_MEGA_SWEEPS", "0") == "1"
             )
             and dims.NB > 0
-            and soft.ns_mask.shape[-1] > 0
+            and NS > 0
             and qp.dtype == jnp.float32
             and _engine_fits(dims, lanes=True)  # tighter VMEM bound
         ):

@@ -362,3 +362,32 @@ def test_step_ok_divergence_guard():
     f64 = jnp.float64
     assert bool(ok(jnp.asarray(3.0e-4, f64), jnp.asarray(1.1e-5, f64)))
     assert not bool(ok(jnp.asarray(jnp.inf, f64), jnp.asarray(1.0, f64)))
+
+
+@pytest.mark.parametrize("phase", ["low", "high"])
+def test_corrector_toggles_predictor_only(phase):
+    """CORRECTOR_LOW/HIGH=0 (reference d_ip2_res_hard.c:51-52): the
+    predictor-only variants still converge, just in more iterations,
+    and their stat rows leave alpha_aff/mu_aff slots empty."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    dims, qp = mass_spring_qp(8, 3, 10)
+    cfg_full = ipm.IPMConfig(k_max=40, mu_tol=1e-9)
+    kw = {f"corrector_{phase}": False}
+    cfg_pred = dataclasses.replace(cfg_full, **kw)
+
+    sol_full = jax.jit(lambda q: ipm.solve(dims, q, cfg_full))(qp)
+    sol_pred = jax.jit(lambda q: ipm.solve(dims, q, cfg_pred))(qp)
+    assert int(sol_full.status) == 0
+    assert int(sol_pred.status) == 0
+    # same solution, predictor-only takes at least as many iterations
+    np.testing.assert_allclose(
+        np.asarray(sol_pred.z), np.asarray(sol_full.z), atol=1e-6
+    )
+    assert int(sol_pred.kk) >= int(sol_full.kk)
+    # the skipped phase's rows have empty alpha_aff/mu_aff slots
+    stat = np.asarray(sol_pred.stat)[: int(sol_pred.kk)]
+    assert (stat[:, 1] == 0).any()

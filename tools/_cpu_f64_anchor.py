@@ -75,6 +75,7 @@ def main(fin, fout):
         z=np.asarray(sol.z, np.float64),
         pi=np.asarray(sol.pi, np.float64),
         kk=np.asarray(sol.kk),
+        status=np.asarray(sol.status),
         inf_norm_res=np.asarray(sol.inf_norm_res, np.float64),
     )
 

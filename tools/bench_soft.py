@@ -95,16 +95,19 @@ def main():
     # a timeout mid-run still leaves the earlier JSON lines
     t_x = None
     for name, env, cfg, flat in (
-        ("xla", {"HPMPC_LANES_LOOP": "0", "HPMPC_MEGA_SWEEPS": "0"},
-         cfg_x, False),
-        ("pallas", {"HPMPC_LANES_LOOP": "0", "HPMPC_MEGA_SWEEPS": "0"},
-         cfg_p, False),
-        ("flat", {"HPMPC_LANES_LOOP": "0", "HPMPC_MEGA_SWEEPS": "0"},
-         cfg_p, True),
-        ("lanes", {"HPMPC_LANES_LOOP": "1", "HPMPC_MEGA_SWEEPS": "0"},
-         cfg_p, True),
-        ("mega", {"HPMPC_LANES_LOOP": "1", "HPMPC_MEGA_SWEEPS": "1"},
-         cfg_p, True),
+        ("xla", {"HPMPC_RESIDENT": "0", "HPMPC_LANES_LOOP": "0",
+                 "HPMPC_MEGA_SWEEPS": "0"}, cfg_x, False),
+        ("pallas", {"HPMPC_RESIDENT": "0", "HPMPC_LANES_LOOP": "0",
+                    "HPMPC_MEGA_SWEEPS": "0"}, cfg_p, False),
+        ("flat", {"HPMPC_RESIDENT": "0", "HPMPC_LANES_LOOP": "0",
+                  "HPMPC_MEGA_SWEEPS": "0"}, cfg_p, True),
+        ("lanes", {"HPMPC_RESIDENT": "0", "HPMPC_LANES_LOOP": "1",
+                   "HPMPC_MEGA_SWEEPS": "0"}, cfg_p, True),
+        ("mega", {"HPMPC_RESIDENT": "0", "HPMPC_LANES_LOOP": "1",
+                  "HPMPC_MEGA_SWEEPS": "1"}, cfg_p, True),
+        # 4th generation: the whole soft IPM in one pallas_call (the
+        # library default where it fits; models/ipm_soft_resident.py)
+        ("resident", {"HPMPC_RESIDENT": "1"}, cfg_p, True),
     ):
         os.environ.update(env)
         t = slope(cfg, flat=flat)

@@ -49,8 +49,10 @@ def main():
     dt = jnp.float32
     # 31 nodes: the tree_mpc.py example topology; 71 nodes: the reference
     # benchmark scale (test_d_tree_ip_hard_libstr.c:61-66) — covered by
-    # the fused path since the scoped-VMEM cap became size-adaptive
-    topos = [(2, 2, 8), (2, 3, 10)]
+    # the fused path since the scoped-VMEM cap became size-adaptive;
+    # 255 nodes (full binary, md=2 Nr=7 Nh=7): near the fused path's
+    # ~270-node VMEM accumulator ceiling (tree_kernel._tree_vmem_limit)
+    topos = [(2, 2, 8), (2, 3, 10), (2, 7, 7)]
     if os.environ.get("HPMPC_TREE_TOPO"):
         topos = [tuple(int(v) for v in
                        os.environ["HPMPC_TREE_TOPO"].split(","))]
@@ -58,6 +60,72 @@ def main():
     for md, Nr, Nh in topos:
         _bench_topology(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp,
                         B, K_ITERS, md, Nr, Nh, dt)
+
+    # closed-loop tree-RTI: warm re-solves through the fused engine
+    # (warm_start rides the flat tree path since round 4)
+    _bench_warm(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp, B, dt)
+
+
+def _bench_warm(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp, B, dt):
+    import dataclasses
+    import numpy as np
+
+    md, Nr, Nh = 2, 2, 8
+    tdef, dims, qp = mass_spring_tree_qp(md=md, Nr=Nr, Nh=Nh, nx=4, nu=2)
+    qpb = pbatch.broadcast_qp(qp, B)
+    rng = np.random.default_rng(0)
+    pert = jnp.asarray(1 + 0.02 * rng.standard_normal(B), dt)[:, None, None]
+    qpb = dataclasses.replace(qpb, b=qpb.b * pert)
+    cfg_c = ipm.IPMConfig(k_max=12, mu_tol=1e-4, use_pallas=True)
+    cfg_w = dataclasses.replace(cfg_c, warm_start=True)
+
+    def make_run(K):
+        @jax.jit
+        def run(seed):
+            sol0 = pbatch.solve_batched_tree(tdef, dims, qpb, cfg_c)
+
+            def body(carry, i):
+                z0, pi0, acc = carry
+                q = dataclasses.replace(
+                    qpb, b=qpb.b * (1.0 + 1e-3 * (i + seed) + 1e-30 * acc)
+                )
+                sol = pbatch.solve_batched_tree(tdef, dims, q, cfg_w,
+                                                z0=z0, pi0=pi0)
+                return (sol.z, sol.pi,
+                        acc + jnp.sum(sol.z)), sol.kk.astype(dt)
+
+            (z, pi, acc), kks = lax.scan(
+                body, (sol0.z, sol0.pi, jnp.asarray(0.0, dt)),
+                jnp.arange(K, dtype=dt),
+            )
+            return acc, jnp.mean(kks)
+
+        return run
+
+    ts = {}
+    mean_kk = 0.0
+    for K in (2, 10):
+        f = make_run(K)
+        out = f(jnp.asarray(0.0, dt))
+        float(out[0])
+        rep_times = []
+        for r in range(1, 4):
+            t0 = time.perf_counter()
+            out = f(jnp.asarray(r * 31.0, dt))
+            rep_times.append(time.perf_counter() - t0)
+            mean_kk = float(out[1])
+        ts[K] = min(rep_times)
+    t = max((ts[10] - ts[2]) / 8, 1e-9)
+    print(json.dumps({
+        "metric": f"tree_ipm_warm_resolves_per_s_n{tdef.n_nodes}",
+        "value": round(B / t, 1),
+        "unit": (
+            f"warm tree-RTI re-solves/s to mu<=1e-4 (md={md} Nr={Nr} "
+            f"Nh={Nh}, {tdef.n_nodes} nodes, fused engine, batch={B}, "
+            f"f32, mean_iters={mean_kk:.2f}, {t * 1e3:.2f} ms/batch)"
+        ),
+        "vs_baseline": 0.0,
+    }), flush=True)
 
 
 def _bench_topology(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp,
