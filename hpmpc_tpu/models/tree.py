@@ -444,10 +444,10 @@ def solve_tree_ipm_flat(
     from . import ipm_fast
 
     assert dims.N + 1 == tdef.n_nodes
-    acc_bytes = tk.tree_vmem_accumulator_bytes(tdef.n_nodes, dims.NZ)
-    assert acc_bytes <= tk._tree_vmem_limit(), (
-        f"tree too large for the fused kernels ({acc_bytes/2**20:.1f} MiB "
-        "VMEM accumulator); use the level-batched XLA path (solve_tree_ipm)"
+    assert (tk.tree_fits_fused(tdef.n_nodes, dims.NZ)
+            or tk.tree_fits_fused_hbm(tdef.n_nodes, dims.NZ)), (
+        "tree too large even for the HBM-streamed fused kernels; use the "
+        "level-batched XLA path (solve_tree_ipm)"
     )
     return ipm_fast.solve_batched_flat(
         dims, qp, cfg, kkt_factory=_flat_tree_kkt_factory(tdef),

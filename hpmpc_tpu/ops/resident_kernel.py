@@ -740,12 +740,12 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids, NS, exact,
                         lmx_new, jnp.abs(lgn[i] + a2 * dlgn[i]))
             # NaN-safe finiteness (x == x rejects NaN; bound rejects inf)
             # + the f32 divergence/dual-explosion freeze (models/ipm.
-            # step_ok: mu growing >10x, or max |lam| growing >100x, from
+            # step_ok: mu growing >10x, or max |lam| growing >30x, from
             # below 1e-3 = breakdown; keep the last good state)
             floor = mu_s[...] < 1e-3
             ok = ((mu_new == mu_new) & (jnp.abs(mu_new) < _BIG)
                   & ~((mu_new > 10.0 * mu_s[...]) & floor)
-                  & ~((lmx_new > 100.0 * jnp.maximum(lmx_old, one))
+                  & ~((lmx_new > 30.0 * jnp.maximum(lmx_old, one))
                       & floor))
             upd = live & ok
             a2p_s[...] = jnp.where(upd, a2, zero)

@@ -24,7 +24,11 @@ VMEM budget: the backward accumulator is ``n_nodes * (NT + NZ)`` subtiles
 (NT = NZ(NZ+1)/2) — 9.5 MB at n=31, NZ=11 — which bounds the supported
 tree size under the scoped-VMEM budget the kernels request
 (``stage_kernel.pcall``, default 100 MiB: ~240 nodes at NZ=11, covering
-the reference's tree benchmark scales incl. md=2 Nr=3 Nh=8 = 71 nodes);
+the reference's tree benchmark scales incl. md=2 Nr=3 Nh=8 = 71 nodes).
+Past that, LARGE-TREE mode keeps the accumulator in HBM (an ANY-space
+buffer streamed through two VMEM line buffers with explicit DMAs, see
+``_tree_bwd_kernel`` ``hbm_acc``) — the cap rises ~(NZ+3)/2 x toward the
+reference's arbitrary-tree contract (``include/tree.h:34-44``); even
 larger trees take the level-batched XLA path (``models/tree.py``).
 
 Edge/node array conventions follow models/tree.py: node arrays have
@@ -73,7 +77,20 @@ def tree_vmem_accumulator_bytes(n_nodes: int, NZ: int) -> int:
 
 
 def tree_fits_fused(n_nodes: int, NZ: int) -> bool:
+    """VMEM-resident backward accumulator fits (~270 nodes at NZ=11)."""
     return tree_vmem_accumulator_bytes(n_nodes, NZ) <= _tree_vmem_limit()
+
+
+def tree_fits_fused_hbm(n_nodes: int, NZ: int) -> bool:
+    """LARGE-TREE fused mode: the backward accumulator streams through
+    HBM (``_tree_bwd_kernel`` hbm_acc), so only the z-sized slabs of the
+    forward/trs/residual kernels grow with n — the node cap rises
+    ~(NZ+3)/2 x (~2000 nodes at NZ=11).  Opt-in on hardware via
+    ``HPMPC_TREE_HBM=1`` until real-Mosaic DMA lowering is validated
+    (tools/check_tree_hbm_tpu.py); interpret parity in
+    tests/test_tree_flat.py."""
+    z_slab = n_nodes * NZ * SUBS * LANES * 4
+    return z_slab <= _tree_vmem_limit()
 
 
 def _slab_tiles(slab, count):
@@ -91,18 +108,41 @@ def _tiles_slab(tiles):
 # ---------------------------------------------------------------------------
 
 
-def _tree_bwd_kernel(NU, NX, NZ, n, ng_node_ids,
+def _tree_bwd_kernel(NU, NX, NZ, n, ng_node_ids, hbm_acc,
                      dad_ref, H_ref, dvec_ref, ng_ref, g_ref, F_ref, b_ref,
                      Ll_ref, Lxx_ref, eu_ref, px_ref, Pb_ref,
-                     acc_ref):
+                     *acc_refs):
     s = pl.program_id(1)
+    bblk = pl.program_id(0)  # batch block (careful: `bb` is the local
+    # name of the b-vector tiles inside the parent-contribution block)
     k = n - 1 - s  # node id this step (reverse-BFS)
     NT = _sym_nt(NZ)
     NTOT = NT + NZ
 
+    if hbm_acc:
+        # LARGE-TREE mode: the per-node accumulator lives in HBM (an
+        # ANY-space output buffer, one row per node) and is streamed
+        # through two VMEM line buffers with explicit DMAs — the VMEM
+        # footprint stops growing with n, lifting the fused path's node
+        # cap ~(NZ+3)/2 x (the remaining n-proportional slabs hold NZ
+        # subtiles/node instead of NT+NZ).  The grid's minor dimension
+        # is sequential on TPU, so child RMWs always land before the
+        # parent's read.
+        acc_any, bufk, bufd, sem = acc_refs
+    else:
+        (acc_ref,) = acc_refs
+
     @pl.when(s == 0)
     def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if hbm_acc:
+            bufk[...] = jnp.zeros_like(bufk)
+            for r in range(n):
+                cp = pltpu.make_async_copy(
+                    bufk, acc_any.at[bblk, pl.ds(r, 1)], sem)
+                cp.start()
+                cp.wait()
+        else:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # effective Hessian: packed symmetric H + diagonal barrier fold +
     # (masked) general-constraint term, exactly as the chain folded kernel
@@ -122,7 +162,14 @@ def _tree_bwd_kernel(NU, NX, NZ, n, ng_node_ids,
 
     # children contributions accumulated at this node's slab (zero for
     # leaves: the whole accumulator is zeroed at s == 0 above)
-    slab = acc_ref[pl.ds(k, 1), :, :]
+    if hbm_acc:
+        cpk = pltpu.make_async_copy(
+            acc_any.at[bblk, pl.ds(k, 1)], bufk, sem)
+        cpk.start()
+        cpk.wait()
+        slab = bufk[...]
+    else:
+        slab = acc_ref[pl.ds(k, 1), :, :]
     accM = _slab_tiles(slab, NTOT)
     M = [
         [Hp[_sym_idx(max(i, j), min(i, j))]
@@ -188,7 +235,19 @@ def _tree_bwd_kernel(NU, NX, NZ, n, ng_node_ids,
             tiles.append(acc)
         contrib = _tiles_slab(tiles)
         dadk = dad_ref[0, k]
-        acc_ref[pl.ds(dadk, 1), :, :] = acc_ref[pl.ds(dadk, 1), :, :] + contrib
+        if hbm_acc:
+            cpd = pltpu.make_async_copy(
+                acc_any.at[bblk, pl.ds(dadk, 1)], bufd, sem)
+            cpd.start()
+            cpd.wait()
+            bufd[...] = bufd[...] + contrib
+            cpw = pltpu.make_async_copy(
+                bufd, acc_any.at[bblk, pl.ds(dadk, 1)], sem)
+            cpw.start()
+            cpw.wait()
+        else:
+            acc_ref[pl.ds(dadk, 1), :, :] = (
+                acc_ref[pl.ds(dadk, 1), :, :] + contrib)
 
 
 # ---------------------------------------------------------------------------
@@ -401,25 +460,42 @@ def tree_factor_solve_flat(dad_arr, Hl, dvecF, ngl, ng_node_ids, gF, Fl, bF,
         pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, n - 1 - s, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, NX, SUBS, LANES), lambda bb, s: (bb, jnp.clip(n - 2 - s, 0, NE - 1), 0, 0, 0), memory_space=pltpu.VMEM),
     ]
+    # accumulator placement: VMEM-resident slab while it fits the scoped
+    # budget; past that, an HBM (ANY-space) buffer streamed through VMEM
+    # line buffers with explicit DMAs (see _tree_bwd_kernel)
+    hbm_acc = not tree_fits_fused(n, NZ)
+    NTOT = _sym_nt(NZ) + NZ
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, n, NZ, NU, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, n, NX, NX, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, n, NU, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, n, NX, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, NE, NX, SUBS, LANES), dt),
+    ]
+    if hbm_acc:
+        out_specs = out_specs + [
+            pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((nb, n, NTOT * SUBS, LANES), dt)]
+        scratch = [
+            pltpu.VMEM((1, NTOT * SUBS, LANES), dt),
+            pltpu.VMEM((1, NTOT * SUBS, LANES), dt),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        scratch = [pltpu.VMEM((n, NTOT * SUBS, LANES), dt)]
     kernel = functools.partial(
-        _tree_bwd_kernel, NU, NX, NZ, n, tuple(ng_node_ids)
+        _tree_bwd_kernel, NU, NX, NZ, n, tuple(ng_node_ids), hbm_acc
     )
-    Ll_l, Lxx_l, eu_l, px_l, Pb_l = pcall(
+    outs = pcall(
         kernel,
         grid=(nb, n),
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, n, NZ, NU, SUBS, LANES), dt),
-            jax.ShapeDtypeStruct((nb, n, NX, NX, SUBS, LANES), dt),
-            jax.ShapeDtypeStruct((nb, n, NU, SUBS, LANES), dt),
-            jax.ShapeDtypeStruct((nb, n, NX, SUBS, LANES), dt),
-            jax.ShapeDtypeStruct((nb, NE, NX, SUBS, LANES), dt),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n, (_sym_nt(NZ) + NZ) * SUBS, LANES), dt)
-        ],
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(dad_arr, Hl, dl, ngl, gl, Fl, bl)
+    Ll_l, Lxx_l, eu_l, px_l, Pb_l = outs[:5]
 
     zF, piF = _tree_forward_from_lanes(
         dad_arr, Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, n, NU, NZ, NX,

@@ -127,6 +127,15 @@ def select_engine(dims: OCPDims, cfg: ipm.IPMConfig, B: int, dtype) -> str:
         and dims.NB > 0
         and f32  # mixed precision stays on ipm_fast
         and _engine_fits(dims, lanes=True)  # tighter VMEM bound
+        # measured crossover fence (v5e size sweep 2026-08-20,
+        # floor-cleared K spans): the mega route WINS at NZ=17 (355k vs
+        # flat 319k), 27 (157k vs 121k), 36 (77k vs 63k) but LOSES 22%
+        # at exactly NZ=19 (237k vs 303k; nx=16 nu=3) — the default
+        # dispatch must not pick a >10%-losing engine, so that band
+        # rides flat.  An EXPLICIT HPMPC_MEGA_SWEEPS=1 still overrides
+        # (the A/B rows of the size sweep itself need to measure it).
+        and (dims.NZ != 19
+             or os.environ.get("HPMPC_MEGA_SWEEPS") == "1")
     )
     if iter_ref == 0:
         if resident_ok(float(cfg.mu_tol)):
@@ -353,17 +362,27 @@ def solve_batched_tree(tdef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
     ``cfg.warm_start`` seed the node iterate on BOTH paths — closed-loop
     tree-RTI re-solves stay on the fused engine (the reference tree
     solver's ``warm_start`` argument, ``d_tree_ip2_res_hard_libstr.c:80``)."""
+    import os
+
     from ..models import tree as _tree
     from ..ops import tree_kernel as tk
 
     B = qp.b.shape[0]
+    fused_fits = tk.tree_fits_fused(tdef.n_nodes, dims.NZ) or (
+        # LARGE trees: the HBM-streamed backward accumulator lifts the
+        # fused path's VMEM node cap ~(NZ+3)/2 x.  Opt-in on hardware
+        # until the DMA lowering is real-Mosaic validated
+        # (tools/check_tree_hbm_tpu.py); interpret-proven.
+        os.environ.get("HPMPC_TREE_HBM", "0") == "1"
+        and tk.tree_fits_fused_hbm(tdef.n_nodes, dims.NZ)
+    )
     if (
         cfg.use_pallas
         and dims.idxb is not None
         and B % 1024 == 0
         and qp.dtype == jnp.float32
         and int(getattr(cfg, "iter_ref", 0)) == 0
-        and tk.tree_fits_fused(tdef.n_nodes, dims.NZ)
+        and fused_fits
     ):
         return _tree.solve_tree_ipm_flat(tdef, dims, qp, cfg,
                                          z0=z0, pi0=pi0)

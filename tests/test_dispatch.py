@@ -135,3 +135,20 @@ def test_chunked_solve_matches_unchunked(monkeypatch):
                                   np.asarray(sol_one.z))
     np.testing.assert_array_equal(np.asarray(sol_ch.kk),
                                   np.asarray(sol_one.kk))
+
+
+def test_nz19_crossover_fence(monkeypatch):
+    """Measured v5e crossover: the lanes/mega route loses 22% to flat at
+    exactly NZ=19 (nx=16 nu=3) — the default dispatch rides flat there,
+    but an explicit HPMPC_MEGA_SWEEPS=1 A/B still overrides."""
+    d19, _ = mass_spring_qp(16, 3, 30, dtype=jnp.float32)
+    assert d19.NZ == 19
+    cfg = _cfg()
+    assert pbatch.select_engine(d19, cfg, 1024, jnp.float32) == "flat"
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "1")
+    assert pbatch.select_engine(d19, cfg, 1024, jnp.float32) == "lanes"
+    monkeypatch.delenv("HPMPC_MEGA_SWEEPS")
+    # neighbours keep the lanes default
+    d17, _ = mass_spring_qp(16, 1, 30, dtype=jnp.float32)
+    assert d17.NZ == 17
+    assert pbatch.select_engine(d17, cfg, 1024, jnp.float32) == "lanes"

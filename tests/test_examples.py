@@ -11,7 +11,8 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
 @pytest.mark.parametrize(
-    "script", ["closed_loop_mpc.py", "mhe_estimation.py", "tree_mpc.py"]
+    "script", ["closed_loop_mpc.py", "mhe_estimation.py", "tree_mpc.py",
+               "sharded_fleet.py"]
 )
 def test_example_runs(script):
     env = {
@@ -20,6 +21,7 @@ def test_example_runs(script):
         "JAX_ENABLE_X64": "1",
         "PYTHONPATH": "",
         "HOME": "/root",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
     }
     out = subprocess.run(
         [sys.executable, str(ROOT / "examples" / script)],

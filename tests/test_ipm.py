@@ -344,7 +344,7 @@ def test_step_ok_divergence_guard():
     import jax.numpy as jnp
 
     """step_ok (shared breakdown guard): rejects non-finite mu always, and
-    f32 endgame divergence (mu growing >10x from below 1e-3 — the
+    f32 endgame divergence (mu >10x or max-dual >30x growth from below 1e-3 — the
     (16, 3) dual-blowup mode, tools/diag_eng_resid.py); f64 and healthy
     f32 steps pass."""
     f32 = jnp.float32

@@ -161,3 +161,36 @@ def test_tree_flat_converges_deeper(interpret_pallas):
     assert bool(jnp.all(sol.status == 0)), np.asarray(sol.status)
     # KKT residuals of the converged batch are small
     assert float(jnp.max(sol.inf_norm_res[:, 3])) < 1e-5
+
+
+def test_tree_flat_hbm_accumulator_matches_vmem(interpret_pallas,
+                                                monkeypatch):
+    """LARGE-TREE mode (VERDICT r3 #7): the backward accumulator streamed
+    through HBM with explicit DMAs must reproduce the VMEM-resident slab
+    path BIT-FOR-BIT (same arithmetic, different placement).  Forced here
+    by shrinking the VMEM gate; the dispatcher picks it automatically on
+    trees past the VMEM cap when HPMPC_TREE_HBM=1."""
+    from hpmpc_tpu.ops import tree_kernel as tk
+
+    tdef, dims, qp = _tree_qp()
+    qpb = _batched(qp)
+    cfg = ipm.IPMConfig(k_max=3, mu_tol=1e-4)
+
+    sol_vmem = jax.jit(
+        lambda q: tree.solve_tree_ipm_flat(tdef, dims, q, cfg)
+    )(qpb)
+
+    monkeypatch.setattr(tk, "tree_fits_fused", lambda n, NZ: False)
+    # the wrapper is jitted with static args only — drop its cache so the
+    # patched gate actually retraces the HBM variant
+    tk.tree_factor_solve_flat.clear_cache()
+    sol_hbm = jax.jit(
+        lambda q: tree.solve_tree_ipm_flat(tdef, dims, q, cfg)
+    )(qpb)
+
+    np.testing.assert_array_equal(np.asarray(sol_hbm.z),
+                                  np.asarray(sol_vmem.z))
+    np.testing.assert_array_equal(np.asarray(sol_hbm.kk),
+                                  np.asarray(sol_vmem.kk))
+    np.testing.assert_array_equal(np.asarray(sol_hbm.stat),
+                                  np.asarray(sol_vmem.stat))

@@ -110,7 +110,7 @@ def _f64_anchor(dims, qp_np, b_batched, idx, k_max, mu_tol=0.0):
 
 
 def _converged_parity(row, dims, qp_np, qpb, qp_light, cfg, jax, jnp,
-                      pbatch, true_residuals_sol):
+                      pbatch, true_residuals_sol, conv_cache):
     """Converged-endpoint parity for sizes where the fixed K_ITERS
     budget leaves every route mid-path: run THIS engine (env already
     pinned) at k_max=30 to mu_tol=1e-3 (safely above the f32 duality
@@ -136,10 +136,29 @@ def _converged_parity(row, dims, qp_np, qpb, qp_light, cfg, jax, jnp,
     conv = np.asarray(solc.status) == 0
     row["conv_frac_eng"] = float(conv.mean())
     row["conv_rel_rq_p99"] = float(np.quantile(relc[:, 0], 0.99))
-    if conv.mean() < 0.9:
-        ok, why = False, why + ["<90% converge at k_max=30"]
-    if row["conv_rel_rq_p99"] > 1e-4:
-        ok, why = False, why + ["converged rel rq p99 > 1e-4"]
+
+    # f32 BASELINE for "how convergent can f32 be here": the framework's
+    # own structured XLA route at the same stopping rule (measured at
+    # (16,1): only ~65% of instances reach mu 1e-3 in 30 iterations in
+    # ANY f32 route, while f64 reaches ~92% — an absolute conv gate
+    # would condemn correct engines for the dtype's floor)
+    if "xla_conv" not in conv_cache:
+        cfgx = _dc.replace(cfgc, use_pallas=False)
+        solx = jax.jit(
+            lambda q: pbatch.solve_batched(dims, q, cfgx))(qpb)
+        solx = jax.tree.map(np.asarray, solx)
+        _, relx = true_residuals_sol(qp_light, solx)
+        conv_cache["xla_conv"] = (
+            float((np.asarray(solx.status) == 0).mean()),
+            float(np.quantile(relx[:, 0], 0.99)),
+        )
+    xla_cf, xla_p99 = conv_cache["xla_conv"]
+    row["conv_frac_xla"] = xla_cf
+    row["conv_rel_rq_p99_xla"] = xla_p99
+    if conv.mean() < xla_cf - 0.05:
+        ok, why = False, why + ["converges less than the f32 xla route"]
+    if row["conv_rel_rq_p99"] > max(3.0 * xla_p99, 1e-4):
+        ok, why = False, why + ["rel rq p99 above 3x the f32 xla route"]
 
     sub = np.unique(np.concatenate([
         np.argsort(-relc[:, 0])[:4], np.linspace(0, B - 1, 8, dtype=int)
@@ -157,8 +176,17 @@ def _converged_parity(row, dims, qp_np, qpb, qp_light, cfg, jax, jnp,
             row["dz_conv_vs_f64_rel"] = dz
             if dz > 2e-2:
                 ok, why = False, why + ["converged endpoint vs f64"]
+        elif not conv64.any():
+            # even f64 needs more than 30 iterations at this size
+            # (measured nx=96 N=30: conv_frac_f64 = 0) — endpoint
+            # comparison is undefined for every dtype; the verdict
+            # rests on the conv-frac-vs-xla and backward-error-vs-xla
+            # gates above, which are dtype-fair
+            row["conv_check"] = ("no route converges at k_max=30; "
+                                 "judged on backward error vs the f32 "
+                                 "xla route")
         else:
-            ok, why = False, why + ["no co-converged instances"]
+            ok, why = False, why + ["f64 converges where engine doesn't"]
     return ok, why
 
 
@@ -253,6 +281,7 @@ def main():
         large_band = not _sk.engine_fits(nx, nu)
         engines = ENGINES_LARGE if large_band else ENGINES
         anchor = None          # (sol, res, rel) of the f32 XLA route
+        conv_cache = {}        # per-size converged-run anchors
         anchor_f64 = None      # cached f64 sub-batch anchor
         f64_idx = None
         t_x = None
@@ -333,7 +362,8 @@ def main():
                             # sub-batch — endpoint solutions, not paths.
                             ok, why = _converged_parity(
                                 row, dims, qp_np, qpb, qp_light, cfg,
-                                jax, jnp, pbatch, true_residuals_sol)
+                                jax, jnp, pbatch, true_residuals_sol,
+                                conv_cache)
                         elif anchor_f64 is None and f64_idx is None:
                             worst = np.argsort(-rel[:, 0])[:8]
                             spread = np.linspace(
