@@ -299,7 +299,15 @@ def solve_batched_soft(
             # The soft solver is single-phase, so the resident contract
             # IS the engine ladder's — no mu_switch gate needed (unlike
             # the hard route).  HPMPC_RESIDENT=0 A/Bs back to lanes.
+            # DEFAULT only to N <= 20: the soft kernel's trace is ~1.45x
+            # the hard one's and at N=30 its ~130 MB MLIR module sits at
+            # the remote compile helper's memory edge (flaky HTTP 500;
+            # the engine itself is hardware-validated at N=30,
+            # check_resident_tpu --soft) — an EXPLICIT HPMPC_RESIDENT=1
+            # overrides the horizon gate.
             os.environ.get("HPMPC_RESIDENT", "1") == "1"
+            and (dims.N <= 20
+                 or os.environ.get("HPMPC_RESIDENT") == "1")
             and dims.NB > 0
             and NS > 0
             and qp.dtype == jnp.float32
@@ -370,10 +378,12 @@ def solve_batched_tree(tdef, dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
     B = qp.b.shape[0]
     fused_fits = tk.tree_fits_fused(tdef.n_nodes, dims.NZ) or (
         # LARGE trees: the HBM-streamed backward accumulator lifts the
-        # fused path's VMEM node cap ~(NZ+3)/2 x.  Opt-in on hardware
-        # until the DMA lowering is real-Mosaic validated
-        # (tools/check_tree_hbm_tpu.py); interpret-proven.
-        os.environ.get("HPMPC_TREE_HBM", "0") == "1"
+        # fused path's VMEM node cap ~(NZ+3)/2 x.  Default ON — the DMA
+        # lowering is real-Mosaic validated (tools/check_tree_hbm_tpu.py
+        # 2026-08-20: bit-exact vs the VMEM path, and a 511-node tree
+        # matches the XLA route with kk 100%); =0 falls back to the
+        # level-batched XLA path for oversized trees.
+        os.environ.get("HPMPC_TREE_HBM", "1") == "1"
         and tk.tree_fits_fused_hbm(tdef.n_nodes, dims.NZ)
     )
     if (

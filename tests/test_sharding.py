@@ -217,3 +217,39 @@ def test_multihost_helpers_single_process():
     assert arr.shape == (16, 3)
     assert len(arr.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+def test_sharded_engine_warm_start(interpret_pallas, monkeypatch):
+    """Warm starts flow through the shard_map wrapper (the warm dict is
+    sharded alongside the QP); sharded warm == unsharded warm bit-for-bit."""
+    monkeypatch.setenv("HPMPC_LANES_LOOP", "0")
+    monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "0")
+    monkeypatch.setenv("HPMPC_RESIDENT", "0")
+
+    dims, qp = mass_spring_qp(8, 3, 4, dtype=jnp.float32)
+    B = 2048
+    qpb = pbatch.broadcast_qp(qp, B)
+    rng = np.random.default_rng(3)
+    qpb = dataclasses.replace(
+        qpb,
+        b=qpb.b * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(B), jnp.float32)[:, None, None],
+    )
+    cfg0 = ipm.IPMConfig(k_max=3, mu_tol=0.0, alpha_min=1e-8,
+                         use_pallas=True)
+    sol0 = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg0))(qpb)
+
+    cfg_w = dataclasses.replace(cfg0, warm_start=True, k_max=2)
+    sol_w = jax.jit(
+        lambda q, z, p: pbatch.solve_batched(dims, q, cfg_w, z0=z, pi0=p)
+    )(qpb, sol0.z, sol0.pi)
+
+    mesh = pbatch.make_mesh(2)
+    qps = pbatch.shard_qp(qpb, mesh)
+    sol_ws = pbatch.solve_sharded(dims, qps, cfg_w, mesh,
+                                  z0=sol0.z, pi0=sol0.pi)
+    jax.block_until_ready(sol_ws.z)
+    np.testing.assert_array_equal(np.asarray(sol_ws.z),
+                                  np.asarray(sol_w.z))
+    np.testing.assert_array_equal(np.asarray(sol_ws.kk),
+                                  np.asarray(sol_w.kk))

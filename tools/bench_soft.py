@@ -110,7 +110,15 @@ def main():
         ("resident", {"HPMPC_RESIDENT": "1"}, cfg_p, True),
     ):
         os.environ.update(env)
-        t = slope(cfg, flat=flat)
+        try:
+            t = slope(cfg, flat=flat)
+        except Exception as e:  # report the row, keep the ladder
+            print(json.dumps({
+                "metric": f"soft_ipm_solves_per_s_{name}",
+                "value": 0.0, "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }), flush=True)
+            continue
         if t_x is None:
             t_x = t
         print(json.dumps({

@@ -104,7 +104,9 @@ def _bench_warm(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp, B, dt):
 
     ts = {}
     mean_kk = 0.0
-    for K in (2, 10):
+    K_lo, K_hi = 2, 34  # wide span: warm re-solves are fast (mean ~4
+    # iters), a narrow span sits under the relay measurement floor
+    for K in (K_lo, K_hi):
         f = make_run(K)
         out = f(jnp.asarray(0.0, dt))
         float(out[0])
@@ -112,17 +114,21 @@ def _bench_warm(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp, B, dt):
         for r in range(1, 4):
             t0 = time.perf_counter()
             out = f(jnp.asarray(r * 31.0, dt))
+            float(out[0])
             rep_times.append(time.perf_counter() - t0)
             mean_kk = float(out[1])
         ts[K] = min(rep_times)
-    t = max((ts[10] - ts[2]) / 8, 1e-9)
+    d = ts[K_hi] - ts[K_lo]
+    floor = d <= 0.05 * ts[K_lo]
+    t = max(d / (K_hi - K_lo), 1e-9)
     print(json.dumps({
         "metric": f"tree_ipm_warm_resolves_per_s_n{tdef.n_nodes}",
-        "value": round(B / t, 1),
+        "value": 0.0 if floor else round(B / t, 1),
         "unit": (
             f"warm tree-RTI re-solves/s to mu<=1e-4 (md={md} Nr={Nr} "
             f"Nh={Nh}, {tdef.n_nodes} nodes, fused engine, batch={B}, "
             f"f32, mean_iters={mean_kk:.2f}, {t * 1e3:.2f} ms/batch)"
+            + (" [below relay measurement floor]" if floor else "")
         ),
         "vs_baseline": 0.0,
     }), flush=True)
@@ -140,11 +146,14 @@ def _bench_topology(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp,
     qpb = dataclasses.replace(qpb, b=qpb.b * pert)
 
     def make_run(cfg, K):
+        # the QP is an ARGUMENT: closing over it embeds the batched data
+        # as module constants — 16 MB of b alone at 255 nodes, breaching
+        # the compile relay's 10 MB payload cap (HTTP 413)
         @jax.jit
-        def run(seed):
+        def run(q0, seed):
             def body(acc, i):
                 q = dataclasses.replace(
-                    qpb, b=qpb.b * (1.0 + 1e-5 * (i + seed) + 1e-30 * acc)
+                    q0, b=q0.b * (1.0 + 1e-5 * (i + seed) + 1e-30 * acc)
                 )
                 sol = pbatch.solve_batched_tree(tdef, dims, q, cfg)
                 return jnp.sum(sol.z) + jnp.sum(sol.stat), None
@@ -160,11 +169,11 @@ def _bench_topology(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp,
         ts = {}
         for K in (K_lo, K_hi):
             f = make_run(cfg, K)
-            float(f(jnp.asarray(0.0, dt)))
+            float(f(qpb, jnp.asarray(0.0, dt)))
             rep_times = []
             for r in range(1, reps + 1):
                 t0 = time.perf_counter()
-                float(f(jnp.asarray(r * 31.0, dt)))
+                float(f(qpb, jnp.asarray(r * 31.0, dt)))
                 rep_times.append(time.perf_counter() - t0)
             ts[K] = min(rep_times)
         d = ts[K_hi] - ts[K_lo]
@@ -175,8 +184,22 @@ def _bench_topology(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp,
     cfg_x = ipm.IPMConfig(k_max=K_ITERS, mu_tol=0.0)
     cfg_f = dataclasses.replace(cfg_x, use_pallas=True)
 
-    t_f = slope(cfg_f)
-    t_x = slope(cfg_x)
+    try:
+        t_f = slope(cfg_f)
+    except Exception as e:
+        print(json.dumps({
+            "metric": f"tree_ipm_solves_per_s_flat_n{tdef.n_nodes}",
+            "value": 0.0, "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300]}), flush=True)
+        t_f = -1.0
+    try:
+        t_x = slope(cfg_x)
+    except Exception as e:
+        print(json.dumps({
+            "metric": f"tree_ipm_solves_per_s_xla_n{tdef.n_nodes}",
+            "value": 0.0, "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300]}), flush=True)
+        t_x = -1.0
     for name, t in (("flat", t_f), ("xla", t_x)):
         floor = t <= 0
         t = abs(t) if t > 0 else 1e-9
