@@ -298,16 +298,14 @@ def solve_batched_soft(
             # 4th generation: the WHOLE soft IPM in one pallas_call.
             # The soft solver is single-phase, so the resident contract
             # IS the engine ladder's — no mu_switch gate needed (unlike
-            # the hard route).  HPMPC_RESIDENT=0 A/Bs back to lanes.
-            # DEFAULT only to N <= 20: the soft kernel's trace is ~1.45x
-            # the hard one's and at N=30 its ~130 MB MLIR module sits at
-            # the remote compile helper's memory edge (flaky HTTP 500;
-            # the engine itself is hardware-validated at N=30,
-            # check_resident_tpu --soft) — an EXPLICIT HPMPC_RESIDENT=1
-            # overrides the horizon gate.
-            os.environ.get("HPMPC_RESIDENT", "1") == "1"
-            and (dims.N <= 20
-                 or os.environ.get("HPMPC_RESIDENT") == "1")
+            # the hard route).  OPT-IN (explicit HPMPC_RESIDENT=1),
+            # unlike the hard route's resident default: measured SLOWER
+            # than soft mega at throughput (0.72x at N=20, v5e
+            # 2026-08-20), and at N=30 its ~130 MB MLIR module sits at
+            # the remote compile helper's memory edge (flaky HTTP 500).
+            # The engine itself is hardware-validated
+            # (check_resident_tpu --soft: kk 100%, dz 7.9e-4 at N=30).
+            os.environ.get("HPMPC_RESIDENT") == "1"
             and dims.NB > 0
             and NS > 0
             and qp.dtype == jnp.float32

@@ -42,7 +42,8 @@ def main():
     B = 4096
     K_ITERS = 8
     dt = jnp.float32
-    dims, qp, soft = mass_spring_soft_qp(8, 3, 30, Z=10.0, dtype=dt)
+    NH = int(os.environ.get("HPMPC_SOFT_BENCH_N", "30"))
+    dims, qp, soft = mass_spring_soft_qp(8, 3, NH, Z=10.0, dtype=dt)
     qps = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), qp
     )
@@ -93,6 +94,7 @@ def main():
     # engine knobs are read per trace inside the dispatch
     # (parallel/batch.py + models/ipm_soft_lanes.py); warm routes first so
     # a timeout mid-run still leaves the earlier JSON lines
+    only = os.environ.get("HPMPC_SOFT_ROWS")  # comma list to filter
     t_x = None
     for name, env, cfg, flat in (
         ("xla", {"HPMPC_RESIDENT": "0", "HPMPC_LANES_LOOP": "0",
@@ -109,6 +111,8 @@ def main():
         # library default where it fits; models/ipm_soft_resident.py)
         ("resident", {"HPMPC_RESIDENT": "1"}, cfg_p, True),
     ):
+        if only and name not in only.split(","):
+            continue
         os.environ.update(env)
         try:
             t = slope(cfg, flat=flat)
@@ -125,7 +129,7 @@ def main():
             "metric": f"soft_ipm_solves_per_s_{name}",
             "value": round(B / t, 1),
             "unit": f"{K_ITERS}-iteration soft solves/s "
-                    f"(nx=8 nu=3 N=30 soft-ns=4, batch={B}, f32; "
+                    f"(nx=8 nu=3 N={NH} soft-ns=4, batch={B}, f32; "
                     f"{t * 1e3:.2f} ms/batch)",
             "vs_baseline": round(t_x / t, 2),
         }), flush=True)
