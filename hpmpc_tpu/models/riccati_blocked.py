@@ -157,11 +157,26 @@ def solve(L, g_eff, F, b, NU, Pb=None, with_pi=True):
 def _forward(L, eu, px, F, b, NU, with_pi=True):
     """Batched forward substitution (reference
     ``d_back_ric_rec.c:339-401``); L (B, N+1, NZ, NZ) etc."""
+    from ..ops.tri import tril_inverse
+
     N = F.shape[1]
 
+    # x0 = -(Lxx0 Lxx0')^{-1} px0.  At large NX the batched lapack
+    # triangular solve is latency-bound regardless of rhs width
+    # (measured 5.5-8.4 ms/call at (256, 216..288) vs ~0 for matvecs and
+    # 1.8-2.5 ms for a one-time triangular inverse), so the inverse +
+    # two matvecs wins: blocked rows moved 128: 740->826, 192: 524->658,
+    # 256: 337->373 solves/s (v5e 2026-08-20).  At NX=64 the same swap
+    # measured 16% SLOWER (the inverse outweighs the cheap small
+    # solves), hence the size gate.
     Lxx0 = L[:, 0, NU:, NU:]
-    x0 = -_triu_solve_vec(jnp.swapaxes(Lxx0, -1, -2),
-                          _tril_solve_vec(Lxx0, px[:, 0]))
+    if Lxx0.shape[-1] >= 96:
+        Li0 = tril_inverse(Lxx0)
+        x0 = -_mm(jnp.swapaxes(Li0, -1, -2),
+                  _mm(Li0, px[:, 0][..., None]))[..., 0]
+    else:
+        x0 = -_triu_solve_vec(jnp.swapaxes(Lxx0, -1, -2),
+                              _tril_solve_vec(Lxx0, px[:, 0]))
 
     def fwd(x_n, n):
         L_n = lax.dynamic_index_in_dim(L, n, 1, keepdims=False)

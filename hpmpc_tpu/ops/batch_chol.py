@@ -215,6 +215,11 @@ def cholesky(M, tb: int | None = None):
     right-looking rank-1 kernel — measured 5.6x the XLA D&C at
     (1024, 72, 72) f32 on v5e (0.255 vs 1.43 ms; the MXU panel variant
     :func:`cholesky_blocked` measured SLOWER, see its docstring).
+    Size envelope (tools/probe_large_nx.py, B=256, v5e 2026-08-20):
+    still 2.7x the D&C at n=216 (0.84 vs 2.24 ms); crossover at
+    n ~ 288 where the rank-1 kernel's O(n^3) VPU work catches the D&C
+    (4.07 vs 3.91 ms) — and the MXU panel variant stays 3.5-7x behind
+    both at every measured size (per-panel XLA dispatch overhead).
     Leading dims are flattened into the grid; the batch is padded to a
     TB multiple with identity instances.  Matches ``tri.cholesky``
     (clamped-pivot semantics differ only on non-SPD inputs, where
