@@ -146,3 +146,24 @@ def test_custom_vmap_dispatches_oversized_to_blocked(
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(pi2), np.asarray(pi2_r),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_factor_solve_large_nx_inverse_x0(interpret_pallas):
+    """NX >= 96 takes the inverse-multiply x0 recovery (the batched
+    lapack triangular solve is latency-bound on TPU at large NX —
+    measured +11-25% blocked-row throughput); parity with the vmapped
+    structured solver must hold through that branch too."""
+    rng = np.random.default_rng(1)
+    B, N, NX, NU = 2, 3, 96, 4
+    H, g, F, b = _chain_data(rng, B, N, NX, NU)
+
+    sol, L, eu, px, Pb = riccati_blocked.factor_solve(H, g, F, b, NU)
+    sol_r, L_r, eu_r, px_r, Pb_r = jax.vmap(
+        lambda *a: riccati.factor_solve(*a, NU)
+    )(H, g, F, b)
+    # the x0 recovery path differs in rounding (inverse+matvec vs two
+    # substitutions) — f64 agreement to ~1e-10 instead of exact
+    np.testing.assert_allclose(np.asarray(sol.z), np.asarray(sol_r.z),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol.pi), np.asarray(sol_r.pi),
+                               rtol=1e-8, atol=1e-8)
