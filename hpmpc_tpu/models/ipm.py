@@ -105,6 +105,20 @@ class IPMConfig:
     # semantics).  Parity-validated at 1e-2 by
     # tests/test_stage_kernel.py::test_flat_ipm_iter_ref_reaches_f64_parity.
     iter_ref_mu_thr: float = 0.0
+    # f32-floor escalation (round 5): after an f32 batch solve, stalled
+    # instances (status != 0) are re-solved ONCE in MIXED precision (f64
+    # loop state + f32 Pallas KKT kernels — the reference's own
+    # single/double idea, d_ip2_res_hard.c:48 / test_param.h:52-70) and
+    # merged per-instance (parallel.batch._escalate_stalled).  Measured
+    # at the (16,1) north-star size, mu_tol=1e-3, k_max=30: the mixed
+    # route converges EXACTLY the f64 set (67.2% == f64's 67.2%; plain
+    # f32 63.7%) — the remaining non-converged instances diverge in f64
+    # too (duals blow up; one actuator + perturbed b + tight bounds make
+    # them infeasible-like).  Costs one lax.cond-gated extra batch solve
+    # only when some instance actually stalled.  Off by default: the
+    # throughput benches run fixed-work protocols (mu_tol=0) where
+    # "stalled" is the expected end state of every instance.
+    escalate_stalled: bool = False
 
 
 class IPMState(NamedTuple):

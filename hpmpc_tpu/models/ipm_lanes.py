@@ -20,9 +20,15 @@ per-instance scalar math (alpha/mu/sigma), the tiny general-constraint
 streams, the gating and the trace.
 
 State dtype == kernel dtype (f32 on TPU; f64 works in interpret mode for
-parity tests).  Warm start (``z0``/``pi0`` seeding) is supported; mixed
-precision and ``iter_ref`` stay on :mod:`.ipm_fast`; custom KKT
-factories (tree) are not supported here.
+parity tests).  Warm start (``z0``/``pi0`` seeding) is supported, as are
+``state0`` hot continuation and ``iter_ref`` mu-gated Newton refinement
+(the reference ITER_REF, ``d_ip2_res_hard.c:48,1086-1163``) — the
+two-stage parity route's stage 2 runs HERE, with the refinement
+residuals assembled as pure elementwise lanes ops (the stage-coupling
+terms are contiguous slice-adds in this layout — no selection matmuls)
+and the correction re-solves in :func:`~..ops.stage_kernel.solve_flat_pb`
+(Pb recomputed in-kernel).  Mixed precision stays on :mod:`.ipm_fast`;
+custom KKT factories (tree) are not supported here.
 Dispatched from :func:`hpmpc_tpu.parallel.batch.solve_batched` when
 ``HPMPC_LANES_LOOP=1`` (hardware A/B knob, like ``HPMPC_FUSED_SWEEPS``).
 """
@@ -347,15 +353,17 @@ class _LRes(NamedTuple):
 
 
 def solve_batched_lanes(dims: OCPDims, qp: OCPQP, cfg,
-                        z0=None, pi0=None) -> _ipm.IPMSolution:
+                        z0=None, pi0=None, state0=None) -> _ipm.IPMSolution:
     """Batch-level lanes-resident solve (same contract as
     :func:`.ipm_fast.solve_batched_flat`, incl. the warm-start ``z0``/
-    ``pi0`` seeding; requires NB > 0, static idxb, iter_ref == 0)."""
+    ``pi0`` seeding, ``state0`` hot continuation and ``iter_ref``
+    mu-gated refinement; requires NB > 0, static idxb)."""
     with jax.default_matmul_precision("float32"):
-        return _impl(dims, qp, cfg, z0=z0, pi0=pi0)
+        return _impl(dims, qp, cfg, z0=z0, pi0=pi0, state0=state0)
 
 
-def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
+def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None,
+          state0=None) -> _ipm.IPMSolution:
     from ..ops import stage_kernel as sk
     from ..ops import step_kernel as stk
 
@@ -366,7 +374,6 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
     assert B % sk.BI == 0, "lanes path requires batch % 1024 == 0"
     assert NB > 0, "lanes path requires box constraints (NB > 0)"
     assert dims.idxb is not None, "lanes path requires static dims.idxb"
-    assert int(getattr(cfg, "iter_ref", 0)) == 0, "iter_ref: use ipm_fast"
     n_constr = dims.n_constr
     nb_blk = B // sk.BI
     HI = jax.lax.Precision.HIGHEST
@@ -402,6 +409,8 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
     mu0 = jnp.asarray(cfg.mu0, dt)
 
     fused = _ipm_fast_knob()
+    iter_ref = int(getattr(cfg, "iter_ref", 0))
+    ref_thr = float(getattr(cfg, "iter_ref_mu_thr", 0.0))
 
     def kkt_factor_solve(dvecL, ngl, geffL, rhsL):
         if fused:
@@ -415,18 +424,59 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
         )
 
     def kkt_resolve(fstate, geffL, rhsL):
-        Ll_l, Lxx_l, Pb_l = fstate
+        Ll_l, Lxx_l, Pb_l = fstate[:3]
         fn = sk.solve_flat_fused if fused else sk.solve_flat
         return fn(Ll_l, Lxx_l, Pb_l, geffL, Fl, rhsL, NU, NZ, NX,
                   lanes_io=True)
 
+    def newton_refine_lanes(Ll_l, Lxx_l, dvecL, Qx_g, geffL, rhsL,
+                            zc, pic, do_ref):
+        """Lanes twin of :func:`.ipm_fast.newton_refine` (reference
+        ITER_REF, ``d_ip2_res_hard.c:48,1086-1163``): full-precision
+        residuals of the CURRENT effective Newton system, assembled from
+        the lanes matvec kernel plus pure elementwise lanes ops — the
+        stage-coupling terms (pi fold, x shift) are contiguous slice-adds
+        in this layout, where the flat engine pays selection matmuls —
+        then a correction re-solve with the retained lanes factor (Pb
+        recomputed in-kernel by ``solve_flat_pb``).
+
+        ``do_ref`` (scalar bool): mu-gated refinement, one lax.cond over
+        the whole pass, exactly as in the flat engine."""
+
+        def refine(zp):
+            z, pi = zp
+            for _ in range(iter_ref):
+                hz_l, fz_l, fpi_l = sk.resid_terms_flat(
+                    Hl, Fl, z, pi, NZ, NX, lanes_io=True)
+                rq = geffL + hz_l + dvecL * z
+                if n_ng:
+                    rq = ct_add_lanes(rq, Qx_g * mgF * cz_of(z))
+                rq = rq.at[:, :N].add(fpi_l[:, :N])
+                rq = rq.at[:, 1:, NU:NU + NX].add(-pi)
+                rb = rhsL + fz_l[:, :N] - z[:, 1:, NU:NU + NX]
+                dz, dpi = sk.solve_flat_pb(
+                    Ll_l, Lxx_l, rq, Fl, rb, NU, NZ, NX, lanes_io=True)
+                z = z + dz
+                pi = pi + dpi
+            return z, pi
+
+        if do_ref is None:
+            return refine((zc, pic))
+        return lax.cond(do_ref, refine, lambda zp: zp, (zc, pic))
+
     gate_res = gate  # generic over NamedTuples
 
-    mega = _mega_sweeps()
+    # mega folds prep/corr + sweep + alpha into one pallas_call per half
+    # iteration, but its forward phase is pi-less and the effective
+    # gradient/diagonal never exist in HBM — refinement needs both, so
+    # iter_ref>0 runs the 6-kernel sequence (the refinement re-solves
+    # dominate the half cost there anyway).
+    mega = _mega_sweeps() and iter_ref == 0
     if mega:
         from ..ops import mega_kernel as mk
 
-    def affine_half(lamL, tL, A_L, M_L, baseL, rhsL, qx_g, ngl, phase2):
+    def affine_half(lamL, tL, A_L, M_L, baseL, rhsL, qx_g, Qx_g, ngl,
+                    phase2, do_ref=None):
         """prep + factor + affine solve + affine alpha/sums: ONE
         mega pallas_call when HPMPC_MEGA_SWEEPS=1, else the 3-kernel
         sequence.  Returns (dzL, fstate, aff) with aff's last four
@@ -447,7 +497,18 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
         )
         if n_ng:
             geffL = ct_add_lanes(geffL, qx_g)
-        dzL, _, fstate = kkt_factor_solve(dvecL, ngl, geffL, rhsL)
+        if iter_ref:
+            dzL, dpiL, fstate3 = sk.factor_solve_folded_flat(
+                Hl, dvecL, ngl, ng_stages, geffL, Fl, rhsL,
+                NU, NZ, NX, want_pi=True, lanes_io=True,
+            )
+            dzL, dpiL = newton_refine_lanes(
+                fstate3[0], fstate3[1], dvecL, Qx_g, geffL, rhsL,
+                dzL, dpiL, do_ref,
+            )
+            fstate = fstate3 + (dvecL, Qx_g)
+        else:
+            dzL, _, fstate = kkt_factor_solve(dvecL, ngl, geffL, rhsL)
         aff = stk.alpha_sums_flat(
             idxT, dzL, lamL, tL, A_L, M_L, None, mbL,
             NB=NB, NZ=NZ, phase2=phase2,
@@ -455,7 +516,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
         return dzL, fstate, aff
 
     def corr_half(lamL, tL, A_L, M_L, fstate, aff, smL, baseL, rhsL,
-                  qx_g2, phase2):
+                  qx_g2, phase2, do_ref=None):
         """corrector gradient + resolve + corrector alpha/sums (one
         mega pallas_call or the 3-kernel sequence).  Returns
         (dz2L, dpi2L, corr)."""
@@ -475,6 +536,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
         if n_ng:
             geff2L = ct_add_lanes(geff2L, qx_g2)
         dz2L, dpi2L = kkt_resolve(fstate, geff2L, rhsL)
+        if iter_ref:
+            Ll_l, Lxx_l, _, dvecL, Qx_g = fstate
+            dz2L, dpi2L = newton_refine_lanes(
+                Ll_l, Lxx_l, dvecL, Qx_g, geff2L, rhsL,
+                dz2L, dpi2L, do_ref,
+            )
         corr = stk.alpha_sums_flat(
             idxT, dz2L, lamL, tL, A_L,
             coL if phase2 else None,
@@ -497,6 +564,49 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
         kk=jnp.zeros((B,), jnp.int32),
         stat=jnp.zeros((5, k_max, B), dt),
     )
+    if state0 is not None:
+        # hot continuation (ipm_fast state0 twin): seed the FULL
+        # primal-dual state from a prior stage's IPMSolution
+        # (structured -> lanes), with kk and the stat trace carried so
+        # iteration budgets and per-iteration rows stay exact across the
+        # two-stage handoff (parallel.batch.solve_batched dispatch).
+        lam_st = jnp.concatenate(
+            [state0.lam_b[:, :, 0].astype(dt),
+             state0.lam_b[:, :, 1].astype(dt)], -1)
+        t_st = jnp.concatenate(
+            [state0.t_b[:, :, 0].astype(dt),
+             state0.t_b[:, :, 1].astype(dt)], -1)
+        t_st = jnp.where(cm.mb_st > 0, t_st, 1.0)
+        lam_st = jnp.where(cm.mb_st > 0, lam_st, 0.0)
+        if n_ng:
+            def _gcat(a, side):
+                return jnp.concatenate(
+                    [a[:, n, side].astype(dt) for n in ng_stages], 1)
+
+            lam_g0c = jnp.concatenate(
+                [_gcat(state0.lam_g, 0), _gcat(state0.lam_g, 1)], 1)
+            t_g0c = jnp.concatenate(
+                [_gcat(state0.t_g, 0), _gcat(state0.t_g, 1)], 1)
+            t_g0c = jnp.where(mg2 > 0, t_g0c, 1.0)
+            lam_g0c = jnp.where(mg2 > 0, lam_g0c, 0.0)
+        else:
+            lam_g0c = jnp.zeros((B, 0), dt)
+            t_g0c = jnp.ones((B, 0), dt)
+        lamL_c = to_lanes3(lam_st)
+        tL_c = to_lanes3(t_st)
+        mu_c = sc_B(jnp.sum(lamL_c * tL_c * mbL, axis=(1, 2)))
+        if n_ng:
+            mu_c = mu_c + jnp.sum(lam_g0c * t_g0c * mg2, axis=1)
+        mu_c = mu_c * mu_scal
+        s0_state = _LState(
+            zL=to_lanes3(state0.z.astype(dt) * qp.z_mask),
+            piL=to_lanes3(state0.pi.astype(dt) * qp.x_mask[:, 1:]),
+            lamL=lamL_c, tL=tL_c, lam_g=lam_g0c, t_g=t_g0c,
+            mu=mu_c,
+            alpha=jnp.ones((B,), dt),
+            kk=state0.kk.astype(jnp.int32),
+            stat=jnp.transpose(state0.stat.astype(dt), (2, 1, 0)),
+        )
 
     def finish_alpha_sums(outs, lam_g, t_g, dtg, dlg):
         return cm.finish_alpha_sums(outs, ngh, lam_g, t_g, dtg, dlg)
@@ -522,9 +632,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
             t_inv_g = lamt_g = jnp.zeros((B, 0), dt)
             ngl = ngl0
 
+        do_ref = (jnp.min(s.mu) < ref_thr) if ref_thr > 0 else None
         qx_g_cur = qx_g if n_ng else None
+        Qx_g_cur = Qx_g if n_ng else None
         dzL, fstate, aff = affine_half(
-            s.lamL, s.tL, dcatL, None, gL, bL, qx_g_cur, ngl, False
+            s.lamL, s.tL, dcatL, None, gL, bL, qx_g_cur, Qx_g_cur, ngl,
+            False, do_ref=do_ref,
         )
         if n_ng:
             czn = cz_of(dzL)
@@ -547,7 +660,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
             qx_g2 = None
         dz2L, dpi2L, corr = corr_half(
             s.lamL, s.tL, dcatL, None, fstate, aff, sc_l(sm)[:, None],
-            gL, bL, qx_g2, False,
+            gL, bL, qx_g2, False, do_ref=do_ref,
         )
         if n_ng:
             czn2 = cz_of(dz2L)
@@ -629,10 +742,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
             t_inv_g = lamt_g = jnp.zeros((B, 0), dt)
             ngl = ngl0
 
+        do_ref = (jnp.min(s.mu) < ref_thr) if ref_thr > 0 else None
         qx_g_cur = qx_g if n_ng else None
+        Qx_g_cur = Qx_g if n_ng else None
         dzL, fstate, aff = affine_half(
             s.lamL, s.tL, res.rdL, res.rmL, res.rqL, res.rbL,
-            qx_g_cur, ngl, True,
+            qx_g_cur, Qx_g_cur, ngl, True, do_ref=do_ref,
         )
         if n_ng:
             cdz = cz_of(dzL)
@@ -656,6 +771,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None) -> _ipm.IPMSolution:
         dz2L, dpi2L, corr = corr_half(
             s.lamL, s.tL, res.rdL, res.rmL, fstate, aff,
             sc_l(sm)[:, None], res.rqL, res.rbL, qx_g2, True,
+            do_ref=do_ref,
         )
         if n_ng:
             cdz2 = cz_of(dz2L)

@@ -1362,19 +1362,24 @@ def _bwd_trs_pb_kernel(NU, NX, NZ, N,
             Lxx_c[i, j] = Lxx_new[i][j]
 
 
-@functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX"))
-def solve_flat_pb(Ll_l, Lxx_l, gF, Fl, bF, NU, NZ, NX):
+@functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX", "lanes_io"))
+def solve_flat_pb(Ll_l, Lxx_l, gF, Fl, bF, NU, NZ, NX, lanes_io=False):
     """Flat-state fused trs recomputing Pb in-kernel (new-rhs path: used by
     iterative refinement, where ``bF`` is the refinement residual, not the
-    rhs the retained factor's Pb cache belongs to)."""
+    rhs the retained factor's Pb cache belongs to).  ``lanes_io=True``
+    takes/returns lanes-form streams (the lanes-resident IPM's refinement
+    path, models/ipm_lanes.py)."""
     nb = Ll_l.shape[0]
     B = nb * BI
     Np1 = Ll_l.shape[1]
     N = Np1 - 1
     dt = Ll_l.dtype
 
-    gl = _to_lanes_flat(gF, B, (Np1, NZ))
-    bl = _to_lanes_flat(bF, B, (N, NX))
+    if lanes_io:
+        gl, bl = gF, bF
+    else:
+        gl = _to_lanes_flat(gF, B, (Np1, NZ))
+        bl = _to_lanes_flat(bF, B, (N, NX))
 
     kernel = functools.partial(_bwd_trs_pb_kernel, NU, NX, NZ, N)
     eu_l, px_l = pcall(
@@ -1401,7 +1406,8 @@ def solve_flat_pb(Ll_l, Lxx_l, gF, Fl, bF, NU, NZ, NX):
         ],
     )(Ll_l, Lxx_l, gl, Fl, bl)
 
-    return _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX)
+    return _forward_from_lanes(Ll_l, Lxx_l, eu_l, px_l, Fl, bl, B, N, NU, NZ, NX,
+                               lanes_out=lanes_io)
 
 
 @functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX", "lanes_io"))
@@ -1488,12 +1494,17 @@ def _resid_kernel(NZ, NX, N,
     _store_vec(fpi_ref, fpi)
 
 
-@functools.partial(jax.jit, static_argnames=("NZ", "NX"))
-def resid_terms_flat(Hl, Fl, zF, piF, NZ, NX):
+@functools.partial(jax.jit, static_argnames=("NZ", "NX", "lanes_io"))
+def resid_terms_flat(Hl, Fl, zF, piF, NZ, NX, lanes_io=False):
     """hzF[b, n*NZ+i] = (H_n z_n)_i               for n in 0..N
     fzF[b, n*NX+x] = (F_n' z_n)_x                 for n in 0..N-1
     fpiF[b, n*NZ+i] = (F_n pi_n)_i                for n in 0..N-1
-    (fpiF's stage-N slice is garbage; callers add only [:, :N*NZ])."""
+    (fpiF's stage-N slice is garbage; callers add only [:, :N*NZ]).
+
+    ``lanes_io=True`` takes z/pi as lanes streams and returns the raw
+    lanes outputs (hz_l (nb, N+1, NZ, 8, 128), fz_l (nb, N+1, NX, 8, 128)
+    with a garbage stage-N slice, fpi_l likewise) — the lanes-resident
+    IPM's refinement path."""
     nb = Hl.shape[0]
     B = nb * BI
     Np1 = Hl.shape[1]
@@ -1502,8 +1513,11 @@ def resid_terms_flat(Hl, Fl, zF, piF, NZ, NX):
     NT = _sym_nt(NZ)
     assert Hl.shape[2] == NT, "Hl must be sym-packed (see sym_compress)"
 
-    zl = _to_lanes_flat(zF, B, (Np1, NZ))
-    pil = _to_lanes_flat(piF, B, (N, NX))
+    if lanes_io:
+        zl, pil = zF, piF
+    else:
+        zl = _to_lanes_flat(zF, B, (Np1, NZ))
+        pil = _to_lanes_flat(piF, B, (N, NX))
 
     kernel = functools.partial(_resid_kernel, NZ, NX, N)
     hz_l, fz_l, fpi_l = pcall(
@@ -1527,6 +1541,8 @@ def resid_terms_flat(Hl, Fl, zF, piF, NZ, NX):
         ],
     )(Hl, Fl, zl, pil)
 
+    if lanes_io:
+        return hz_l, fz_l, fpi_l
     hzF = _from_lanes_flat(hz_l, B)
     fzF = _from_lanes_flat(fz_l, B)[:, : N * NX]
     fpiF = _from_lanes_flat(fpi_l, B)

@@ -171,6 +171,12 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
     stay on the throughput engines."""
     B = qp.b.shape[0]
     warm = bool(cfg.warm_start)
+    if getattr(cfg, "escalate_stalled", False) and qp.dtype == jnp.float32:
+        import dataclasses
+
+        cfg_base = dataclasses.replace(cfg, escalate_stalled=False)
+        sol = solve_batched(dims, qp, cfg_base, z0=z0, pi0=pi0)
+        return _escalate_stalled(dims, qp, cfg_base, sol, z0, pi0)
     engine = select_engine(dims, cfg, B, qp.dtype)
     chunk = _pick_chunk(B) if engine != "structured" else None
     if chunk is not None:
@@ -204,14 +210,19 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
         # TWO-STAGE parity route (reference-tolerance accuracy at
         # near-mega speed): the resident or lanes/mega engine runs the
         # well-conditioned early iterations to mu <= iter_ref_mu_thr,
-        # then hands its FULL primal-dual state to the flat engine,
+        # then hands its FULL primal-dual state to a refining engine,
         # which finishes with mu-gated iterative refinement.  kk and
         # the stat trace continue across the handoff, so the total
         # iteration budget and per-iteration rows match a
         # single-engine run.
+        #
+        # Stage 2 runs on the LANES engine by default (round 5): the
+        # refinement residual's stage-coupling terms are contiguous
+        # slice-adds in the lanes layout where the flat engine pays
+        # selection matmuls + layout transposes every iteration.
+        # ``HPMPC_STAGE2_LANES=0`` A/Bs the flat stage 2.
         import dataclasses
-
-        from ..models import ipm_fast
+        import os as _os
 
         cfg1 = dataclasses.replace(
             cfg, iter_ref=0,
@@ -230,6 +241,13 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
 
             sol1 = ipm_lanes.solve_batched_lanes(dims, qp, cfg1,
                                                  z0=z0, pi0=pi0)
+        if _os.environ.get("HPMPC_STAGE2_LANES", "1") == "1":
+            from ..models import ipm_lanes
+
+            return ipm_lanes.solve_batched_lanes(dims, qp, cfg,
+                                                 state0=sol1)
+        from ..models import ipm_fast
+
         return ipm_fast.solve_batched_flat(dims, qp, cfg, state0=sol1)
     if engine == "flat":
         from ..models import ipm_fast
@@ -241,6 +259,41 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
         )(qp, z0, pi0 if pi0 is not None else jnp.zeros(
             (B, dims.N, dims.NX), qp.dtype))
     return jax.vmap(lambda q: ipm.solve(dims, q, cfg))(qp)
+
+
+def _escalate_stalled(dims: OCPDims, qp: OCPQP, cfg, sol, z0, pi0):
+    """f32-floor escalation (``IPMConfig.escalate_stalled``): instances
+    the f32 solve left unconverged (status != 0) are re-solved in MIXED
+    precision — the same QP cast to f64 through the engine dispatch,
+    which routes it to the flat engine's mixed mode (f64 loop state +
+    f32 Pallas KKT kernels; the reference's single/double idea,
+    ``d_ip2_res_hard.c:48``) — and merged back per-instance.  The whole
+    mixed pass sits under one ``lax.cond``: batches that fully converge
+    in f32 never execute it.
+
+    Validated at the (16,1) north-star size (CPU, B=256, mu_tol=1e-3,
+    k_max=30): mixed converges exactly the f64 instance set (67.2%),
+    closing the full f32 gap (63.7%); the rest diverge in f64 too
+    (infeasible-like instances, duals blow up)."""
+    import jax.numpy as _jnp
+
+    stalled = sol.status != 0
+
+    def run_mixed(s):
+        qp64 = jax.tree_util.tree_map(
+            lambda x: x.astype(_jnp.float64)
+            if x.dtype == _jnp.float32 else x, qp)
+        z64 = None if z0 is None else z0.astype(_jnp.float64)
+        p64 = None if pi0 is None else pi0.astype(_jnp.float64)
+        solm = solve_batched(dims, qp64, cfg, z0=z64, pi0=p64)
+
+        def mrg(a, m):
+            mm = stalled.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(mm, m.astype(a.dtype), a)
+
+        return jax.tree_util.tree_map(mrg, s, solm)
+
+    return jax.lax.cond(jnp.any(stalled), run_mixed, lambda s: s, sol)
 
 
 def solve_single(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,

@@ -152,3 +152,41 @@ def test_nz19_crossover_fence(monkeypatch):
     d17, _ = mass_spring_qp(16, 1, 30, dtype=jnp.float32)
     assert d17.NZ == 17
     assert pbatch.select_engine(d17, cfg, 1024, jnp.float32) == "lanes"
+
+
+def test_escalate_stalled_structured_path():
+    """IPMConfig.escalate_stalled: stalled f32 instances are re-solved in
+    mixed/f64 precision and merged per-instance; f32-converged instances
+    pass through bit-unchanged.  Structured (vmap) path — the engine
+    twin runs in tests/test_ipm_lanes.py's interpret suite."""
+    import jax
+    import numpy as np
+
+    d, qp = mass_spring_qp(16, 1, 10, dtype=jnp.float32)
+    qpb = pbatch.broadcast_qp(qp, 64)
+    rng = np.random.default_rng(0)
+    qpb = dataclasses.replace(
+        qpb,
+        b=qpb.b * jnp.asarray(
+            1 + 0.02 * rng.standard_normal(64), jnp.float32
+        )[:, None, None],
+    )
+    cfg = ipm.IPMConfig(k_max=30, mu_tol=1e-3, alpha_min=1e-8)
+    sol = jax.jit(lambda q: pbatch.solve_batched(d, q, cfg))(qpb)
+    cfg_e = dataclasses.replace(cfg, escalate_stalled=True)
+    sol_e = jax.jit(lambda q: pbatch.solve_batched(d, q, cfg_e))(qpb)
+    st = np.asarray(sol.status)
+    st_e = np.asarray(sol_e.status)
+    # escalation can only improve convergence
+    assert (st_e == 0).sum() >= (st == 0).sum()
+    # f32-converged instances are untouched
+    ok = st == 0
+    np.testing.assert_array_equal(
+        np.asarray(sol_e.z)[ok], np.asarray(sol.z)[ok])
+    # f64 anchor: escalated conv must match full-f64 conv on this batch
+    qp64 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64)
+        if x.dtype == jnp.float32 else x, qpb)
+    sol64 = jax.jit(lambda q: pbatch.solve_batched(d, q, cfg))(qp64)
+    st64 = np.asarray(sol64.status)
+    assert (st_e == 0).sum() >= (st64 == 0).sum() - 1  # near-exact match

@@ -298,3 +298,68 @@ def test_solve_single_latency_path(interpret_pallas, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(sol_1.z), np.asarray(sol_s.z), atol=2e-3
     )
+
+
+def test_lanes_iter_ref_matches_flat_iter_ref(interpret_pallas,
+                                              monkeypatch):
+    """cfg.iter_ref through the lanes engine (round-5 stage-2 path:
+    refinement residuals as elementwise lanes ops + solve_flat_pb
+    re-solves) == the flat engine's proven newton_refine, iterate for
+    iterate.  6-kernel lanes loop (refinement forces non-mega halves)."""
+    from hpmpc_tpu.models import ipm_fast
+
+    dims, qpb = _batch_qp(ngN=4)
+    cfg = dataclasses.replace(
+        ipm.IPMConfig(k_max=3, mu_tol=1e-4, iter_ref=2), use_pallas=True
+    )
+    sol_f = jax.jit(
+        lambda q: ipm_fast.solve_batched_flat(dims, q, cfg)
+    )(qpb)
+    sol_l = _solve_lanes(dims, qpb, cfg)
+    assert np.mean(np.asarray(sol_f.kk) == np.asarray(sol_l.kk)) > 0.99
+    same = np.asarray(sol_f.kk) == np.asarray(sol_l.kk)
+    np.testing.assert_allclose(
+        np.asarray(sol_l.z)[same], np.asarray(sol_f.z)[same], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_l.stat)[same], np.asarray(sol_f.stat)[same],
+        rtol=2e-2, atol=2e-4,
+    )
+
+
+def test_lanes_state0_stage2_matches_flat_stage2(interpret_pallas,
+                                                 monkeypatch):
+    """The two-stage handoff with the lanes engine as stage 2
+    (HPMPC_STAGE2_LANES default): same stage-1 state fed to both stage-2
+    engines must yield the same final iterates, kk continuation and
+    mu-gated refinement behavior."""
+    from hpmpc_tpu.models import ipm_fast, ipm_lanes
+
+    dims, qpb = _batch_qp(ngN=4)
+    K = 6
+    cfg = dataclasses.replace(
+        ipm.IPMConfig(k_max=K, mu_tol=0.0, iter_ref=2,
+                      iter_ref_mu_thr=1e-2),
+        use_pallas=True,
+    )
+    cfg1 = dataclasses.replace(cfg, iter_ref=0, mu_tol=1e-2)
+    sol1 = _solve_lanes(dims, qpb, cfg1)
+    sol_f = jax.jit(
+        lambda q: ipm_fast.solve_batched_flat(dims, q, cfg, state0=sol1)
+    )(qpb)
+    sol_l = jax.jit(
+        lambda q: ipm_lanes.solve_batched_lanes(dims, q, cfg,
+                                                state0=sol1)
+    )(qpb)
+    assert int(np.max(np.asarray(sol_l.kk))) <= K
+    assert np.mean(np.asarray(sol_f.kk) == np.asarray(sol_l.kk)) > 0.99
+    same = np.asarray(sol_f.kk) == np.asarray(sol_l.kk)
+    np.testing.assert_allclose(
+        np.asarray(sol_l.z)[same], np.asarray(sol_f.z)[same], atol=2e-3
+    )
+    # the carried stat rows (stage-1 iterations) must be identical
+    k1 = int(np.min(np.asarray(sol1.kk)))
+    np.testing.assert_allclose(
+        np.asarray(sol_l.stat)[:, :k1], np.asarray(sol1.stat)[:, :k1],
+        atol=1e-6,
+    )
