@@ -103,6 +103,9 @@ def make_ng_lanes(dims, qp, ng_stages, dt, B):
     Ct1, Ct2 = sk.sym_pair_streams(
         jnp.stack(C_act, 1).astype(jnp.float32), NZ
     )
+    # loop-invariant C rows as a lanes stream (the fused refine pass's
+    # in-kernel barrier-gradient fold reads these per active stage)
+    ns.Cl_lanes = sk._to_lanes(jnp.stack(C_act, 1).astype(dt), B)
     ns.mgF = jnp.concatenate([qp.ng_mask[:, n] for n in ng_stages], 1)
     dg_lo = jnp.concatenate([qp.d_lg[:, n] for n in ng_stages], 1)
     dg_up = jnp.concatenate([qp.d_ug[:, n] for n in ng_stages], 1)
@@ -429,6 +432,12 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None,
         return fn(Ll_l, Lxx_l, Pb_l, geffL, Fl, rhsL, NU, NZ, NX,
                   lanes_io=True)
 
+    # fused refinement pass (resid + trs + fwd + update in ONE
+    # pallas_call; rq/rb/dz/dpi never exist in HBM) — the stage-2
+    # throughput lever; =0 A/Bs the 3-kernel composite
+    fused_refine = os.environ.get("HPMPC_FUSED_REFINE", "1") == "1"
+    ClR = ngh.Cl_lanes if n_ng else None
+
     def newton_refine_lanes(Ll_l, Lxx_l, dvecL, Qx_g, geffL, rhsL,
                             zc, pic, do_ref):
         """Lanes twin of :func:`.ipm_fast.newton_refine` (reference
@@ -438,14 +447,22 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None,
         stage-coupling terms (pi fold, x shift) are contiguous slice-adds
         in this layout, where the flat engine pays selection matmuls —
         then a correction re-solve with the retained lanes factor (Pb
-        recomputed in-kernel by ``solve_flat_pb``).
+        recomputed in-kernel).  With ``HPMPC_FUSED_REFINE=1`` (default)
+        the whole pass is ONE pallas_call (``sk.refine_flat_fused``).
 
         ``do_ref`` (scalar bool): mu-gated refinement, one lax.cond over
         the whole pass, exactly as in the flat engine."""
+        qxgl = (sk._to_lanes_flat(Qx_g, B, (n_ng, NG))
+                if (n_ng and fused_refine) else None)
 
         def refine(zp):
             z, pi = zp
             for _ in range(iter_ref):
+                if fused_refine:
+                    z, pi = sk.refine_flat_fused(
+                        Hl, dvecL, ClR, qxgl, ng_stages, geffL, Fl,
+                        rhsL, z, pi, Ll_l, Lxx_l, NU, NZ, NX)
+                    continue
                 hz_l, fz_l, fpi_l = sk.resid_terms_flat(
                     Hl, Fl, z, pi, NZ, NX, lanes_io=True)
                 rq = geffL + hz_l + dvecL * z

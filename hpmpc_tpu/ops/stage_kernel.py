@@ -1633,6 +1633,298 @@ def _cat_slab(tiles):
     return jnp.concatenate(tiles, axis=0)[None]
 
 
+# ---------------------------------------------------------------------------
+# fused ITER_REF pass: effective-system residual + retained-factor trs (Pb
+# in-kernel) + forward recovery + iterate update, ONE pallas_call.  The
+# composite (resid_terms_flat + XLA assembly + solve_flat_pb = 3 kernel
+# launches + HBM round-trips of rq/rb/dz/dpi) is what made the two-stage
+# parity route's stage 2 refinement-dominated (r04: 20.5 ms/batch with
+# stage 2 burning ~16 of them).
+# ---------------------------------------------------------------------------
+
+
+def _refine_fused_kernel(NU, NX, NZ, N, ng_stage_ids, *refs):
+    """Grid (nb, 2(N+1)).  Steps 0..N (stage k = N-s): the effective
+    Newton-system residual (rq_k, rb_k) is computed in-step from the
+    current iterate — rq = g_eff + (H + diag(dvec) + C'QxgC) z + F pi -
+    pi-shift, rb = rhs + F'z - x-shift (``ipm_fast.newton_refine``'s
+    assembly, in-kernel) — and fed straight into the retained-factor
+    backward substitution with Pb recomputed from the carried Lxx
+    (``_bwd_trs_pb_kernel`` semantics; rb stashed in a VMEM slab).
+    Steps N+1..2N+1: forward recovery of (dz, dpi) ADDED into the
+    iterate (z_new, pi_new outputs).  Reference: the ITER_REF correction
+    re-solve, ``d_ip2_res_hard.c:1093-1131``."""
+    has_ng = bool(ng_stage_ids)
+    it = iter(refs)
+    H_ref, dv_ref, g_ref = next(it), next(it), next(it)
+    if has_ng:
+        C_ref, qxg_ref = next(it), next(it)
+    z_ref, zn_ref, pik_ref, pikm_ref = next(it), next(it), next(it), next(it)
+    b_ref, F_ref, Ll_ref, Lxx_ref = next(it), next(it), next(it), next(it)
+    zo_ref, po_ref = next(it), next(it)
+    ll_s, eu_s, px_s, rb_s, Lxx_c, px_c, x_c = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+        next(it),
+    )
+
+    s = pl.program_id(1)
+
+    @pl.when(s <= N)
+    def _():
+        k = N - s
+        H = _mat_sym(H_ref, NZ)
+        dv = _vec(dv_ref, NZ)
+        g = _vec(g_ref, NZ)
+        z = _vec(z_ref, NZ)
+        zn = _vec(zn_ref, NZ)          # stage min(k+1, N)
+        piv = _vec(pik_ref, NX)        # pi_k      (clip; dead at k=N)
+        pim = _vec(pikm_ref, NX)       # pi_{k-1}  (clip; dead at k=0)
+        F = _mat(F_ref, NZ, NX)        # stage clip(k, 0, N-1)
+        bb = _vec(b_ref, NX)
+
+        rq = []
+        for i in range(NZ):
+            acc = g[i] + dv[i] * z[i]
+            for j in range(NZ):
+                acc = acc + H[i][j] * z[j]
+            fpi = None
+            for x in range(NX):
+                t = F[i][x] * piv[x]
+                fpi = t if fpi is None else fpi + t
+            # F_k pi_k lands on node k for k < N only (apply_fpi)
+            acc = acc + jnp.where(s == 0, 0.0, fpi)
+            rq.append(acc)
+        for x in range(NX):
+            # the pi coupling row: rq[k, NU+x] -= pi_{k-1}[x] for k >= 1
+            rq[NU + x] = rq[NU + x] - jnp.where(
+                s <= N - 1, pim[x], 0.0)
+
+        if has_ng:
+            NG = qxg_ref.shape[2]
+            stage_match = None
+            for stg in ng_stage_ids:
+                m = (s == N - stg)
+                stage_match = m if stage_match is None else (
+                    stage_match | m)
+            C = [[C_ref[0, 0, gg, i] for i in range(NZ)]
+                 for gg in range(NG)]
+            qxg = [qxg_ref[0, 0, gg] for gg in range(NG)]
+            cz = []
+            for gg in range(NG):
+                acc = None
+                for i in range(NZ):
+                    t = C[gg][i] * z[i]
+                    acc = t if acc is None else acc + t
+                cz.append(acc)
+            for i in range(NZ):
+                acc = None
+                for gg in range(NG):
+                    t = C[gg][i] * qxg[gg] * cz[gg]
+                    acc = t if acc is None else acc + t
+                rq[i] = rq[i] + jnp.where(stage_match, acc, 0.0)
+
+        # rb_k = rhs_k + F_k' z_k - x_{k+1}   (k < N; garbage at k = N,
+        # discarded by the is_t gate below and never read from the slab)
+        rb = []
+        for x in range(NX):
+            acc = bb[x]
+            for i in range(NZ):
+                acc = acc + F[i][x] * z[i]
+            rb.append(acc - zn[NU + x])
+        rb_s[pl.ds(jnp.minimum(k, N - 1), 1), :, :] = _cat_slab(rb)
+
+        Ll = _mat(Ll_ref, NZ, NU)
+        Dinv_u = _dinv_ll(Ll, NU)
+        Lxx_carry = [[Lxx_c[i, j] for j in range(NX)] for i in range(NX)]
+        Pb = _pb_of(Lxx_carry, rb, NX)
+        Pbpx = [Pb[i] + px_c[i] for i in range(NX)]
+        eu, px = _trs_stage(NU, NX, NZ, Ll, Dinv_u, rq, F, Pbpx, s == 0)
+
+        ll_s[pl.ds(k, 1), :, :] = _cat_slab(
+            [Ll[i][j] for i in range(NZ) for j in range(NU)]
+        )
+        eu_s[pl.ds(k, 1), :, :] = _cat_slab(eu)
+        px_s[pl.ds(k, 1), :, :] = _cat_slab(px)
+        Lxx_new = _mat(Lxx_ref, NX, NX)
+        for i in range(NX):
+            px_c[i] = px[i]
+            for j in range(NX):
+                Lxx_c[i, j] = Lxx_new[i][j]
+
+    @pl.when(s > N)
+    def _():
+        sb = s - (N + 1)
+        lslab = ll_s[pl.ds(sb, 1), :, :]
+        Ll = [
+            [lslab[0, (i * NU + j) * SUBS : (i * NU + j + 1) * SUBS, :]
+             for j in range(NU)]
+            for i in range(NZ)
+        ]
+        eslab = eu_s[pl.ds(sb, 1), :, :]
+        eu = [eslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NU)]
+        pslab = px_s[pl.ds(sb, 1), :, :]
+        px = [pslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NX)]
+        Lxx = _mat(Lxx_ref, NX, NX)
+        Dinv_u = _dinv_ll(Ll, NU)
+
+        @pl.when(sb == 0)
+        def _():
+            x0 = _root_x0(Lxx, px, NX)
+            for i in range(NX):
+                x_c[i] = x0[i]
+
+        x = [x_c[i] for i in range(NX)]
+
+        # pi_new[sb-1] = pi_old[sb-1] + dpi_{sb-1}  (dead write at sb=0,
+        # overwritten in VMEM before copy-out)
+        pio = _vec(pikm_ref, NX)
+        dpi = _pi_of_x(NX, Lxx, px, x)
+        _store_vec(po_ref, [pio[i] + dpi[i] for i in range(NX)])
+
+        u = _u_of_x(NU, NX, Ll, Dinv_u, eu, x)
+        zo = _vec(z_ref, NZ)
+        for i in range(NU):
+            zo_ref[0, 0, i] = zo[i] + u[i]
+        for i in range(NX):
+            zo_ref[0, 0, NU + i] = zo[NU + i] + x[i]
+
+        rbslab = rb_s[pl.ds(jnp.minimum(sb, N - 1), 1), :, :]
+        rb = [rbslab[0, i * SUBS : (i + 1) * SUBS, :] for i in range(NX)]
+        F = _mat(F_ref, NZ, NX)
+        xn = _x_next_of(NU, NX, F, rb, u, x)
+        for j in range(NX):
+            x_c[j] = xn[j]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ng_stage_ids", "NU", "NZ", "NX"),
+)
+def refine_flat_fused(Hl, dvl, Cl, qxgl, ng_stage_ids, gl, Fl, bl,
+                      zl, pil, Ll_l, Lxx_l, NU, NZ, NX):
+    """One FUSED iterative-refinement pass on lanes streams: returns
+    (z_new_l, pi_new_l) = iterate + correction.  Replaces the 3-kernel
+    composite (resid_terms_flat + XLA residual assembly + solve_flat_pb)
+    with ONE pallas_call — rq/rb/dz/dpi never exist in HBM.
+
+    ``Cl`` (nb, max(n_ng,1), NG, NZ, 8, 128) loop-invariant C rows of the
+    active stages; ``qxgl`` (nb, max(n_ng,1), NG, 8, 128) the folded
+    masked barrier diag Qx_g of THIS iteration (pass None for both when
+    no general constraints)."""
+    nb = Hl.shape[0]
+    Np1 = Hl.shape[1]
+    N = Np1 - 1
+    dt = Hl.dtype
+    NT = _sym_nt(NZ)
+    assert Hl.shape[2] == NT
+    has_ng = bool(ng_stage_ids)
+
+    def bwd_k(bb, s):
+        return (bb, jnp.where(s <= N, N - s, 0))
+
+    def ng_slot(s):
+        slot = 0
+        for j, stg in enumerate(ng_stage_ids):
+            slot = jnp.where((N - s) == stg, j, slot)
+        return slot
+
+    def spec(shape, map_fn):
+        return pl.BlockSpec(shape, map_fn, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        spec((1, 1, NT, SUBS, LANES),
+             lambda bb, s: bwd_k(bb, s) + (0, 0, 0)),
+        spec((1, 1, NZ, SUBS, LANES),
+             lambda bb, s: bwd_k(bb, s) + (0, 0, 0)),
+        spec((1, 1, NZ, SUBS, LANES),
+             lambda bb, s: bwd_k(bb, s) + (0, 0, 0)),
+    ]
+    args = [Hl, dvl, gl]
+    if has_ng:
+        NG = Cl.shape[2]
+        in_specs += [
+            spec((1, 1, NG, NZ, SUBS, LANES),
+                 lambda bb, s: (bb, jnp.where(s <= N, ng_slot(s), 0),
+                                0, 0, 0, 0)),
+            spec((1, 1, NG, SUBS, LANES),
+                 lambda bb, s: (bb, jnp.where(s <= N, ng_slot(s), 0),
+                                0, 0, 0)),
+        ]
+        args += [Cl, qxgl]
+    # z: stage k in bwd, stage sb in fwd (update read)
+    in_specs += [
+        spec((1, 1, NZ, SUBS, LANES),
+             lambda bb, s: (bb, jnp.where(s <= N, N - s,
+                                          jnp.maximum(s - (N + 1), 0)),
+                            0, 0, 0)),
+        # z_{k+1} (bwd only)
+        spec((1, 1, NZ, SUBS, LANES),
+             lambda bb, s: (bb, jnp.where(s <= N,
+                                          jnp.minimum(N - s + 1, N), 0),
+                            0, 0, 0)),
+        # pi_k (bwd only; clip to edge range)
+        spec((1, 1, NX, SUBS, LANES),
+             lambda bb, s: (bb, jnp.where(
+                 s <= N, jnp.clip(N - s, 0, N - 1), 0), 0, 0, 0)),
+        # pi_{k-1} in bwd / pi_old[sb-1] in fwd (the update read)
+        spec((1, 1, NX, SUBS, LANES),
+             lambda bb, s: (bb, jnp.where(
+                 s <= N, jnp.clip(N - s - 1, 0, N - 1),
+                 jnp.clip(s - (N + 2), 0, N - 1)), 0, 0, 0)),
+        # rhs (bwd only)
+        spec((1, 1, NX, SUBS, LANES),
+             lambda bb, s: (bb, jnp.where(
+                 s <= N, jnp.clip(N - s, 0, N - 1), 0), 0, 0, 0)),
+        # F: stage clip(k) in bwd, clip(sb) in fwd
+        spec((1, 1, NZ, NX, SUBS, LANES),
+             lambda bb, s: (bb, jnp.clip(
+                 jnp.where(s <= N, N - s, s - (N + 1)), 0, N - 1),
+                 0, 0, 0, 0)),
+        # Ll: bwd only (fwd reads the slab)
+        spec((1, 1, NZ, NU, SUBS, LANES),
+             lambda bb, s: bwd_k(bb, s) + (0, 0, 0, 0)),
+        # Lxx: stage k in bwd (carry refresh), stage sb in fwd (pi)
+        spec((1, 1, NX, NX, SUBS, LANES),
+             lambda bb, s: (bb, jnp.where(s <= N, N - s,
+                                          jnp.maximum(s - (N + 1), 0)),
+                            0, 0, 0, 0)),
+    ]
+    args += [zl, zl, pil, pil, bl, Fl, Ll_l, Lxx_l]
+
+    out_specs = [
+        spec((1, 1, NZ, SUBS, LANES),
+             lambda bb, s: (bb, jnp.where(
+                 s > N, jnp.maximum(s - (N + 1), 0), 0), 0, 0, 0)),
+        spec((1, 1, NX, SUBS, LANES),
+             lambda bb, s: (bb, jnp.where(
+                 s > N, jnp.clip(s - (N + 2), 0, N - 1), 0), 0, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, Np1, NZ, SUBS, LANES), dt),
+        jax.ShapeDtypeStruct((nb, N, NX, SUBS, LANES), dt),
+    ]
+    kernel = functools.partial(
+        _refine_fused_kernel, NU, NX, NZ, N, tuple(ng_stage_ids)
+    )
+    z_new, pi_new = pcall(
+        kernel,
+        grid=(nb, 2 * Np1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((Np1, NZ * NU * SUBS, LANES), dt),
+            pltpu.VMEM((Np1, NU * SUBS, LANES), dt),
+            pltpu.VMEM((Np1, NX * SUBS, LANES), dt),
+            pltpu.VMEM((Np1, NX * SUBS, LANES), dt),
+            pltpu.VMEM((NX, NX, SUBS, LANES), dt),
+            pltpu.VMEM((NX, SUBS, LANES), dt),
+            pltpu.VMEM((NX, SUBS, LANES), dt),
+        ],
+    )(*args)
+    return z_new, pi_new
+
+
 @functools.partial(jax.jit, static_argnames=("NU", "NZ", "NX", "lanes_io"))
 def solve_flat_fused(Ll_l, Lxx_l, Pb_l, gF, Fl, bF, NU, NZ, NX,
                      lanes_io=False):

@@ -130,8 +130,8 @@ def test_resident_stage1_two_stage_parity(interpret_pallas, monkeypatch):
     )
     sol64 = jax.jit(lambda q: pbatch.solve_batched(
         dims, q, ipm.IPMConfig(k_max=K, mu_tol=0.0)))(qpb64)
-    cfg = ipm.IPMConfig(k_max=K, mu_tol=0.0, iter_ref=2,
-                        iter_ref_mu_thr=1e-2, use_pallas=True)
+    cfg = ipm.IPMConfig(k_max=K, mu_tol=0.0, iter_ref=1,
+                        iter_ref_mu_thr=1e-3, use_pallas=True)
     sol = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg))(qpb)
     assert int(np.max(np.asarray(sol.kk))) <= K
     u_cols = slice(0, dims.NU)

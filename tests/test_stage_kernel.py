@@ -193,8 +193,16 @@ def test_flat_ipm_iter_ref_reaches_f64_parity(interpret_pallas):
     # iterations skip the correction re-solves entirely, yet final
     # control parity must hold — this is the parity-bench fast mode.
     # Under the default knobs this takes the TWO-STAGE route (lanes/mega
-    # to mu <= thr, then flat + refinement via state0 hot continuation)
-    cfg_gated = dataclasses.replace(cfg_ref, iter_ref_mu_thr=1e-2)
+    # to mu <= thr, then LANES stage 2 + refinement via state0 hot
+    # continuation).  iter_ref=1 + thr=1e-3 — bench.py's parity config
+    # since round 5: one correction pass already restores <=1e-6 f64
+    # control parity, and gating at 1e-3 (instead of 1e-2) lets the
+    # resident stage-1 engine carry the trajectory one more decade
+    # unrefined (f32 direction error ~ eps/mu ~ 1e-4 relative there);
+    # measured: the final control error is IDENTICAL at thr 1e-2 / 3e-3
+    # / 1e-3 on this problem family
+    cfg_gated = dataclasses.replace(cfg_ref, iter_ref=1,
+                                    iter_ref_mu_thr=1e-3)
     sol_gated = jax.jit(lambda q: pbatch.solve_batched(dims, q, cfg_gated))(qpb)
     # iteration budget must be respected across the handoff
     assert int(np.max(np.asarray(sol_gated.kk))) <= K

@@ -55,11 +55,16 @@ def _mhe_data(jnp, nx, nw, ny, N, B, dtype, seed=0):
 
 def _slope(make_run, jnp, dt, K_lo=2, K_hi=10, reps=3):
     """min-over-reps slope (relay dispatch noise is additive); returns
-    (per_iter_s, below_floor)."""
+    (per_iter_s, below_floor).
+
+    K-SPAN AUTO-ESCALATION (round 5, the size sweep's protocol applied
+    here): if the K_hi - K_lo delta sits under the relay measurement
+    floor (< 5% of the K_lo call time), the span is widened 4x and
+    re-measured, up to K_hi = 640 — fast retained-factor resolves get a
+    REAL number instead of a flagged zero."""
     import time as _time
 
-    ts = {}
-    for K in (K_lo, K_hi):
+    def measure(K):
         f = make_run(K)
         float(f(jnp.asarray(0.0, dt)))  # compile + warm
         rt = []
@@ -67,10 +72,16 @@ def _slope(make_run, jnp, dt, K_lo=2, K_hi=10, reps=3):
             t0 = _time.perf_counter()
             float(f(jnp.asarray(r * 31.0, dt)))
             rt.append(_time.perf_counter() - t0)
-        ts[K] = min(rt)
-    d = ts[K_hi] - ts[K_lo]
-    floor = d <= 0.05 * ts[K_lo]
-    return max(d / (K_hi - K_lo), 1e-9), floor
+        return min(rt)
+
+    t_lo = measure(K_lo)
+    while True:
+        t_hi = measure(K_hi)
+        d = t_hi - t_lo
+        floor = d <= 0.05 * t_lo
+        if not floor or K_hi >= 640:
+            return max(d / (K_hi - K_lo), 1e-9), floor
+        K_hi *= 4
 
 
 def main():

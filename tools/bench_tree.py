@@ -102,11 +102,12 @@ def _bench_warm(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp, B, dt):
 
         return run
 
-    ts = {}
     mean_kk = 0.0
     K_lo, K_hi = 2, 34  # wide span: warm re-solves are fast (mean ~4
     # iters), a narrow span sits under the relay measurement floor
-    for K in (K_lo, K_hi):
+
+    def measure(K):
+        nonlocal mean_kk
         f = make_run(K)
         out = f(jnp.asarray(0.0, dt))
         float(out[0])
@@ -117,9 +118,19 @@ def _bench_warm(jax, jnp, lax, ipm, pbatch, mass_spring_tree_qp, B, dt):
             float(out[0])
             rep_times.append(time.perf_counter() - t0)
             mean_kk = float(out[1])
-        ts[K] = min(rep_times)
-    d = ts[K_hi] - ts[K_lo]
-    floor = d <= 0.05 * ts[K_lo]
+        return min(rep_times)
+
+    # K-span auto-escalation (round 5): widen the span 4x while the
+    # delta sits under the relay floor, so a sub-floor measurement can
+    # never ship as a bogus huge number (the r04 4.096e12 row)
+    t_lo = measure(K_lo)
+    while True:
+        t_hi = measure(K_hi)
+        d = t_hi - t_lo
+        floor = d <= 0.05 * t_lo
+        if not floor or K_hi >= 640:
+            break
+        K_hi *= 4
     t = max(d / (K_hi - K_lo), 1e-9)
     print(json.dumps({
         "metric": f"tree_ipm_warm_resolves_per_s_n{tdef.n_nodes}",
