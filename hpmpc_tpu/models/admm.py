@@ -108,7 +108,17 @@ def _solve_common(dims, qp, cfg, prox, z0=None, v0=None, w0=None):
         "nij,nkj,nk->ni", Lxx, Lxx, qp.b,
         precision=jax.lax.Precision.HIGHEST)
 
-    if cfg.use_pallas:
+    import os as _os
+
+    if _os.environ.get("HPMPC_ADMM_NO_RESOLVE") == "1":
+        # BENCHMARK-ONLY breakdown knob (tools/bench_admm.py): replace
+        # the retained-factor Riccati resolve with a passthrough so the
+        # per-iteration cost of everything ELSE (prox, over-relaxation,
+        # dual update, residual norms — the XLA glue) can be measured in
+        # isolation.  Results are numerically meaningless.
+        def resolve(g_eff):
+            return g_eff, jnp.zeros((N, dims.NX), dt)
+    elif cfg.use_pallas:
         from .ipm import make_pallas_chain_kkt
 
         _, _trs = make_pallas_chain_kkt((), NU)

@@ -482,6 +482,29 @@ def solve_partial_cond(
     return expand_solution(qp, pl, sol2), sol2
 
 
+def solve_batched_partial_cond(
+    dims: OCPDims,
+    qp: OCPQP,
+    cfg: ipm.IPMConfig,
+    N2: int,
+):
+    """Batched twin of :func:`solve_partial_cond`: vmapped condense ->
+    batch-level IPM on the condensed problem (``parallel.batch``
+    dispatch — at large nx this rides the blocked batched Riccati) ->
+    vmapped expand.  The reference's own large-problem lever
+    (``d_part_cond.c:926``) composed with the batch engines; measured by
+    tools/bench_cond_blocked.py against the plain blocked route.
+
+    Returns ``(expanded_solution, condensed_solution)``."""
+    from ..parallel import batch as pbatch
+
+    pl2 = plan(dims, N2)
+    qp2 = jax.vmap(lambda q: condense(q, pl2))(qp)
+    sol2 = pbatch.solve_batched(pl2.dims2, qp2, cfg)
+    exp = jax.vmap(lambda q, s: expand_solution(q, pl2, s))(qp, sol2)
+    return exp, sol2
+
+
 def condense_rhs(qp: OCPQP, pl: CondPlan, qp2_mat: OCPQP) -> OCPQP:
     """Vector-only re-condensing (the reference's rhs fast path,
     ``d_part_cond_rhs_libstr``, ``d_part_cond_libstr.c:991``): rebuild the

