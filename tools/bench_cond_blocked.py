@@ -51,7 +51,6 @@ def main():
     args = p.parse_args()
 
     dt = jnp.float32
-    B = args.batch
     KI = 8
 
     def slope(run, K_lo=2, K_hi=6, reps=3):
@@ -69,6 +68,10 @@ def main():
 
     for nx in [int(s) for s in args.sizes.split(",")]:
         nu = nx // 8
+        # batch sizing follows the size sweep's protocol: HBM/relay
+        # working sets cap B at large nx (r04 rows: 512 at nx=128,
+        # 256 at nx>=192)
+        B = min(args.batch, 512 if nx <= 128 else 256)
         dims, qp = mass_spring_qp(nx, nu, args.N, dtype=dt)
         qpb = pbatch.broadcast_qp(qp, B)
         rng = np.random.default_rng(0)
@@ -80,16 +83,19 @@ def main():
         cfg = ipm.IPMConfig(k_max=KI, mu_tol=0.0, alpha_min=1e-8,
                             use_pallas=jax.default_backend() == "tpu")
 
+        # the QP is a jit ARGUMENT everywhere below — closing over it
+        # bakes GBs of constants into the module (relay 413s / compile
+        # flakes; memory note: keep QPs as jit arguments)
         def make_plain():
             @jax.jit
-            def run(seed, K):
+            def run(q0, seed, K):
                 def body(i, acc):
                     q = dataclasses.replace(
-                        qpb, b=qpb.b * (1.0 + 1e-4 * (i.astype(dt) + seed)))
+                        q0, b=q0.b * (1.0 + 1e-4 * (i.astype(dt) + seed)))
                     sol = pbatch.solve_batched(dims, q, cfg)
                     return acc + jnp.sum(sol.z[:, 0, :dims.NU])
                 return lax.fori_loop(0, K, body, jnp.asarray(0.0, dt))
-            return run
+            return lambda seed, K: run(qpb, seed, K)
 
         t_plain = slope(make_plain())
         sol_p = jax.jit(
@@ -112,17 +118,17 @@ def main():
             try:
                 def make_cond(N2=N2):
                     @jax.jit
-                    def run(seed, K):
+                    def run(q0, seed, K):
                         def body(i, acc):
                             q = dataclasses.replace(
-                                qpb, b=qpb.b * (1.0 + 1e-4 * (
+                                q0, b=q0.b * (1.0 + 1e-4 * (
                                     i.astype(dt) + seed)))
                             exp, _ = cond.solve_batched_partial_cond(
                                 dims, q, cfg, N2)
                             return acc + jnp.sum(exp.z[:, 0, :dims.NU])
                         return lax.fori_loop(0, K, body,
                                              jnp.asarray(0.0, dt))
-                    return run
+                    return lambda seed, K: run(qpb, seed, K)
 
                 t_c = slope(make_cond())
                 exp, _ = jax.jit(

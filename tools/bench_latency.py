@@ -39,8 +39,13 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--horizons", default="10,30,64")
-    p.add_argument("--k-lo", type=int, default=8)
-    p.add_argument("--k-hi", type=int, default=64)
+    # K span sets the noise floor: the relay's per-call jitter is ~±10 ms
+    # and the slope divides it by (K_hi - K_lo) — at the old 8..64 span
+    # that is ±180 us of noise on ~300 us/solve quantities (measured
+    # r04/r05: tick rows swung 290 -> 2319 us run to run).  64..512 puts
+    # the floor at ~±22 us.
+    p.add_argument("--k-lo", type=int, default=64)
+    p.add_argument("--k-hi", type=int, default=512)
     args = p.parse_args()
 
     dtype = jnp.float32
@@ -67,10 +72,14 @@ def main():
             f = make(K)
             out = float(f(qp, jnp.asarray(0.0, dtype)))  # compile; float()=sync
             assert np.isfinite(out)
-            t0 = time.perf_counter()
-            for r in range(1, reps + 1):
+            rts = []
+            for r in range(1, max(reps, 4) + 1):
+                t0 = time.perf_counter()
                 float(f(qp, jnp.asarray(r * 37.0, dtype)))
-            ts[K] = (time.perf_counter() - t0) / reps
+                rts.append(time.perf_counter() - t0)
+            # relay dispatch noise is additive: MIN over reps, per K
+            # (mean-of-2 swung the r04 block/tick rows by 2-6x)
+            ts[K] = min(rts)
         return max((ts[K_hi] - ts[K_lo]) / (K_hi - K_lo), 1e-9)
 
     for N in [int(s) for s in args.horizons.split(",")]:
