@@ -106,18 +106,21 @@ class IPMConfig:
     # tests/test_stage_kernel.py::test_flat_ipm_iter_ref_reaches_f64_parity.
     iter_ref_mu_thr: float = 0.0
     # f32-floor escalation (round 5): after an f32 batch solve, stalled
-    # instances (status != 0) are re-solved ONCE in MIXED precision (f64
-    # loop state + f32 Pallas KKT kernels — the reference's own
-    # single/double idea, d_ip2_res_hard.c:48 / test_param.h:52-70) and
-    # merged per-instance (parallel.batch._escalate_stalled).  Measured
-    # at the (16,1) north-star size, mu_tol=1e-3, k_max=30: the mixed
-    # route converges EXACTLY the f64 set (67.2% == f64's 67.2%; plain
-    # f32 63.7%) — the remaining non-converged instances diverge in f64
+    # instances (status != 0) are re-solved ONCE in FULL f64 through the
+    # structured path and merged per-instance
+    # (parallel.batch._escalate_stalled).  Measured at the (16,1)
+    # north-star size, mu_tol=1e-3, k_max=30: f32 converges 63.7%, f64
+    # 67.2% — and the remaining non-converged instances diverge in f64
     # too (duals blow up; one actuator + perturbed b + tight bounds make
-    # them infeasible-like).  Costs one lax.cond-gated extra batch solve
-    # only when some instance actually stalled.  Off by default: the
-    # throughput benches run fixed-work protocols (mu_tol=0) where
-    # "stalled" is the expected end state of every instance.
+    # them infeasible-like).  NOTE the mixed-precision route (f32
+    # factorization, the reference's single/double idea,
+    # d_ip2_res_hard.c:48) does NOT close this gap: true-mixed measures
+    # 62.5-62.9% (with or without f64 refinement) — near infeasibility
+    # the dtype gap is trajectory chaos, not endpoint precision, so only
+    # an f64 factorization recovers the f64 set.  Costs one
+    # lax.cond-gated f64 batch solve only when some instance actually
+    # stalled.  Off by default: the throughput benches run fixed-work
+    # protocols (mu_tol=0) where "stalled" is the expected end state.
     escalate_stalled: bool = False
 
 
@@ -134,6 +137,9 @@ class IPMState(NamedTuple):
     sigma: jax.Array  # scalar last centering parameter
     stat: jax.Array  # (k_max, 5) per-iteration stats
     carry: "KKTCarry"  # retained factor + backup iterate (empty if disabled)
+    # cumulative-guard anchor: max |lam| at the iterate that first
+    # crossed GUARD_MU_FLOOR (+inf until then); see step_ok / anchor_lam_ref
+    lam_ref: jax.Array
 
 
 class KKTCarry(NamedTuple):
@@ -307,6 +313,7 @@ def init_vars(dims: OCPDims, qp: OCPQP, cfg: IPMConfig, z0=None, pi0=None,
             sigma=jnp.asarray(0.0, dt),
             stat=jnp.zeros((cfg.k_max, 5), dt),
             carry=carry0 if carry0 is not None else _empty_carry(dt),
+            lam_ref=jnp.asarray(jnp.inf, dt),
         )
     dt = qp.dtype
     N = dims.N
@@ -372,6 +379,7 @@ def init_vars(dims: OCPDims, qp: OCPQP, cfg: IPMConfig, z0=None, pi0=None,
         sigma=jnp.asarray(0.0, dt),
         stat=jnp.zeros((cfg.k_max, 5), dt),
         carry=carry0 if carry0 is not None else _empty_carry(dt),
+        lam_ref=jnp.asarray(jnp.inf, dt),
     )
 
 
@@ -380,7 +388,13 @@ def init_vars(dims: OCPDims, qp: OCPQP, cfg: IPMConfig, z0=None, pi0=None,
 # --------------------------------------------------------------------------
 
 
-def step_ok(mu_new, mu_old, lam_max_new=None, lam_max_old=None):
+#: mu level below which the f32 breakdown guards arm (barrier
+#: conditioning ~1/mu outruns f32 near here)
+GUARD_MU_FLOOR = 1e-3
+
+
+def step_ok(mu_new, mu_old, lam_max_new=None, lam_max_old=None,
+            lam_ref=None):
     """Numerical-breakdown guard predicate, shared by every solver loop
     (structured / flat / lanes, hard and soft).
 
@@ -398,10 +412,19 @@ def step_ok(mu_new, mu_old, lam_max_new=None, lam_max_old=None):
     trajectory — tools/diag_eng_resid.py).  Healthy solves never
     trigger (b)/(c): neither occurs on the central path at
     f32-reachable tolerances, and f64 is exempt.
+
+    ``lam_ref`` (round 5, VERDICT r04 Weak #3): the CUMULATIVE twin of
+    (c) — the max dual at the iterate where the instance first crossed
+    ``GUARD_MU_FLOOR`` (the anchor; carried in the loop state, updated
+    via :func:`anchor_lam_ref`).  Gradual multi-step climbs (e.g. ~5x
+    per step for 4 steps) walk through the per-step 30x gate but not
+    the anchored one.  Same 30x factor: a healthy max-dual does not
+    grow 30x TOTAL after entering the floor region — multipliers
+    stabilize toward their converged values there.
     """
     ok = jnp.isfinite(mu_new)
     if mu_new.dtype == jnp.float32:
-        floor = mu_old < 1e-3
+        floor = mu_old < GUARD_MU_FLOOR
         ok = ok & ~((mu_new > 10.0 * mu_old) & floor)
         if lam_max_new is not None:
             # 30x: the measured blowups climb ~58x then ~6.5x per step
@@ -412,7 +435,23 @@ def step_ok(mu_new, mu_old, lam_max_new=None, lam_max_old=None):
                 (lam_max_new > 30.0 * jnp.maximum(lam_max_old, 1.0))
                 & floor
             )
+        if lam_ref is not None:
+            ok = ok & ~(
+                (lam_max_new > 30.0 * lam_ref) & jnp.isfinite(lam_ref)
+            )
     return ok
+
+
+def anchor_lam_ref(lam_ref, mu_old, mu_new, lam_max_new):
+    """Carry update for the cumulative-guard anchor: on the step that
+    first takes an instance below :data:`GUARD_MU_FLOOR`, record
+    ``max(|lam|, 1)``; afterwards keep the anchor.  Initialize the
+    carry to ``+inf`` (guard inert until the anchor exists; f64 loops
+    can carry it harmlessly — step_ok ignores it there)."""
+    entering = jnp.isinf(lam_ref) & (mu_new < GUARD_MU_FLOOR)
+    return jnp.where(
+        entering, jnp.maximum(lam_max_new, 1.0).astype(lam_ref.dtype),
+        lam_ref)
 
 
 def compute_residuals(qp: OCPQP, oh, mu_scal, z, pi, lam_b, t_b, lam_g, t_g):
@@ -880,19 +919,21 @@ def _solve_impl(
             if return_carry
             else s.carry
         )
+        lmx_new = jnp.maximum(jnp.max(jnp.abs(lam_b_new)),
+                              jnp.max(jnp.abs(lam_g_new)))
         s_new = IPMState(
             z=z_new, pi=pi_new,
             lam_b=lam_b_new, t_b=t_b_new, lam_g=lam_g_new, t_g=t_g_new,
             mu=mu_new, alpha=a2, kk=s.kk + 1, sigma=sigma, stat=stat,
             carry=carry,
+            lam_ref=anchor_lam_ref(s.lam_ref, s.mu, mu_new, lmx_new),
         )
         # numerical-breakdown guard: see step_ok (finite + f32
-        # divergence/dual-explosion freeze)
-        lmx_new = jnp.maximum(jnp.max(jnp.abs(lam_b_new)),
-                              jnp.max(jnp.abs(lam_g_new)))
+        # divergence/dual-explosion freeze, incl. the anchored
+        # cumulative-growth gate)
         lmx_old = jnp.maximum(jnp.max(jnp.abs(s.lam_b)),
                               jnp.max(jnp.abs(s.lam_g)))
-        ok = step_ok(mu_new, s.mu, lmx_new, lmx_old)
+        ok = step_ok(mu_new, s.mu, lmx_new, lmx_old, lam_ref=s.lam_ref)
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b),
             s_new,
@@ -1011,18 +1052,19 @@ def _solve_impl(
             if return_carry
             else s.carry
         )
+        lmx_new = jnp.maximum(jnp.max(jnp.abs(lam_b_new)),
+                              jnp.max(jnp.abs(lam_g_new)))
         s_new = IPMState(
             z=z_new, pi=pi_new,
             lam_b=lam_b_new, t_b=t_b_new, lam_g=lam_g_new, t_g=t_g_new,
             mu=mu_new, alpha=a2, kk=s.kk + 1, sigma=sigma, stat=stat,
             carry=carry,
+            lam_ref=anchor_lam_ref(s.lam_ref, s.mu, mu_new, lmx_new),
         )
         # numerical-breakdown guard — see step_ok
-        lmx_new = jnp.maximum(jnp.max(jnp.abs(lam_b_new)),
-                              jnp.max(jnp.abs(lam_g_new)))
         lmx_old = jnp.maximum(jnp.max(jnp.abs(s.lam_b)),
                               jnp.max(jnp.abs(s.lam_g)))
-        ok = step_ok(mu_new, s.mu, lmx_new, lmx_old)
+        ok = step_ok(mu_new, s.mu, lmx_new, lmx_old, lam_ref=s.lam_ref)
         s_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b),
             s_new,

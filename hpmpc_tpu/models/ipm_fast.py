@@ -82,6 +82,7 @@ class _FState(NamedTuple):
     alpha: jax.Array   # (B,)
     kk: jax.Array      # (B,) int32
     stat: jax.Array    # (5, k_max, B)
+    lam_ref: jax.Array  # (B,) cumulative-guard anchor (ipm.anchor_lam_ref)
 
 
 class _Res(NamedTuple):
@@ -505,6 +506,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
         alpha=jnp.ones((B,), dt),
         kk=jnp.zeros((B,), jnp.int32),
         stat=jnp.zeros((5, k_max, B), dt),
+        lam_ref=jnp.full((B,), jnp.inf, dt),
     )
     if state0 is not None:
         # hot continuation: seed the FULL primal-dual state from a prior
@@ -540,6 +542,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
             alpha=jnp.ones((B,), dt),
             kk=state0.kk.astype(jnp.int32),
             stat=jnp.transpose(state0.stat.astype(dt), (2, 1, 0)),
+            lam_ref=jnp.full((B,), jnp.inf, dt),
         )
 
     kiota = jnp.arange(k_max, dtype=jnp.int32)
@@ -633,16 +636,18 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
         mu_new = mu_of(lam_b_n, t_b_n, lam_g_n, t_g_n)
 
         row = jnp.stack([sigma, alpha_aff, mu_aff, alpha2, mu_new])
+        lmx_new = _lam_inst_max(lam_b_n, lam_g_n)
         s_new = _FState(
             zF=z_new, piF=pi_new,
             lam_b=lam_b_n, t_b=t_b_n, lam_g=lam_g_n, t_g=t_g_n,
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
+            lam_ref=_ipm.anchor_lam_ref(s.lam_ref, s.mu, mu_new, lmx_new),
         )
         # numerical-breakdown guard — see ipm phase-1 note
-        ok = _ipm.step_ok(mu_new, s.mu,
-                          _lam_inst_max(lam_b_n, lam_g_n),
-                          _lam_inst_max(s.lam_b, s.lam_g))
+        ok = _ipm.step_ok(mu_new, s.mu, lmx_new,
+                          _lam_inst_max(s.lam_b, s.lam_g),
+                          lam_ref=s.lam_ref)
         return gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
 
     def phase1_pred_b(s):
@@ -758,15 +763,17 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, kkt_factory=None,
         res_new = residuals(z_new, pi_new, lam_b_n, t_b_n, lam_g_n, t_g_n)
         mu_new = res_new.mu
         row = jnp.stack([sigma, alpha_aff, mu_aff, alpha2, mu_new])
+        lmx_new = _lam_inst_max(lam_b_n, lam_g_n)
         s_new = _FState(
             zF=z_new, piF=pi_new,
             lam_b=lam_b_n, t_b=t_b_n, lam_g=lam_g_n, t_g=t_g_n,
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
+            lam_ref=_ipm.anchor_lam_ref(s.lam_ref, s.mu, mu_new, lmx_new),
         )
-        ok = _ipm.step_ok(mu_new, s.mu,
-                          _lam_inst_max(lam_b_n, lam_g_n),
-                          _lam_inst_max(s.lam_b, s.lam_g))
+        ok = _ipm.step_ok(mu_new, s.mu, lmx_new,
+                          _lam_inst_max(s.lam_b, s.lam_g),
+                          lam_ref=s.lam_ref)
         s_new = gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
         res_new = gate_res(ok, res_new, res)
         return (s_new, res_new)

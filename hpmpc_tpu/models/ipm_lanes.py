@@ -343,6 +343,7 @@ class _LState(NamedTuple):
     alpha: jax.Array   # (B,)
     kk: jax.Array      # (B,) int32
     stat: jax.Array    # (5, k_max, B)
+    lam_ref: jax.Array  # (B,) cumulative-guard anchor (ipm.anchor_lam_ref)
 
 
 class _LRes(NamedTuple):
@@ -580,6 +581,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None,
         alpha=jnp.ones((B,), dt),
         kk=jnp.zeros((B,), jnp.int32),
         stat=jnp.zeros((5, k_max, B), dt),
+        lam_ref=jnp.full((B,), jnp.inf, dt),
     )
     if state0 is not None:
         # hot continuation (ipm_fast state0 twin): seed the FULL
@@ -623,6 +625,7 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None,
             alpha=jnp.ones((B,), dt),
             kk=state0.kk.astype(jnp.int32),
             stat=jnp.transpose(state0.stat.astype(dt), (2, 1, 0)),
+            lam_ref=jnp.full((B,), jnp.inf, dt),
         )
 
     def finish_alpha_sums(outs, lam_g, t_g, dtg, dlg):
@@ -700,15 +703,17 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None,
         t_g_n = s.t_g + a2[:, None] * dtg2
 
         row = jnp.stack([sigma, alpha_aff, mu_aff, alpha2, mu_new])
+        lmx_new = _lam_inst_max(lam_n, lam_g_n)
         s_new = _LState(
             zL=z_new, piL=pi_new, lamL=lam_n, tL=t_n,
             lam_g=lam_g_n, t_g=t_g_n,
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
+            lam_ref=_ipm.anchor_lam_ref(s.lam_ref, s.mu, mu_new, lmx_new),
         )
-        ok = _ipm.step_ok(mu_new, s.mu,
-                          _lam_inst_max(lam_n, lam_g_n),
-                          _lam_inst_max(s.lamL, s.lam_g))
+        ok = _ipm.step_ok(mu_new, s.mu, lmx_new,
+                          _lam_inst_max(s.lamL, s.lam_g),
+                          lam_ref=s.lam_ref)
         return gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
 
     def phase1_pred_b(s):
@@ -811,15 +816,17 @@ def _impl(dims: OCPDims, qp: OCPQP, cfg, z0=None, pi0=None,
         res_new = residuals(z_new, pi_new, lam_n, t_n, lam_g_n, t_g_n)
         mu_new = res_new.mu
         row = jnp.stack([sigma, alpha_aff, mu_aff, alpha2, mu_new])
+        lmx_new = _lam_inst_max(lam_n, lam_g_n)
         s_new = _LState(
             zL=z_new, piL=pi_new, lamL=lam_n, tL=t_n,
             lam_g=lam_g_n, t_g=t_g_n,
             mu=mu_new, alpha=alpha2 * 0.995, kk=s.kk + 1,
             stat=stat_update(s.stat, s.kk, row),
+            lam_ref=_ipm.anchor_lam_ref(s.lam_ref, s.mu, mu_new, lmx_new),
         )
-        ok = _ipm.step_ok(mu_new, s.mu,
-                          _lam_inst_max(lam_n, lam_g_n),
-                          _lam_inst_max(s.lamL, s.lam_g))
+        ok = _ipm.step_ok(mu_new, s.mu, lmx_new,
+                          _lam_inst_max(s.lamL, s.lam_g),
+                          lam_ref=s.lam_ref)
         s_new = gate(ok, s_new, s._replace(alpha=jnp.zeros_like(s.alpha)))
         res_new = gate_res(ok, res_new, res)
         return (s_new, res_new)

@@ -70,7 +70,7 @@ def resident_vmem_bytes(NX: int, NU: int, NB: int, N: int) -> int:
     NB2 = 2 * NB
     inputs = (N + 1) * (4 * NB2 + 3 * NZ + NT) + N * (NZ * NX + 2 * NX)
     scratch = ((N + 1) * (2 * NZ + 7 * NB2 + NZ * NU + NU + NX + NX * NX)
-               + N * 3 * NX + 2 * NX * NX + 4 * NZ + 16)
+               + N * 3 * NX + 2 * NX * NX + 4 * NZ + 17)
     return (inputs + scratch) * 4 * SUBS * LANES
 
 
@@ -173,6 +173,7 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids, NS, exact,
     if NS:
         (lsofts, tsofts, dtass, dlass, dl2cs, dt2ss, dl2ss) = \
             scr[33 + n_scr_ng:40 + n_scr_ng]
+    lamref_s = scr[33 + n_scr_ng + (7 if NS else 0)]
 
     dt = zs.dtype
     one = jnp.ones((SUBS, LANES), dt)
@@ -229,6 +230,7 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids, NS, exact,
                     (1, NS4 * SUBS, LANES), dt)
         a2p_s[...] = zero
         mu_s[...] = jnp.full((SUBS, LANES), mu0, dt)
+        lamref_s[...] = jnp.full((SUBS, LANES), _BIG, dt)
         frz_s[...] = zero
         kk_s[...] = zero
         sm_s[...] = zero
@@ -743,11 +745,19 @@ def _resident_kernel(NB, NU, NX, NZ, N, K, NG, ng_stage_ids, NS, exact,
             # step_ok: mu growing >10x, or max |lam| growing >30x, from
             # below 1e-3 = breakdown; keep the last good state)
             floor = mu_s[...] < 1e-3
+            # anchored cumulative twin (models/ipm.anchor_lam_ref):
+            # lamref holds max(|lam|, 1) at the first accepted
+            # below-floor iterate (_BIG = not yet anchored)
+            anchored = lamref_s[...] < _BIG
             ok = ((mu_new == mu_new) & (jnp.abs(mu_new) < _BIG)
                   & ~((mu_new > 10.0 * mu_s[...]) & floor)
                   & ~((lmx_new > 30.0 * jnp.maximum(lmx_old, one))
-                      & floor))
+                      & floor)
+                  & ~(anchored & (lmx_new > 30.0 * lamref_s[...])))
             upd = live & ok
+            lamref_s[...] = jnp.where(
+                upd & ~anchored & (mu_new < 1e-3),
+                jnp.maximum(lmx_new, one), lamref_s[...])
             a2p_s[...] = jnp.where(upd, a2, zero)
             mu_s[...] = jnp.where(upd, mu_new, mu_s[...])
             frz_s[...] = jnp.where(
@@ -995,6 +1005,7 @@ def ipm_resident(idx_tab, lam0, t0, z0l, pi0l, base, pdreg, Hl, Fl, bl,
     if NS:
         scratch += [sv(NS4) for _ in range(7)]
         # lsofts tsofts dtass dlass dl2cs dt2ss dl2ss
+    scratch += [tile()]  # lamref (cumulative-guard anchor)
 
     kernel = functools.partial(
         _resident_kernel, NB, NU, NX, NZ, N, k_max, NG,

@@ -127,14 +127,18 @@ def select_engine(dims: OCPDims, cfg: ipm.IPMConfig, B: int, dtype) -> str:
         and dims.NB > 0
         and f32  # mixed precision stays on ipm_fast
         and _engine_fits(dims, lanes=True)  # tighter VMEM bound
-        # measured crossover fence (v5e size sweep 2026-08-20,
+        # measured crossover fence (v5e size sweeps 2026-08-20,
         # floor-cleared K spans): the mega route WINS at NZ=17 (355k vs
-        # flat 319k), 27 (157k vs 121k), 36 (77k vs 63k) but LOSES 22%
-        # at exactly NZ=19 (237k vs 303k; nx=16 nu=3) — the default
-        # dispatch must not pick a >10%-losing engine, so that band
-        # rides flat.  An EXPLICIT HPMPC_MEGA_SWEEPS=1 still overrides
-        # (the A/B rows of the size sweep itself need to measure it).
-        and (dims.NZ != 19
+        # flat 319k), 24 (202k vs 194k), 27 (157k vs 121k), 36 (77k vs
+        # 63k) but LOSES in a BAND in between — 22% at NZ=19 (237k vs
+        # 303k; nx=16 nu=3) and 12% at NZ=22 (197k vs 223k; nx=18
+        # nu=4) — the default dispatch must not pick a >10%-losing
+        # engine, so 19..22 rides flat (interior 20-21 interpolated
+        # between two measured losers; 18/23 left on mega, matching
+        # their winning neighbors 17/24).  An EXPLICIT
+        # HPMPC_MEGA_SWEEPS=1 still overrides (the A/B rows of the size
+        # sweep itself need to measure it).
+        and (not (19 <= dims.NZ <= 22)
              or os.environ.get("HPMPC_MEGA_SWEEPS") == "1")
     )
     if iter_ref == 0:
@@ -263,29 +267,38 @@ def solve_batched(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,
 
 def _escalate_stalled(dims: OCPDims, qp: OCPQP, cfg, sol, z0, pi0):
     """f32-floor escalation (``IPMConfig.escalate_stalled``): instances
-    the f32 solve left unconverged (status != 0) are re-solved in MIXED
-    precision — the same QP cast to f64 through the engine dispatch,
-    which routes it to the flat engine's mixed mode (f64 loop state +
-    f32 Pallas KKT kernels; the reference's single/double idea,
-    ``d_ip2_res_hard.c:48``) — and merged back per-instance.  The whole
-    mixed pass sits under one ``lax.cond``: batches that fully converge
+    the f32 solve left unconverged (status != 0) are re-solved in FULL
+    f64 through the structured path and merged back per-instance.  The
+    whole pass sits under one ``lax.cond``: batches that fully converge
     in f32 never execute it.
 
-    Validated at the (16,1) north-star size (CPU, B=256, mu_tol=1e-3,
-    k_max=30): mixed converges exactly the f64 instance set (67.2%),
-    closing the full f32 gap (63.7%); the rest diverge in f64 too
-    (infeasible-like instances, duals blow up)."""
+    Why full f64 and not the mixed-precision engine (f64 state + f32
+    kernels): measured at the (16,1) north-star size (CPU, B=256,
+    mu_tol=1e-3, k_max=30) the f32-FACTORIZED direction perturbs the
+    trajectory enough that knife-edge instances diverge differently —
+    true-mixed converges 62.5-62.9% (with or without f64 refinement)
+    where plain f32 gets 63.7% and f64 67.2%.  The dtype gap at this
+    size is trajectory chaos near infeasibility, not endpoint
+    precision, so only an f64 factorization recovers the f64 set — the
+    escalated route IS the f64 solver (exact by construction), at
+    emulated-f64 cost on TPU, paid only when something stalled."""
+    import dataclasses as _dc
+
     import jax.numpy as _jnp
 
     stalled = sol.status != 0
 
-    def run_mixed(s):
+    def run_f64(s):
         qp64 = jax.tree_util.tree_map(
             lambda x: x.astype(_jnp.float64)
             if x.dtype == _jnp.float32 else x, qp)
         z64 = None if z0 is None else z0.astype(_jnp.float64)
         p64 = None if pi0 is None else pi0.astype(_jnp.float64)
-        solm = solve_batched(dims, qp64, cfg, z0=z64, pi0=p64)
+        # structured path (use_pallas off): pure f64 end to end — the
+        # engine dispatch would route f64 to the MIXED flat engine,
+        # which provably does not recover the f64-convergent set
+        cfg64 = _dc.replace(cfg, use_pallas=False)
+        solm = solve_batched(dims, qp64, cfg64, z0=z64, pi0=p64)
 
         def mrg(a, m):
             mm = stalled.reshape((-1,) + (1,) * (a.ndim - 1))
@@ -293,7 +306,7 @@ def _escalate_stalled(dims: OCPDims, qp: OCPQP, cfg, sol, z0, pi0):
 
         return jax.tree_util.tree_map(mrg, s, solm)
 
-    return jax.lax.cond(jnp.any(stalled), run_mixed, lambda s: s, sol)
+    return jax.lax.cond(jnp.any(stalled), run_f64, lambda s: s, sol)
 
 
 def solve_single(dims: OCPDims, qp: OCPQP, cfg: ipm.IPMConfig,

@@ -137,21 +137,20 @@ def test_chunked_solve_matches_unchunked(monkeypatch):
                                   np.asarray(sol_one.kk))
 
 
-def test_nz19_crossover_fence(monkeypatch):
-    """Measured v5e crossover: the lanes/mega route loses 22% to flat at
-    exactly NZ=19 (nx=16 nu=3) — the default dispatch rides flat there,
-    but an explicit HPMPC_MEGA_SWEEPS=1 A/B still overrides."""
-    d19, _ = mass_spring_qp(16, 3, 30, dtype=jnp.float32)
-    assert d19.NZ == 19
+def test_nz_crossover_fence_band(monkeypatch):
+    """Measured v5e crossover BAND (round 5): the lanes/mega route loses
+    to flat at NZ=19 (-22%, nx=16 nu=3) and NZ=22 (-12%, nx=18 nu=4) but
+    wins at NZ=17 and NZ=24 — the default dispatch rides flat on 19..22,
+    and an explicit HPMPC_MEGA_SWEEPS=1 A/B still overrides."""
     cfg = _cfg()
-    assert pbatch.select_engine(d19, cfg, 1024, jnp.float32) == "flat"
+    for nx, nu, nz, want in ((16, 3, 19, "flat"), (18, 4, 22, "flat"),
+                             (16, 1, 17, "lanes"), (20, 4, 24, "lanes")):
+        d, _ = mass_spring_qp(nx, nu, 30, dtype=jnp.float32)
+        assert d.NZ == nz
+        assert pbatch.select_engine(d, cfg, 1024, jnp.float32) == want, nz
+    d19, _ = mass_spring_qp(16, 3, 30, dtype=jnp.float32)
     monkeypatch.setenv("HPMPC_MEGA_SWEEPS", "1")
     assert pbatch.select_engine(d19, cfg, 1024, jnp.float32) == "lanes"
-    monkeypatch.delenv("HPMPC_MEGA_SWEEPS")
-    # neighbours keep the lanes default
-    d17, _ = mass_spring_qp(16, 1, 30, dtype=jnp.float32)
-    assert d17.NZ == 17
-    assert pbatch.select_engine(d17, cfg, 1024, jnp.float32) == "lanes"
 
 
 def test_escalate_stalled_structured_path():
