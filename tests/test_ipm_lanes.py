@@ -300,15 +300,17 @@ def test_solve_single_latency_path(interpret_pallas, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("ngN", [0, 4])
 def test_lanes_iter_ref_matches_flat_iter_ref(interpret_pallas,
-                                              monkeypatch):
+                                              monkeypatch, ngN):
     """cfg.iter_ref through the lanes engine (round-5 stage-2 path:
-    refinement residuals as elementwise lanes ops + solve_flat_pb
-    re-solves) == the flat engine's proven newton_refine, iterate for
-    iterate.  6-kernel lanes loop (refinement forces non-mega halves)."""
+    ONE fused pallas_call per refinement pass, incl. its in-kernel
+    C-row barrier fold when general constraints are active) == the flat
+    engine's proven newton_refine, iterate for iterate.  6-kernel lanes
+    loop (refinement forces non-mega halves)."""
     from hpmpc_tpu.models import ipm_fast
 
-    dims, qpb = _batch_qp(ngN=4)
+    dims, qpb = _batch_qp(ngN=ngN)
     cfg = dataclasses.replace(
         ipm.IPMConfig(k_max=3, mu_tol=1e-4, iter_ref=2), use_pallas=True
     )
