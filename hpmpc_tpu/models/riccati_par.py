@@ -38,6 +38,22 @@ second (affine-map) associative scan.
 Same solution as :mod:`.riccati` to solver precision; numerically the
 combine inverts (I + C J), so extremely stiff horizons may prefer the
 sequential path.
+
+f32 CAVEAT (measured, round 5): with barrier-stiff stages the combine
+breaks down in f32 in a way iterative refinement CANNOT repair.  On the
+headline problem (mass-spring nx=8 nu=3 N=30) at f32, box-only barriers
+(ngN=0) track the sequential solver to 1e-6 and converge identically —
+but with the terminal general-constraint block (ngN=8, full-rank
+C'diag(Qxg)C with entries ~1/mu), the IPM stalls at mu ~1.2e-3 with a
+collapsed step (alpha ~8e-7): the scan's cost-to-go P carries a
+relative error ~cond((I + C1 J2)) * eps_f32 ~ O(1) once |J| ~ 1e6, so
+the direction is garbage, and re-solving the residual through the same
+scan inherits the same O(1) relative error (verified: +1/+2 refinement
+passes do not move the stall).  f64 converges identically to the
+sequential path on the same problem.  A square-root (Cholesky-factor)
+combine would halve the condition exponent and is the known fix in the
+parallel-smoother literature; until then, f32 single-instance latency
+at reference tolerance stays on the sequential engines.
 """
 
 from __future__ import annotations

@@ -113,6 +113,24 @@ def main():
             sol = ipm_resident.solve_batched_resident(dims, qb, cfg_tick)
             return jax.tree_util.tree_map(lambda a: a[0], sol)
 
+        # 5th-generation dense condensed-QP engine (models/ipm_dense):
+        # full condensing + terminal elimination -> ONE dense QP, whole
+        # IPM in one pallas_call; the only sequential depth is the
+        # nz-column Cholesky.  Matrices condensed once (deployment
+        # steady state); the vector condense (raw b -> dense rhs) runs
+        # per tick through the exact affine maps.
+        from collections import namedtuple
+
+        from hpmpc_tpu.models import ipm_dense
+
+        _ZK = namedtuple("_ZK", ["z", "kk"])
+        dplan = ipm_dense.plan_dense(dims, qp)
+
+        def dense_tick(q):
+            r = ipm_dense.solve_dense_tick(
+                dplan, q.b.reshape(-1), cfg_tick)
+            return _ZK(z=r.y, kk=r.kk)
+
         strategies = {
             "seq": lambda q: ipm.solve(dims, q, cfg),
             "par_in_time": lambda q: ipm.solve(dims, q, cfg, backend=bk_par),
@@ -121,6 +139,8 @@ def main():
             "mega_block": lambda q: pbatch.solve_single(dims, q, cfg_p),
             "mega_tick": lambda q: pbatch.solve_single(dims, q, cfg_tick),
         }
+        if dplan.nz <= 128 and dplan.ngd <= 128:
+            strategies["dense_tick"] = dense_tick
         if rk.resident_fits(8, 3, dims.NB, N):
             strategies["resident_block"] = resident_block
             strategies["resident_tick"] = resident_tick
