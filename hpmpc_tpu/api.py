@@ -378,6 +378,32 @@ class OCPSession:
         self._sol, self._carry = sol, carry
         return _unpack_result(self.dims, sol)
 
+    def dense_tick(self, use_kernel: bool = True, **vectors):
+        """Minimum-latency deployment tick through the 5th-generation
+        dense condensed-QP engine (``models/ipm_dense``): the plan
+        (condensed matrices + exact affine raw-b -> dense-rhs maps) is
+        built and cached on FIRST use; each tick then runs the whole
+        phase-1 IPM in one pallas_call and returns
+        ``(u0, DenseTickResult)``.  Only the dynamics offsets may vary
+        between ticks (kwargs: b, x0 — cost/bounds changes need a new
+        plan); phase-1 ``d_ip2_hard`` semantics at ``cfg.mu_tol``.
+        Requires the condensed sizes to fit the kernel envelope
+        (nz <= 128 inputs, <= 128 general rows)."""
+        import jax
+
+        from .models import ipm_dense as _ipd
+
+        qp = self._repack(**{k: v for k, v in vectors.items()
+                             if k in ("b", "x0")})
+        if getattr(self, "_dense_plan", None) is None:
+            self._dense_plan = _ipd.plan_dense(self.dims, qp)
+            self._dense_fn = jax.jit(
+                lambda bf: _ipd.solve_dense_tick(
+                    self._dense_plan, bf, self.cfg,
+                    use_kernel=use_kernel))
+        res = self._dense_fn(qp.b.reshape(-1))
+        return np.asarray(res.u0), res
+
 
 def dataclasses_asdict(cfg):
     import dataclasses

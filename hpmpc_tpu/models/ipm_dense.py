@@ -79,14 +79,16 @@ class DensePlan(NamedTuple):
 
 
 def _terminal_blocks(dims: OCPDims, qp2, pl2):
-    """(Hxx, gx_fn pieces): terminal-stage x-block cost and the dynamics
-    rows of the condensed stage restricted to y."""
+    """Terminal-stage x-block cost + layout offsets.  NOTE the padded
+    stage layout puts the x block at the PADDED offset ``d2.NU`` for
+    every stage (ocp.pack_ocp's ``jp = NU + (j - nu)`` convention) —
+    while ``dims2.idxb`` stores LOGICAL coordinates (state index =
+    idx - nu[N])."""
     d2 = pl2.dims2
-    nuN = dims.nu[dims.N]
-    NX2 = d2.NX
-    Hxx = qp2.H[1][nuN:nuN + NX2, nuN:nuN + NX2]
-    gx = qp2.g[1][nuN:nuN + NX2]
-    return Hxx, gx, nuN, NX2
+    NU2, NX2 = d2.NU, d2.NX
+    Hxx = qp2.H[1][NU2:NU2 + NX2, NU2:NU2 + NX2]
+    gx = qp2.g[1][NU2:NU2 + NX2]
+    return Hxx, gx, NU2, NX2
 
 
 def _dense_vectors(dims: OCPDims, qp: OCPQP, pl2, box_slots, bflat):
@@ -97,7 +99,8 @@ def _dense_vectors(dims: OCPDims, qp: OCPQP, pl2, box_slots, bflat):
     nz = d2.NU
     qp_b = dataclasses.replace(qp, b=bflat.reshape(N, NX))
     qp2 = _cond.condense(qp_b, pl2)
-    Hxx, gx, nuN, NX2 = _terminal_blocks(dims, qp2, pl2)
+    Hxx, gx, xoff, NX2 = _terminal_blocks(dims, qp2, pl2)
+    nuN = dims.nu[dims.N]                     # logical idxb offset
     Fy = qp2.F[0][:nz, :]                     # (nz, NX2)
     b0 = qp2.b[0]                             # (NX2,)
 
@@ -117,7 +120,7 @@ def _dense_vectors(dims: OCPDims, qp: OCPQP, pl2, box_slots, bflat):
         rows_lo.append(qp2.d_lb[1, k] - b0[j])
         rows_hi.append(qp2.d_ub[1, k] - b0[j])
     for r in range(d2.ng[1]):                 # terminal ng -> general
-        crow = qp2.C[1, r, nuN:nuN + NX2]
+        crow = qp2.C[1, r, xoff:xoff + NX2]
         rows_lo.append(qp2.d_lg[1, r] - crow @ b0)
         rows_hi.append(qp2.d_ug[1, r] - crow @ b0)
     dlg = (jnp.stack(rows_lo) if rows_lo
@@ -135,7 +138,8 @@ def plan_dense(dims: OCPDims, qp: OCPQP) -> DensePlan:
     d2 = pl2.dims2
     nz = d2.NU
     qp2 = _cond.condense(qp, pl2)
-    Hxx, gx, nuN, NX2 = _terminal_blocks(dims, qp2, pl2)
+    Hxx, gx, xoff, NX2 = _terminal_blocks(dims, qp2, pl2)
+    nuN = dims.nu[dims.N]                     # logical idxb offset
     Fy = qp2.F[0][:nz, :]
 
     Hd = qp2.H[0][:nz, :nz] + Fy @ Hxx @ Fy.T
@@ -158,7 +162,7 @@ def plan_dense(dims: OCPDims, qp: OCPQP) -> DensePlan:
         j = int(d2.idxb[1][k]) - nuN
         rows.append(Fy[:, j][None, :])
     if d2.ng[1]:
-        rows.append(qp2.C[1, :d2.ng[1], nuN:nuN + NX2] @ Fy.T)
+        rows.append(qp2.C[1, :d2.ng[1], xoff:xoff + NX2] @ Fy.T)
     G = (jnp.concatenate(rows, axis=0) if rows
          else jnp.zeros((0, nz), qp.b.dtype))
 

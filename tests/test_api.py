@@ -370,3 +370,30 @@ def test_warm_start_converges_and_saves_iterations():
     assert warm.kk <= fresh.kk
     for n in range(11):
         np.testing.assert_allclose(warm.x[n], fresh.x[n], atol=1e-5)
+
+
+def test_session_dense_tick():
+    """OCPSession.dense_tick: the 5th-generation dense latency engine
+    through the API front door — first call builds/caches the dense
+    plan; subsequent ticks with new b agree with a fresh full solve's
+    controls at the converged-mu scale (oracle path: the kernel twin is
+    parity-tested in tests/test_ipm_dense.py)."""
+    (A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+     idxb, lb, ub, *_rest, x0) = _small_ms()
+    res, sess = api.solve_ocp(
+        10, A_l, B_l, b_l, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-5,
+        return_session=True,
+    )
+    u0_dense, dres = sess.dense_tick(use_kernel=False)
+    assert int(dres.status) == 0
+    np.testing.assert_allclose(u0_dense, res.u[0], atol=2e-3)
+    # a new-b tick reuses the cached plan
+    b_new = [bb + 0.003 for bb in b_l]
+    fresh = api.solve_ocp(
+        10, A_l, B_l, b_new, Q_l, S_l, R_l, q_l, r_l,
+        idxb=idxb, lb=lb, ub=ub, x0=x0, mu_tol=1e-5,
+    )
+    u0_dense2, dres2 = sess.dense_tick(use_kernel=False, b=b_new)
+    assert int(dres2.status) == 0
+    np.testing.assert_allclose(u0_dense2, fresh.u[0], atol=2e-3)
