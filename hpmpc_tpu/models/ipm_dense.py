@@ -142,7 +142,8 @@ def plan_dense(dims: OCPDims, qp: OCPQP) -> DensePlan:
     nuN = dims.nu[dims.N]                     # logical idxb offset
     Fy = qp2.F[0][:nz, :]
 
-    Hd = qp2.H[0][:nz, :nz] + Fy @ Hxx @ Fy.T
+    Hd = qp2.H[0][:nz, :nz] + jnp.matmul(
+        jnp.matmul(Fy, Hxx, precision=_HI), Fy.T, precision=_HI)
     Hd = 0.5 * (Hd + Hd.T)
 
     # surviving input box slots of the condensed stage (coords < nz and
@@ -169,8 +170,9 @@ def plan_dense(dims: OCPDims, qp: OCPQP) -> DensePlan:
     bflat0 = qp.b.reshape(-1)
     vec_fn = lambda bf: _dense_vectors(  # noqa: E731
         dims, qp, pl2, box_slots, bf)
-    consts = vec_fn(jnp.zeros_like(bflat0))
-    maps = jax.jacfwd(vec_fn)(bflat0)
+    with jax.default_matmul_precision("float32"):
+        consts = vec_fn(jnp.zeros_like(bflat0))
+        maps = jax.jacfwd(vec_fn)(bflat0)
 
     return DensePlan(
         nz=int(nz), nb=len(box_slots), ngd=int(G.shape[0]),
@@ -203,6 +205,11 @@ def solve_dense_ref(plan: DensePlan, bflat, cfg) -> DenseTickResult:
     """Pure-JAX reference of the dense phase-1 Mehrotra IPM — the
     kernel's oracle; mirrors ``ipm.py``'s phase-1 formulas specialized
     to one dense stage (box slots + general rows, no dynamics)."""
+    with jax.default_matmul_precision("float32"):
+        return _solve_dense_ref_impl(plan, bflat, cfg)
+
+
+def _solve_dense_ref_impl(plan, bflat, cfg):
     from ..ops.tri import cholesky, solve_tril, solve_triu
 
     dt = plan.Hd.dtype
@@ -360,5 +367,9 @@ def solve_dense_tick(plan: DensePlan, bflat, cfg,
         return solve_dense_ref(plan, bflat, cfg)
     from ..ops import dense_kernel as dk
 
-    y, kk, mu, status = dk.dense_ipm_call(plan, bflat, cfg)
+    # the vector-condense matvecs and padding run in XLA before the
+    # kernel: pin them to f32 (TPU matmuls default to bf16 — measured
+    # to break the ORACLE's convergence entirely on hardware)
+    with jax.default_matmul_precision("float32"):
+        y, kk, mu, status = dk.dense_ipm_call(plan, bflat, cfg)
     return _result(plan, y, kk, mu, status)
