@@ -367,10 +367,10 @@ def solve_batched_soft(
             # the hard route).  OPT-IN (explicit HPMPC_RESIDENT=1),
             # unlike the hard route's resident default: measured SLOWER
             # than soft mega at throughput (0.72x at N=20, v5e
-            # 2026-08-20), and at N=30 its ~130 MB MLIR module sits at
-            # the remote compile helper's memory edge (flaky HTTP 500).
-            # The engine itself is hardware-validated
-            # (check_resident_tpu --soft: kk 100%, dz 7.9e-4 at N=30).
+            # 2026-08-20).  N=30 compiles and hardware-validates fine
+            # as of round 5 (check_resident_tpu --soft: kk 100%,
+            # dz 7.9e-4; the r04 "130 MB MLIR" compile flake did not
+            # reproduce — module-size probe: 813 KB).
             os.environ.get("HPMPC_RESIDENT") == "1"
             and dims.NB > 0
             and NS > 0
