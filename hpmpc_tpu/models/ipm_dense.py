@@ -201,15 +201,17 @@ def _result(plan: DensePlan, y, kk, mu, status):
         status=status)
 
 
-def solve_dense_ref(plan: DensePlan, bflat, cfg) -> DenseTickResult:
+def solve_dense_ref(plan: DensePlan, bflat, cfg,
+                    y0=None) -> DenseTickResult:
     """Pure-JAX reference of the dense phase-1 Mehrotra IPM — the
     kernel's oracle; mirrors ``ipm.py``'s phase-1 formulas specialized
-    to one dense stage (box slots + general rows, no dynamics)."""
+    to one dense stage (box slots + general rows, no dynamics).
+    ``y0``: warm-start iterate (None = cold)."""
     with jax.default_matmul_precision("float32"):
-        return _solve_dense_ref_impl(plan, bflat, cfg)
+        return _solve_dense_ref_impl(plan, bflat, cfg, y0)
 
 
-def _solve_dense_ref_impl(plan, bflat, cfg):
+def _solve_dense_ref_impl(plan, bflat, cfg, y0=None):
     from ..ops.tri import cholesky, solve_tril, solve_triu
 
     dt = plan.Hd.dtype
@@ -228,8 +230,10 @@ def _solve_dense_ref_impl(plan, bflat, cfg):
     alpha_min = jnp.asarray(cfg.alpha_min, dt)
     k_max = cfg.k_max
 
-    # ---- d_init_var (init_vars twin on the dense stage) -----------------
-    y = jnp.zeros((plan.nz,), dt)
+    # ---- d_init_var (init_vars twin on the dense stage; y0 = the
+    # warm-start iterate, clamp applies either way) -----------------------
+    y = (jnp.zeros((plan.nz,), dt) if y0 is None
+         else jnp.asarray(y0, dt))
     yb = Sel.T @ y
     t_lo0, t_up0 = yb - lb, ub - yb
     both = (t_lo0 < thr0) & (t_up0 < thr0)
@@ -358,18 +362,21 @@ def _solve_dense_ref_impl(plan, bflat, cfg):
 
 
 def solve_dense_tick(plan: DensePlan, bflat, cfg,
-                     use_kernel: bool = True) -> DenseTickResult:
+                     use_kernel: bool = True,
+                     y0=None) -> DenseTickResult:
     """The deployment tick: raw per-stage offsets ``vec(b)`` in,
     controls out, through the dense Pallas kernel
     (``ops/dense_kernel.dense_ipm_call``); ``use_kernel=False`` runs the
-    pure-JAX oracle (CPU/f64 parity)."""
+    pure-JAX oracle (CPU/f64 parity).  ``y0``: warm-start iterate (the
+    previous tick's ``y`` — the RTI hot loop; the d_init_var clamp still
+    applies)."""
     if not use_kernel:
-        return solve_dense_ref(plan, bflat, cfg)
+        return solve_dense_ref(plan, bflat, cfg, y0=y0)
     from ..ops import dense_kernel as dk
 
     # the vector-condense matvecs and padding run in XLA before the
     # kernel: pin them to f32 (TPU matmuls default to bf16 — measured
     # to break the ORACLE's convergence entirely on hardware)
     with jax.default_matmul_precision("float32"):
-        y, kk, mu, status = dk.dense_ipm_call(plan, bflat, cfg)
+        y, kk, mu, status = dk.dense_ipm_call(plan, bflat, cfg, y0=y0)
     return _result(plan, y, kk, mu, status)

@@ -142,10 +142,10 @@ def _solve_chol(L, U, dinv_row, r_row, n, SP):
 def _dense_kernel(nz, nb_dummy, ngd, K, mu_scal, mu_tol, alpha_min, mu0,
                   *refs):
     (Hd_ref, G_ref, eyez_ref, eyeg_ref, mz_ref, mg_ref,
-     gd_ref, lbz_ref, ubz_ref, dlg_ref, dug_ref,
-     y_out, kk_out, mu_out, st_out) = refs[:15]
+     gd_ref, lbz_ref, ubz_ref, dlg_ref, dug_ref, y0_ref,
+     y_out, kk_out, mu_out, st_out) = refs[:16]
     (y_s, tlo_s, tup_s, llo_s, lup_s, sglo_s, sgup_s, glo_s, gup_s,
-     mu_s, frz_s, kk_s) = refs[15:]
+     mu_s, frz_s, kk_s) = refs[16:]
 
     SPZ = Hd_ref.shape[0]
     SPG = G_ref.shape[0]
@@ -184,9 +184,12 @@ def _dense_kernel(nz, nb_dummy, ngd, K, mu_scal, mu_tol, alpha_min, mu0,
         return jnp.sum(G * vs, axis=0, keepdims=True)
 
     # ---- one-time init (d_init_var twin; see ipm_dense.solve_dense_ref)
+    # y0_ref carries the warm-start iterate (zeros = cold; the
+    # d_init_var box-violation clamp below applies to it either way —
+    # the reference's warm_start contract, d_ip2_res_hard.c:116 arg 6)
     @pl.when(it == 0)
     def _():
-        y0 = zero
+        y0 = masked_z(_vrow(y0_ref))
         t_lo0 = masked_z(y0 - lbz)
         t_up0 = masked_z(ubz - y0)
         both = (t_lo0 < thr0) & (t_up0 < thr0) & (mz > 0)
@@ -354,7 +357,7 @@ def _dense_kernel(nz, nb_dummy, ngd, K, mu_scal, mu_tol, alpha_min, mu0,
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "cfg_static"))
 def _dense_call(plan_static, cfg_static, Hd_t, G_t, gd, lbz, ubz,
-                mz, mg, dlg, dug):
+                mz, mg, dlg, dug, y0):
     nz, ngd = plan_static
     k_max, mu0, mu_tol, alpha_min, mu_scal = cfg_static
     dt = Hd_t.dtype
@@ -375,7 +378,7 @@ def _dense_call(plan_static, cfg_static, Hd_t, G_t, gd, lbz, ubz,
     args = [Hd_t, G_t, eyez, eyeg,
             pad_row(mz, nz), pad_row(mg, ngd),
             pad_row(gd, nz), pad_row(lbz, nz), pad_row(ubz, nz),
-            pad_row(dlg, ngd), pad_row(dug, ngd)]
+            pad_row(dlg, ngd), pad_row(dug, ngd), pad_row(y0, nz)]
     full = lambda a: pl.BlockSpec(  # noqa: E731
         a.shape, lambda it: (0,) * a.ndim, memory_space=pltpu.VMEM)
     in_specs = [full(a) for a in args]
@@ -401,10 +404,11 @@ def _dense_call(plan_static, cfg_static, Hd_t, G_t, gd, lbz, ubz,
     return y_o, kk_o, mu_o, st_o
 
 
-def dense_ipm_call(plan, bflat, cfg):
+def dense_ipm_call(plan, bflat, cfg, y0=None):
     """Tick entry: apply the affine vector-condense maps (z-aligned via
-    ``Sel``) and run the whole dense IPM in one pallas_call.  Returns
-    (y (nz,), kk, mu, status)."""
+    ``Sel``) and run the whole dense IPM in one pallas_call.  ``y0``:
+    warm-start iterate (previous tick's y — the RTI hot loop); None =
+    cold (zeros).  Returns (y (nz,), kk, mu, status)."""
     dt = plan.Hd.dtype
     nz, ngd = plan.nz, plan.ngd
     assert nz <= LANES and ngd <= LANES, (
@@ -428,11 +432,13 @@ def dense_ipm_call(plan, bflat, cfg):
     G_t = jnp.zeros((SPG, LANES), dt).at[:ngd, :nz].set(plan.G)
 
     n_con = 2 * (plan.nb + ngd)
+    if y0 is None:
+        y0 = jnp.zeros((nz,), dt)
     y_o, kk_o, mu_o, st_o = _dense_call(
         (nz, ngd),
         (int(cfg.k_max), float(cfg.mu0), float(cfg.mu_tol),
          float(cfg.alpha_min), 1.0 / n_con),
-        Hd_t, G_t, gd, lbz, ubz, mz, mg, dlg, dug,
+        Hd_t, G_t, gd, lbz, ubz, mz, mg, dlg, dug, y0,
     )
     return (y_o[0, :nz], kk_o[0, 0].astype(jnp.int32), mu_o[0, 0],
             st_o[0, 0].astype(jnp.int32))

@@ -77,3 +77,28 @@ def test_dense_kernel_flagship_n30(interpret_pallas):
     du = np.abs(np.asarray(res.u0, np.float64)
                 - np.asarray(sol_s.z[0, :dims.NU], np.float64))
     assert du.max() < 1e-3, du
+
+
+def test_dense_warm_tick(interpret_pallas):
+    """Warm-started dense tick (RTI hot loop): seeding from the previous
+    tick's y cuts iterations and kernel == oracle on the warm path."""
+    dims, qp = mass_spring_qp(8, 3, 12, dtype=jnp.float32)
+    cfg = ipm.IPMConfig(k_max=10, mu_tol=1e-4, alpha_min=1e-8)
+    plan = ipm_dense.plan_dense(dims, qp)
+    bflat = qp.b.reshape(-1)
+    cold = jax.jit(lambda bf: ipm_dense.solve_dense_ref(
+        plan, bf, cfg))(bflat)
+    b2 = bflat * 1.01
+    warm_ref = jax.jit(lambda bf, y0: ipm_dense.solve_dense_ref(
+        plan, bf, cfg, y0=y0))(b2, cold.y)
+    warm_k = jax.jit(lambda bf, y0: ipm_dense.solve_dense_tick(
+        plan, bf, cfg, y0=y0))(b2, cold.y)
+    cold2 = jax.jit(lambda bf: ipm_dense.solve_dense_ref(
+        plan, bf, cfg))(b2)
+    assert int(warm_ref.status) == 0
+    assert int(warm_ref.kk) <= int(cold2.kk)
+    assert int(warm_k.kk) == int(warm_ref.kk)
+    np.testing.assert_allclose(
+        np.asarray(warm_k.y), np.asarray(warm_ref.y), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(warm_ref.u0), np.asarray(cold2.u0), atol=2e-3)
