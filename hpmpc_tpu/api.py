@@ -378,7 +378,8 @@ class OCPSession:
         self._sol, self._carry = sol, carry
         return _unpack_result(self.dims, sol)
 
-    def dense_tick(self, use_kernel: bool = True, **vectors):
+    def dense_tick(self, use_kernel: bool = True, warm: bool = True,
+                   **vectors):
         """Minimum-latency deployment tick through the 5th-generation
         dense condensed-QP engine (``models/ipm_dense``): the plan
         (condensed matrices + exact affine raw-b -> dense-rhs maps) is
@@ -387,8 +388,9 @@ class OCPSession:
         ``(u0, DenseTickResult)``.  Only the dynamics offsets may vary
         between ticks (kwargs: b, x0 — cost/bounds changes need a new
         plan); phase-1 ``d_ip2_hard`` semantics at ``cfg.mu_tol``.
-        Requires the condensed sizes to fit the kernel envelope
-        (nz <= 128 inputs, <= 128 general rows)."""
+        ``warm=True`` (default) seeds each tick from the previous tick's
+        iterate (the RTI hot loop).  Requires the condensed sizes to fit
+        the kernel envelope (nz <= 128 inputs, <= 128 general rows)."""
         import jax
 
         from .models import ipm_dense as _ipd
@@ -397,11 +399,17 @@ class OCPSession:
                              if k in ("b", "x0")})
         if getattr(self, "_dense_plan", None) is None:
             self._dense_plan = _ipd.plan_dense(self.dims, qp)
+            self._dense_y = None
             self._dense_fn = jax.jit(
-                lambda bf: _ipd.solve_dense_tick(
+                lambda bf, y0: _ipd.solve_dense_tick(
                     self._dense_plan, bf, self.cfg,
-                    use_kernel=use_kernel))
-        res = self._dense_fn(qp.b.reshape(-1))
+                    use_kernel=use_kernel, y0=y0))
+        import jax.numpy as _jnp
+
+        y0 = (self._dense_y if (warm and self._dense_y is not None)
+              else _jnp.zeros((self._dense_plan.nz,), qp.b.dtype))
+        res = self._dense_fn(qp.b.reshape(-1), y0)
+        self._dense_y = res.y
         return np.asarray(res.u0), res
 
 
