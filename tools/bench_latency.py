@@ -131,6 +131,17 @@ def main():
                 dplan, q.b.reshape(-1), cfg_tick)
             return _ZK(z=r.y, kk=r.kk)
 
+        # warm RTI twin: every tick seeds from a reference solve of the
+        # UNPERTURBED problem (a stand-in for "previous tick's iterate"
+        # that stays correct under the bench's per-solve b perturbation)
+        _y_warm = ipm_dense.solve_dense_tick(
+            dplan, qp.b.reshape(-1), cfg_tick).y
+
+        def dense_warm_tick(q):
+            r = ipm_dense.solve_dense_tick(
+                dplan, q.b.reshape(-1), cfg_tick, y0=_y_warm)
+            return _ZK(z=r.y, kk=r.kk)
+
         strategies = {
             "seq": lambda q: ipm.solve(dims, q, cfg),
             "par_in_time": lambda q: ipm.solve(dims, q, cfg, backend=bk_par),
@@ -141,6 +152,7 @@ def main():
         }
         if dplan.nz <= 128 and dplan.ngd <= 128:
             strategies["dense_tick"] = dense_tick
+            strategies["dense_warm_tick"] = dense_warm_tick
         if rk.resident_fits(8, 3, dims.NB, N):
             strategies["resident_block"] = resident_block
             strategies["resident_tick"] = resident_tick
