@@ -12,7 +12,7 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 @pytest.mark.parametrize(
     "script", ["closed_loop_mpc.py", "mhe_estimation.py", "tree_mpc.py",
-               "sharded_fleet.py"]
+               "sharded_fleet.py", "dense_tick_mpc.py"]
 )
 def test_example_runs(script):
     env = {
